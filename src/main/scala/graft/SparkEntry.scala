@@ -1,13 +1,88 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has a DuckDB-equivalent in `oracleSql` (same
+  * output column names; doubles rounded identically on both sides) unless the
+  * computation is not SQL-expressible, in which case the driver records a
+  * rows-only check and correctness is pinned by ScalaTest specs instead.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ops.RelationalOps.qRevenueByNation(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2C test-oracle computations + §2B combinator surface (events table)
+    "q1_groupbykey" -> (ops.EventOps.q1GroupByKey _),
+    "q2_dedup_replay" -> (state.ReplayCollapse.q2DedupReplay _),
+    "q3_except" -> (ops.EventOps.q3Except _),
+    "q3_intersect" -> (ops.EventOps.q3Intersect _),
+    "c1_project" -> (ops.EventOps.c1Project _),
+    "c2_filter" -> (ops.EventOps.c2Filter _),
+    "c5_perkey_order" -> (ops.EventOps.c5PerKeyOrder _),
+    "c6_union" -> (ops.EventOps.c6Union _),
+    "c8_topk" -> (ops.EventOps.c8TopK _),
+    "o10_seek_timestamp" -> (ops.EventOps.o10SeekTimestamp _),
+    "q_sessionize" -> (ops.EventOps.qSessionize _),
+    "q_asof_signup" -> (ops.EventOps.qAsofSignup _),
+    // relational coverage (SURVEY.md §2D → Spark built-ins)
+    "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
+    "q_revenue_by_nation" -> (ops.RelationalOps.qRevenueByNation _),
+    "q_top_orders_per_cust" -> (ops.RelationalOps.qTopOrdersPerCust _),
+    "q_cust_with_orders" -> (ops.RelationalOps.qCustWithOrders _),
+    "q_cust_no_urgent" -> (ops.RelationalOps.qCustNoUrgent _),
+    "q_distinct_suppliers" -> (ops.RelationalOps.qDistinctSuppliers _),
+    "q_rollup_revenue" -> (ops.RelationalOps.qRollupRevenue _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_groupbykey" ->
+      "SELECT user_id, string_agg(props, ',' ORDER BY event_id) AS msgs FROM events GROUP BY user_id",
+    // q2 collapses a deterministic suffix-replay back to the original stream,
+    // so its oracle is Q1 over msg = event_id || ':' || props.
+    "q2_dedup_replay" ->
+      "SELECT user_id, string_agg(event_id || ':' || props, ',' ORDER BY event_id) AS msgs FROM events GROUP BY user_id",
+    "q3_except" ->
+      "SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'click' EXCEPT SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') FROM events WHERE event_type = 'purchase'",
+    "q3_intersect" ->
+      "SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'click' INTERSECT SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') FROM events WHERE event_type = 'error'",
+    "c1_project" ->
+      "SELECT event_id, user_id, CAST(props->>'$.k' AS BIGINT) AS k, CAST(round(value * 100) AS BIGINT) AS value_cents FROM events",
+    "c2_filter" ->
+      "SELECT event_id, user_id, event_type FROM events WHERE NOT starts_with(event_type, 'err')",
+    "c5_perkey_order" ->
+      "SELECT event_id, user_id, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn, round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running FROM events",
+    "c6_union" ->
+      "SELECT event_id, user_id, 'click' AS src FROM events WHERE event_type = 'click' UNION ALL SELECT event_id, user_id, 'view' AS src FROM events WHERE event_type = 'view'",
+    "c8_topk" ->
+      "SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id LIMIT 100",
+    "o10_seek_timestamp" ->
+      "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total FROM events WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY event_type",
+    "q_sessionize" ->
+      "WITH g AS (SELECT user_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_sess FROM events) SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id",
+    "q_asof_signup" ->
+      "SELECT event_id, user_id, last_signup FROM (SELECT event_id, user_id, event_type, last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup FROM events) WHERE event_type = 'purchase' AND last_signup IS NOT NULL",
+    "q_pricing_summary" ->
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, round(avg(l_quantity), 4) AS avg_qty, count(*) AS n FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus",
+    "q_revenue_by_nation" ->
+      "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' GROUP BY n_name",
+    "q_top_orders_per_cust" ->
+      "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3",
+    "q_cust_with_orders" ->
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "q_cust_no_urgent" ->
+      "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')",
+    "q_distinct_suppliers" ->
+      "SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp, round(sum(l_quantity), 2) AS qty FROM lineitem GROUP BY l_partkey",
+    "q_rollup_revenue" ->
+      "SELECT r_name, n_name, round(sum(o_totalprice), 2) AS total, count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name)",
+  )
 }

@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2D: the reference has no
+  * relational engine — these come from Spark built-ins, declared so Catalyst
+  * owns the physical strategy).
+  *
+  * SCALE NOTES (100 TB):
+  *  - dimension joins (`nation`, `region`) carry explicit `broadcast` hints;
+  *    fact-fact joins (`lineitem ⋈ orders`) stay shuffle joins on their keys
+  *    and benefit from AQE skew splitting at runtime;
+  *  - aggregations are partial+final (map-side combine) automatically;
+  *  - top-k per group is a window + filter = one shuffle, no global sort;
+  *  - global top-k is TakeOrderedAndProject (no full sort).
+  */
+object RelationalOps {
+
+  /** TPC-H Q1-style pricing summary: wide partial aggregation over the fact
+    * table with a pushed-down date predicate.
+    */
+  def qPricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("n"))
+
+  /** TPC-H Q5-style revenue by nation: star join with broadcast dims.
+    * Catalyst pushes the r_name predicate below the join; nation/region are
+    * broadcast so the only shuffles are the two fact-side joins.
+    */
+  def qRevenueByNation(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+
+  /** Top-3 orders per customer: ranking window, deterministic tiebreak. */
+  def qTopOrdersPerCust(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Left-semi join: customers that placed at least one order. */
+  def qCustWithOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Left-anti join: customers with no urgent order (NOT EXISTS). */
+  def qCustNoUrgent(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = Tables.orders(spark, sfDir).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(spark, sfDir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+  }
+
+  /** Distinct aggregate: suppliers per part (two-phase distinct agg). */
+  def qDistinctSuppliers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        round(sum(col("l_quantity")), 2).as("qty"))
+
+  /** ROLLUP grouping sets over the region→nation hierarchy. */
+  def qRollupRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("n_orders"))
+}
