@@ -5,20 +5,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
 /** Q2 `dedupAndGroupByKey` / `removeReprocessed`: the reference's at-least-
   * once verification oracle. After a failover, KCL replays a shard from the
   * last checkpoint, so a consumer observes the original per-key sequence with
-  * one or more *contiguous suffix-replay runs* appended; true reorderings, or
-  * a replay that regresses past an earlier restart point, are errors.
+  * one or more *contiguous replay runs* spliced in; true reorderings, or a
+  * replay that regresses past an earlier restart point, are errors.
   *
-  * Semantics: /root/reference/src/it/scala/com/contxt/kinesis/MessageUtil.scala:9-61,
-  * pinned by the 13 cases in MessageUtilTest.scala:15-96.
+  * Semantics: /root/reference/src/it/scala/com/contxt/kinesis/MessageUtil.scala:24-61,
+  * pinned by the 13 cases in MessageUtilTest.scala:8-96 (ported to
+  * graft.state.ReplayCollapseSpec, plus ScalaCheck properties).
   *
   * This file re-implements the algorithm from those observable semantics
-  * (not a translation): a single forward scan with a replay cursor and a
-  * monotone restart floor.
+  * (not a translation): a single forward scan over a buffered iterator. A
+  * replay run triggered by a repeated message restarts at that message's
+  * original position and consists of one or more retry passes over the
+  * replayed suffix (intermediate passes may be cut short, e.g.
+  * `m1,m2,m3,m2,m2,m3,m4`), but the final pass must reach the end of the
+  * suffix — a run that stops mid-suffix is an error, and restart points are
+  * monotonically non-decreasing across runs.
   */
 object ReplayCollapse {
 
@@ -26,51 +33,55 @@ object ReplayCollapse {
 
   /** Collapse contiguous replay runs out of a per-key received sequence.
     *
-    * Invariants enforced (each maps to a MessageUtilTest failure case):
-    *  - a repeated message must restart a replay of the previously seen
-    *    suffix, in order (mismatch mid-replay that is not itself a valid
-    *    restart ⇒ error);
-    *  - restart points are monotonically non-decreasing (a replay may not
-    *    regress past an earlier restart point ⇒ error);
-    *  - a never-seen message while mid-replay ⇒ error.
-    *
     * Messages are assumed unique within a key's original sequence (the
     * reference's producers emit strictly sequential `msg_%03d`,
     * KinesisTestComponents.scala:32-47).
+    *
+    * Consumes the input as a streaming iterator: state is O(distinct
+    * messages) — the collapsed output itself — never O(received).
     */
-  def collapse(received: Seq[String]): IndexedSeq[String] = {
+  def collapse(received: Iterator[String]): IndexedSeq[String] = {
+    val in = received.buffered
     val out = ArrayBuffer.empty[String]
-    val seen = scala.collection.mutable.HashMap.empty[String, Int]
-    var cursor = -1        // next index in `out` the active replay must match
-    var restartFloor = 0   // earliest index a future replay may restart from
+    val pos = mutable.HashMap.empty[String, Int]
+    var floor = 0 // earliest position a replay may restart from (monotone)
 
-    def startReplay(m: String): Unit = {
-      val i = seen.getOrElse(m, -1)
-      if (i < 0)
-        throw new UnexpectedMessageSequence(s"unexpected message during replay: $m")
-      if (i < restartFloor)
-        throw new UnexpectedMessageSequence(
-          s"replay restarts at $i, before earlier restart point $restartFloor: $m")
-      restartFloor = i
-      cursor = i + 1
-      if (cursor == out.length) cursor = -1 // single-element suffix replayed
-    }
-
-    received.foreach { m =>
-      if (cursor >= 0) {
-        if (out(cursor) == m) {
-          cursor += 1
-          if (cursor == out.length) cursor = -1
-        } else startReplay(m)
-      } else if (seen.contains(m)) {
-        startReplay(m)
-      } else {
-        seen(m) = out.length
-        out += m
+    while (in.hasNext) {
+      val m = in.head
+      pos.get(m) match {
+        case None =>
+          pos(m) = out.length
+          out += m
+          in.next()
+        case Some(start) =>
+          if (start < floor)
+            throw new UnexpectedMessageSequence(
+              s"replay restarts at $start, before earlier restart point $floor: $m")
+          floor = start
+          val sliceLen = out.length - start
+          // Consume retry passes over out[start, out.length): each pass
+          // matches a prefix of the suffix; passes repeat while progress is
+          // made; the final matched element must be the suffix's last.
+          var lastMatched: String = null
+          var progressed = true
+          while (progressed) {
+            var i = 0
+            while (in.hasNext && i < sliceLen && in.head == out(start + i)) {
+              lastMatched = in.next()
+              i += 1
+            }
+            progressed = i > 0
+          }
+          if (lastMatched != out.last)
+            throw new UnexpectedMessageSequence(
+              s"replay starting from $m stopped before completing the replayed suffix")
       }
     }
     out.toIndexedSeq
   }
+
+  def collapse(received: Seq[String]): IndexedSeq[String] =
+    collapse(received.iterator)
 
   /** Q2 as a DataFrame operator with a deterministic replayed input:
     * per key, re-append the 3 highest-sequence records (a suffix-replay run,
@@ -78,10 +89,11 @@ object ReplayCollapse {
     * The collapsed output must equal Q1's original reconstruction — which is
     * the DuckDB oracle.
     *
-    * SCALE: groupByKey + mapGroups shuffles once on the stream key; state is
-    * per-key and streamed group-at-a-time by Spark's ObjectHashAggregate-style
-    * iterator (no global collect). In production this runs per micro-batch
-    * epoch, keyed state bounded by replay depth.
+    * SCALE: one shuffle on the stream key; `flatMapSortedGroups` plans the
+    * (replay, event_id) secondary sort *inside* that shuffle's sort, so the
+    * collapse consumes an already-ordered streaming iterator — per-key state
+    * is O(distinct messages) (the output), never a buffered copy of the
+    * group. A hot key costs CPU, not executor heap.
     */
   def q2DedupReplay(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -102,9 +114,8 @@ object ReplayCollapse {
       .select(col("user_id"), col("replay"), col("event_id"), col("msg"))
       .as[(Long, Int, Long, String)]
       .groupByKey(_._1)
-      .mapGroups { (uid, it) =>
-        val msgs = it.toArray.sortBy(r => (r._2, r._3)).map(_._4)
-        (uid, collapse(msgs.toIndexedSeq).mkString(","))
+      .flatMapSortedGroups(col("replay"), col("event_id")) { (uid, it) =>
+        Iterator.single((uid, collapse(it.map(_._4)).mkString(",")))
       }
       .toDF("user_id", "msgs")
   }
