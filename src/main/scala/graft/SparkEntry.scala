@@ -24,6 +24,8 @@ object SparkEntry {
     "q3_intersect" -> (ops.EventOps.q3Intersect _),
     "c1_project" -> (ops.EventOps.c1Project _),
     "c2_filter" -> (ops.EventOps.c2Filter _),
+    "c3_grouped" -> (ops.EventOps.c3Grouped _),
+    "c4_explode" -> (ops.EventOps.c4Explode _),
     "c5_perkey_order" -> (ops.EventOps.c5PerKeyOrder _),
     "c6_union" -> (ops.EventOps.c6Union _),
     "c8_topk" -> (ops.EventOps.c8TopK _),
@@ -58,6 +60,10 @@ object SparkEntry {
       "SELECT event_id, user_id, CAST(props->>'$.k' AS BIGINT) AS k, CAST(round(value * 100) AS BIGINT) AS value_cents FROM events",
     "c2_filter" ->
       "SELECT event_id, user_id, event_type FROM events WHERE NOT starts_with(event_type, 'err')",
+    "c3_grouped" ->
+      "WITH r AS (SELECT user_id, event_id, CAST((row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) // 5 AS BIGINT) AS batch_id FROM events) SELECT user_id, batch_id, count(*) AS n_in_batch, min(event_id) AS first_id, max(event_id) AS last_id FROM r GROUP BY user_id, batch_id",
+    "c4_explode" ->
+      "SELECT event_id, CAST(i AS BIGINT) AS i FROM events, LATERAL unnest(generate_series(1, (CAST(props->>'$.k' AS BIGINT) % 3) + 1)) AS t(i)",
     "c5_perkey_order" ->
       "SELECT event_id, user_id, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn, round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running FROM events",
     "c6_union" ->

@@ -15,12 +15,13 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default (PARQUET_TYPE_ILLEGAL). Read nanos as long and convert to a
+    * default (PARQUET_TYPE_ILLEGAL). Sessions embedding this library must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at build time (all of
+    * Bench/Verify/SparkSpec do); the nanos long is then converted to a
     * microsecond TimestampType with integer division (no double round-trip —
-    * epoch-nanos exceed 2^53).
+    * epoch-nanos exceed 2^53). Loaders never mutate shared session config.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, sfDir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -99,6 +99,38 @@ object EventOps {
       .orderBy(col("value").desc, col("event_id").asc)
       .limit(100)
 
+  /** C3 `grouped(n)`: fixed-size batching of each key's ordered substream
+    * (reference batches for its out-of-order-processing demo,
+    * /root/reference/README.md:43). Batch membership is deterministic —
+    * rank within key by sequence number, then integer-divide by the batch
+    * size — and the per-batch summary (count + first/last sequence number)
+    * is a plain partial+final aggregation. One shuffle on the key; no
+    * per-batch state is ever wider than the batch.
+    */
+  def c3Grouped(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = 5
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        ((row_number().over(w) - 1) / n).cast("long").as("batch_id"))
+      .groupBy(col("user_id"), col("batch_id"))
+      .agg(count(lit(1)).as("n_in_batch"),
+        min(col("event_id")).as("first_id"),
+        max(col("event_id")).as("last_id"))
+  }
+
+  /** C4 `mapConcat` (1→N flatten / explode, /root/reference/README.md:45):
+    * each record expands into `(k mod 3) + 1` child rows via a generated
+    * sequence + `explode` — Spark's Generate operator, which pipelines
+    * inside the scan stage (no shuffle at all).
+    */
+  def c4Explode(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .select(col("event_id"),
+        explode(sequence(lit(1L), pmod(col("k"), lit(3L)) + 1L)).as("i"))
+
   /** O10 initial-position seek (`at-timestamp`): a timestamp predicate that
     * Catalyst pushes into the scan (partition pruning when the table is
     * date-partitioned at scale), followed by a cheap partial+final agg.
