@@ -32,6 +32,15 @@ object SparkEntry {
     "o10_seek_timestamp" -> (ops.EventOps.o10SeekTimestamp _),
     "q_sessionize" -> (ops.EventOps.qSessionize _),
     "q_asof_signup" -> (ops.EventOps.qAsofSignup _),
+    // training-data pipeline operators (documents/embeddings corpus)
+    "d1_exact_dedup" -> (ops.CorpusOps.d1ExactDedup _),
+    "d2_minhash_lsh" -> (ops.CorpusOps.d2MinhashLsh _),
+    "d3_text_stats" -> (ops.CorpusOps.d3TextStats _),
+    "d4_langid" -> (ops.CorpusOps.d4LangId _),
+    "d5_simhash" -> (ops.CorpusOps.d5Simhash _),
+    "d6_ann_brute" -> (ops.VectorOps.d6AnnBrute _),
+    "d7_ann_ivf" -> (ops.VectorOps.d7AnnIvf _),
+    "d8_multimodal_decode" -> (ops.MultimodalOps.d8MultimodalDecode _),
     // relational coverage (SURVEY.md §2D → Spark built-ins)
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_revenue_by_nation" -> (ops.RelationalOps.qRevenueByNation _),
@@ -76,6 +85,22 @@ object SparkEntry {
       "WITH g AS (SELECT user_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_sess FROM events) SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id",
     "q_asof_signup" ->
       "SELECT event_id, user_id, last_signup FROM (SELECT event_id, user_id, event_type, last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup FROM events) WHERE event_type = 'purchase' AND last_signup IS NOT NULL",
+    "d1_exact_dedup" ->
+      "WITH fp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp FROM documents), g AS (SELECT fp, min(doc_id) AS canonical_id, count(*) AS dup_count FROM fp GROUP BY fp) SELECT f.doc_id, g.canonical_id, g.dup_count FROM fp f JOIN g ON f.fp = g.fp",
+    "d2_minhash_lsh" ->
+      "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS shingles FROM w WHERE len(ws) >= 3), p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(list_distinct(a.shingles || b.shingles)) AS j FROM sh a JOIN sh b ON a.doc_id < b.doc_id) SELECT a_id, b_id, round(j, 6) AS jaccard FROM p WHERE j >= 0.6",
+    "d3_text_stats" ->
+      "SELECT lang, source, count(*) AS n_docs, CAST(sum(len(string_split(lower(trim(text)), ' '))) AS BIGINT) AS total_tokens, CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_subtokens, CAST(sum(n_chars) AS BIGINT) AS total_chars, round(CAST(sum(len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('the', 'a', 'of')))) AS DOUBLE) / sum(len(string_split(lower(trim(text)), ' '))), 6) AS stop_ratio FROM documents GROUP BY lang, source",
+    "d4_langid" ->
+      "WITH s AS (SELECT lang, len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('the', 'a', 'of'))) AS s_en, len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('der', 'die', 'und'))) AS s_de, len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('le', 'la', 'et'))) AS s_fr, len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('el', 'los', 'y'))) AS s_es FROM documents) SELECT lang, CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en' WHEN s_de >= greatest(s_fr, s_es) THEN 'de' WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang, count(*) AS n FROM s GROUP BY lang, pred_lang",
+    "d5_simhash" ->
+      "WITH h AS (SELECT doc_id, [CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) for w in list_distinct(string_split(lower(trim(text)), ' '))] AS hs FROM documents) SELECT doc_id, CAST(list_sum([CASE WHEN 2 * len(list_filter(hs, x -> (x >> j) % 2 = 1)) >= len(hs) THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(0, 16)]) AS BIGINT) AS simhash FROM h",
+    "d6_ann_brute" ->
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20), s AS (SELECT q.q_id, e.vec_id AS n_id, list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) / (sqrt(list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)])) * sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]))) AS sim FROM q, e WHERE e.vec_id <> q.q_id), r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s) SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10",
+    "d7_ann_ivf" ->
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e WHERE vec_id < 20), s AS (SELECT q.q_id, e.vec_id AS n_id, list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) / (sqrt(list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)])) * sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]))) AS sim FROM q JOIN e ON e.label = q.q_label AND e.vec_id <> q.q_id), r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s) SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10",
+    "d8_multimodal_decode" ->
+      "WITH j AS (SELECT d.doc_id, d.lang, d.text, CAST(e.embedding AS DOUBLE[]) AS v FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id), h AS (SELECT doc_id, lang, octet_length(CAST(text AS BLOB)) AS byte_len, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h, v FROM j) SELECT doc_id, lang, byte_len, h % 640 + 1 AS width, h % 480 + 1 AS height, ['png', 'jpg', 'webp'][CAST(h % 3 AS INT) + 1] AS format, len(v) AS emb_dim, round(sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)])), 6) AS emb_norm FROM h",
     "q_pricing_summary" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, round(avg(l_quantity), 4) AS avg_qty, count(*) AS n FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus",
     "q_revenue_by_nation" ->

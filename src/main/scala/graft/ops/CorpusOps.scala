@@ -1,0 +1,188 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over the `documents` corpus
+  * (`doc_id, text, lang, source, n_chars`): exact + near deduplication,
+  * text analysis, language-ID, and SimHash fingerprinting.
+  *
+  * These go beyond the reference's own surface (kcl-akka-stream is a
+  * stream connector, SURVEY.md §0) — they are the corpus-side capability a
+  * 100 TB training-data pipeline needs on top of it.
+  *
+  * SCALE NOTES (100 TB):
+  *  - Exact dedup shuffles a 32-byte md5 fingerprint, never the document
+  *    text; group-and-join-back is two shuffles on that fingerprint.
+  *  - Near-dup is banded MinHash-LSH: candidate generation is an equi-join
+  *    on (band_id, band_key) — never an all-pairs cross join — and the
+  *    exact-Jaccard verification runs only on LSH candidates. All-pairs at
+  *    N documents is O(N^2); LSH is O(N·bands + candidates).
+  *  - Everything is built from codegen'd `functions._` (split/transform/
+  *    aggregate/md5) — no UDFs, no driver-side loops; per-document work is
+  *    bounded by document length.
+  */
+object CorpusOps {
+
+  /** Lower-cased whitespace tokens of the normalized text. */
+  private def words(text: Column): Column = split(lower(trim(text)), " ")
+
+  /** 3-word shingles (distinct) — the near-dup unit. */
+  private val ShingleSql =
+    "array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"
+
+  /** 60-bit base hash of a string via md5 (portable: identical value is
+    * computable in any engine with md5 — the DuckDB oracle uses
+    * `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`).
+    */
+  private def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Exact dedup: canonical fingerprint = md5 of the sorted distinct word
+    * set. Each document maps to the smallest doc_id sharing its
+    * fingerprint. Only the 32-byte fingerprint is shuffled.
+    */
+  def d1ExactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(words(col("text")))))).as("fp"))
+    val groups = fp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
+    fp.join(groups, "fp").select(col("doc_id"), col("canonical_id"), col("dup_count"))
+  }
+
+  // MinHash parameters: 16 hash functions in 8 bands of 2 rows. At the
+  // 0.6 Jaccard threshold the per-pair miss probability is
+  // (1 - s^2)^8 ≤ 2e-3 for s ≥ 0.8; candidate pairs are verified with
+  // exact Jaccard so false positives cost only the verification join.
+  private val NumHashes = 16
+  private val Bands = 8
+  private val RowsPerBand = NumHashes / Bands
+  private val MinhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private val SeedA: Seq[Long] = Seq(3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59)
+  private val SeedB: Seq[Long] = (0 until NumHashes).map(i => (i * i + 1).toLong)
+  private val JaccardThreshold = 0.6
+
+  private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), expr(ShingleSql).as("shingles"))
+
+  /** Near-dup detection via banded MinHash-LSH + exact-Jaccard
+    * verification. Output: (a_id, b_id, jaccard) for pairs with 3-word
+    * shingle Jaccard >= 0.6. The DuckDB oracle computes the same pairs by
+    * brute force (feasible at verification scale only) — matching it
+    * demonstrates the LSH bands achieve full recall at this threshold.
+    */
+  def d2MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleSets(spark, sfDir)
+
+    // (doc_id, shingle) -> 60-bit base hash, reduced mod P
+    val hashed = sh
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), (md5Hash60(col("s")) % MinhashP).as("h"))
+
+    // signature: per doc, min over shingles of (a_i*h + b_i) mod P
+    val mhCols = (0 until NumHashes).map { i =>
+      min((col("h") * SeedA(i) + SeedB(i)) % MinhashP).as(s"mh_$i")
+    }
+    val sig = hashed.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+
+    // bands: key = the band's minhash values concatenated
+    val bandKeys = (0 until Bands).map { b =>
+      concat_ws("_", (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}")): _*)
+    }
+    val bands = sig
+      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
+
+    // candidates: docs sharing any band — an equi-join, never all-pairs
+    val x = bands.as("x"); val y = bands.as("y")
+    val cands = x.join(y,
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+
+    // exact verification on candidates only
+    val sa = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
+    val sb = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
+    cands.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("j",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("j") >= JaccardThreshold)
+      .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jaccard"))
+  }
+
+  /** Corpus text analysis per (lang, source): document counts, whitespace
+    * token counts, BPE-ish subtoken counts (letter runs / digit runs /
+    * other symbols), char totals, and a stopword ratio. Ratios are formed
+    * as exact integer sums divided once at the end, so the result is
+    * order-independent (safe under any shuffle/merge order).
+    */
+  def d3TextStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("lang"), col("source"), col("n_chars"),
+        size(words(col("text"))).cast("long").as("n_tokens"),
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("n_subtokens"),
+        size(filter(words(col("text")), w => w.isin("the", "a", "of"))).cast("long").as("n_stop"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_subtokens")).as("total_subtokens"),
+        sum(col("n_chars")).as("total_chars"),
+        round(sum(col("n_stop")).cast("double") / sum(col("n_tokens")), 6).as("stop_ratio"))
+
+  /** Language-ID n-gram/marker heuristic: score each document against
+    * per-language marker-word sets and take the arg-max (deterministic
+    * precedence on ties), then report the (actual, predicted) confusion
+    * matrix. The corpus is synthetic with a language-independent vocabulary
+    * (verified: all five langs share the identical word set), so accuracy
+    * is meaningless by construction — the operator demonstrates the
+    * mechanism, and the oracle pins the deterministic computation.
+    */
+  def d4LangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = words(col("text"))
+    def score(markers: String*): Column =
+      size(filter(ws, w => w.isin(markers: _*))).cast("long")
+    val scored = Tables.documents(spark, sfDir).select(
+      col("lang"),
+      score("the", "a", "of").as("s_en"),
+      score("der", "die", "und").as("s_de"),
+      score("le", "la", "et").as("s_fr"),
+      score("el", "los", "y").as("s_es"))
+    scored
+      .withColumn("pred_lang",
+        when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+          .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** SimHash document fingerprint (16-bit): majority vote per bit over the
+    * 60-bit md5 hashes of the document's distinct words. Entirely per-row
+    * (no shuffle): near-dup docs land within small Hamming distance, so at
+    * scale a join on simhash bands finds near-dups in O(N).
+    */
+  def d5Simhash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
+      .select(col("doc_id"),
+        expr("transform(ws, w -> cast(conv(substring(md5(w),1,15),16,10) as long))").as("hs"))
+      .select(
+        col("doc_id"),
+        // bit j of the fingerprint is set iff >= half the word hashes have it set
+        expr(
+          """aggregate(
+               transform(sequence(0, 15), j ->
+                 CASE WHEN 2 * size(filter(hs, h -> shiftright(h, j) % 2 = 1)) >= size(hs)
+                      THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END),
+               cast(0 as bigint), (acc, x) -> acc + x)""").as("simhash"))
+}

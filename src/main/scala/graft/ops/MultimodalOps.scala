@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column handling: media payloads as opaque `binary` columns
+  * with typed metadata, decoded by a *batched* per-partition kernel — the
+  * Spark-side plumbing (schema, partitioning, batch shape) of an
+  * image/audio decode stage.
+  *
+  * The container has no image/audio codecs, so [[Decode.features]] is a
+  * clearly-marked DETERMINISTIC STUB: it derives fake width/height/format
+  * from an md5 of the payload bytes. Everything around it is real — the
+  * documents ⋈ embeddings assembly, the binary column, the typed Encoders,
+  * and the batched `mapPartitions` execution shape (batches of 64 rows,
+  * mirroring Arrow-batch UDF execution). Swapping in a real codec changes
+  * only the body of `Decode.features`.
+  *
+  * SCALE NOTES (100 TB): the join is on the primary key (doc_id = vec_id)
+  * — a shuffle join of co-partitionable fact tables (bucketed layout makes
+  * it shuffle-free); decode is per-partition streaming with O(batch)
+  * memory, no driver involvement.
+  */
+object MultimodalOps {
+
+  /** Input row for the decode kernel: key + metadata + opaque payload. */
+  final case class MediaIn(
+      doc_id: Long, lang: String, payload: Array[Byte],
+      emb_dim: Long, emb_norm: Double)
+
+  /** Decoded record: fake media features + carried metadata. */
+  final case class MediaOut(
+      doc_id: Long, lang: String, byte_len: Long,
+      width: Long, height: Long, format: String,
+      emb_dim: Long, emb_norm: Double)
+
+  object Decode {
+    private val Formats = Vector("png", "jpg", "webp")
+
+    /** STUB for the media decoder (no codecs in this environment): fake
+      * dimensions/format derived deterministically from md5(payload) —
+      * portable, so the DuckDB oracle can pin the full pipeline. A real
+      * deployment replaces this body with an actual image/audio decode.
+      */
+    def features(payload: Array[Byte]): (Long, Long, Long, String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(payload).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      (payload.length.toLong, h % 640 + 1, h % 480 + 1, Formats((h % 3).toInt))
+    }
+  }
+
+  /** Assemble the multimodal record (documents ⋈ embeddings on the primary
+    * key) and run the batched decode kernel over the binary payload.
+    */
+  def d8MultimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val embs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
+    val assembled = docs
+      .join(embs, col("doc_id") === col("vec_id"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("text").cast("binary").as("payload"),
+        size(col("v")).cast("long").as("emb_dim"),
+        round(sqrt(aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)), 6).as("emb_norm"))
+      .as[MediaIn]
+
+    assembled
+      .mapPartitions { rows =>
+        // batch shape mirrors Arrow-batch UDF execution: decode 64 rows at
+        // a time so a real codec could amortize per-batch setup
+        rows.grouped(64).flatMap { batch =>
+          batch.map { r =>
+            val (len, w, h, fmt) = Decode.features(r.payload)
+            MediaOut(r.doc_id, r.lang, len, w, h, fmt, r.emb_dim, r.emb_norm)
+          }
+        }
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table
+  * (`vec_id, embedding FLOAT[], label`).
+  *
+  * Two paths:
+  *  - [[d6AnnBrute]] — exact brute-force top-k cosine for a bounded query
+  *    set. The query side is broadcast, so the "cross" join is a broadcast
+  *    nested loop over ONE scan of the corpus: no shuffle of the corpus,
+  *    embarrassingly parallel, and the right baseline/re-ranker at any
+  *    scale as long as |queries| is small.
+  *  - [[d7AnnIvf]] — the 100 TB path: IVF-style cell-probed search. The
+  *    `label` column is the precomputed coarse-quantizer cell assignment
+  *    (at scale: k-means centroid ids); each query probes only its own
+  *    cell, so the candidate join is an equi-join on the cell id and the
+  *    per-cell exact re-rank touches |corpus| / n_cells vectors per query.
+  *
+  * All arithmetic is double (float32 inputs cast up), accumulated in array
+  * order via `aggregate(zip_with(...))`, which makes results bit-stable
+  * and oracle-comparable.
+  */
+object VectorOps {
+
+  private val K = 10
+  private val NumQueries = 20
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+
+  private def topK(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"), col("rn"))
+  }
+
+  /** Exact top-k cosine neighbors for queries `vec_id < 20` against the
+    * full corpus (self excluded). Broadcast the tiny query side; the corpus
+    * is scanned once with no shuffle; per-query top-k is one window pass.
+    */
+  def d6AnnBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("sim"))
+    topK(scored)
+  }
+
+  /** IVF cell-probed ANN: each query searches only the corpus vectors in
+    * its own coarse cell (`label`), then exact-rerank top-k. One equi-join
+    * on the cell id — at 100 TB this is the difference between scanning
+    * the corpus per query and scanning 1/n_cells of it.
+    */
+  def d7AnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("label").as("q_label"))
+    val scored = e.join(broadcast(q),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("sim"))
+    topK(scored)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{size => asize}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the corpus-operator semantics beyond the DuckDB oracle:
+  * the LSH path must FIND the planted near-dup pairs (the oracle only
+  * checks the emitted pairs are correct), SimHash must place near-dups at
+  * small Hamming distance, and dedup must be a partition of the corpus.
+  */
+class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  test("d2 MinHash-LSH finds high-Jaccard pairs with exact scores") {
+    val pairs = CorpusOps.d2MinhashLsh(spark, sf001).collect()
+    // sf0.001 plants a handful of near-dup pairs; LSH must surface them
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.6 && j <= 1.0)
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+    }
+  }
+
+  test("d2 LSH recall is total against brute force at the 0.6 threshold") {
+    import spark.implicits._
+    // brute-force truth: all-pairs exact shingle Jaccard (test scale only)
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("ws"))
+      .filter(asize(col("ws")) >= 3)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))")
+          .as("shingles"))
+    def side(p: String) = docs.select(col("doc_id").as(s"${p}_id"), col("shingles").as(s"${p}_sh"))
+    val truth = side("a").crossJoin(side("b"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("j", asize(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+        asize(array_union(col("a_sh"), col("b_sh"))))
+      .filter(col("j") >= 0.6)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    val found = CorpusOps.d2MinhashLsh(spark, sf001)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    found shouldBe truth
+  }
+
+  test("d1 exact dedup is a partition: every doc maps to one canonical id <= its own") {
+    val out = CorpusOps.d1ExactDedup(spark, sf001).collect()
+    val nDocs = graft.Tables.documents(spark, sf001).count()
+    assert(out.length == nDocs)
+    out.foreach { r =>
+      assert(r.getAs[Long]("canonical_id") <= r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("dup_count") >= 1L)
+    }
+  }
+
+  test("d5 SimHash: near-dup pairs sit at smaller Hamming distance than random pairs") {
+    import spark.implicits._
+    val sim = CorpusOps.d5Simhash(spark, sf001)
+      .as[(Long, Long)].collect().toMap
+    val nearDups = CorpusOps.d2MinhashLsh(spark, sf001)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
+    assume(nearDups.nonEmpty)
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val nearAvg = nearDups.map { case (a, b) => hamming(sim(a), sim(b)) }.sum.toDouble / nearDups.length
+    val ids = sim.keys.toArray.sorted
+    val randomPairs = ids.take(40).flatMap(a => ids.takeRight(40).map(b => (a, b))).filter { case (a, b) => a < b }
+    val randAvg = randomPairs.map { case (a, b) => hamming(sim(a), sim(b)) }.sum.toDouble / randomPairs.length
+    assert(nearAvg < randAvg,
+      s"near-dup avg hamming $nearAvg should be below random avg $randAvg")
+  }
+
+  test("d4 langid predictions are deterministic and cover only known langs") {
+    val rows = CorpusOps.d4LangId(spark, sf001).collect()
+    val langs = Set("en", "de", "fr", "es")
+    rows.foreach(r => assert(langs.contains(r.getAs[String]("pred_lang"))))
+    // confusion matrix row-sums = corpus size
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == graft.Tables.documents(spark, sf001).count())
+  }
+}

@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class VectorOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  test("d6 brute-force ANN: k results per query, ranked by similarity") {
+    val rows = VectorOps.d6AnnBrute(spark, sf001).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("q_id"))
+    byQuery.foreach { case (_, rs) =>
+      assert(rs.length == 10)
+      val ranked = rs.sortBy(_.getAs[Int]("rn"))
+      val sims = ranked.map(_.getAs[Double]("sim"))
+      sims.zip(sims.tail).foreach { case (hi, lo) => assert(hi >= lo) }
+      sims.foreach(s => assert(s >= -1.0 && s <= 1.0 + 1e-9))
+      // self is excluded
+      ranked.foreach(r => assert(r.getAs[Long]("n_id") != r.getAs[Long]("q_id")))
+    }
+  }
+
+  test("d7 IVF ANN probes only the query's cell and agrees with brute force on shared pairs") {
+    import spark.implicits._
+    val labels = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val ivf = VectorOps.d7AnnIvf(spark, sf001).collect()
+    ivf.foreach { r =>
+      assert(labels(r.getAs[Long]("n_id")) == labels(r.getAs[Long]("q_id")),
+        "IVF must only return candidates from the query's own cell")
+    }
+    // where IVF and brute force return the same pair, the exact similarity agrees
+    val brute = VectorOps.d6AnnBrute(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) -> r.getAs[Double]("sim")).toMap
+    val shared = ivf.flatMap { r =>
+      brute.get((r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+        .map(b => (b, r.getAs[Double]("sim")))
+    }
+    assert(shared.nonEmpty, "IVF should recover some true neighbors")
+    shared.foreach { case (b, i) => assert(math.abs(b - i) < 1e-12) }
+  }
+}
