@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** End-to-end Structured Streaming queries wired into the driver's
+  * CORRECTNESS gate: each runs a real streaming query — sharded file
+  * source (O1), checkpointLocation (O8), trigger policy (O7),
+  * event-time watermark (Q4's watermark analog), memory sink (C10,
+  * the reference's Inspectable sink) — synchronously to completion with
+  * `Trigger.AvailableNow`, then returns the result table so the DuckDB
+  * oracle can compare it against the batch answer. Streaming result ==
+  * batch result IS the reference's core delivery-semantics oracle
+  * (`dedupAndGroupByKey(received) == groupByKey(sent)`,
+  * KinesisSourceTest.scala:63-64).
+  *
+  * The memory sink is a test/observability sink exactly like the
+  * reference's Inspectable (driver-resident; production sinks are
+  * foreachBatch/parquet — see IdempotentSink).
+  *
+  * SCALE NOTES (100 TB): the aggregations are standard partial+final over
+  * the stream with watermark-bounded state; `complete` output mode is
+  * used here only because the memory sink requires it — at scale the same
+  * plan runs in `update`/`append` mode against a keyed sink. State per
+  * window×type is O(groups), not O(rows).
+  */
+object StreamingQueries {
+
+  private val runCounter = new AtomicLong(0)
+
+  private def freshDirs(spark: SparkSession, sfDir: String): (String, String, String) = {
+    val base = Files.createTempDirectory("graft-stream-").toString
+    val runId = runCounter.incrementAndGet()
+    val shardDir = s"$base/shards"
+    val ckpt = s"$base/checkpoint"
+    ShardedEvents.materialize(spark, sfDir, shardDir)
+    (shardDir, ckpt, s"graft_mem_${runId}_${System.nanoTime()}")
+  }
+
+  /** Hourly tumbling-window aggregation over the event stream with a
+    * 1-hour watermark: the windowed-aggregation + watermark surface the
+    * reference delegates entirely to downstream code (SURVEY.md §2D).
+    */
+  def s1StreamHourlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val (shardDir, ckpt, mem) = freshDirs(spark, sfDir)
+    val q = ShardedEvents.readStream(spark, shardDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("total"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
+
+  /** Streaming dedup + per-type counts: `dropDuplicates` over the record
+    * id is the replay-collapse operator in stream form (the reference's
+    * at-least-once delivery makes downstream dedup the canonical consumer
+    * pattern, README.md:104-108). Unbounded dedup state here (the
+    * correctness harness replays a bounded table); production uses
+    * `dropDuplicatesWithinWatermark` so state is GC'd by event time.
+    */
+  def s2StreamDedupCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val (shardDir, ckpt, mem) = freshDirs(spark, sfDir)
+    val q = ShardedEvents.readStream(spark, shardDir)
+      .dropDuplicates(Seq("event_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
+}

@@ -1,0 +1,185 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import scala.collection.mutable
+
+/** Pins the delivery-semantics layer the reference exists for
+  * (SURVEY.md §0): at-least-once replay after failure (lease-lost analog,
+  * RecordProcessorImpl.scala:164-166), WAL-before-commit checkpointing
+  * (O7/O8), graceful stop (O11/O13/C11), listener stats (O15), the
+  * inspectable sink (C10) and exactly-once via the idempotent
+  * foreachBatch sink (O5's replacement, SURVEY.md §7.4).
+  */
+object StreamingSpec {
+  // cross-run state for the crash-injection sinks (single forked test JVM)
+  val received: mutable.Buffer[(Long, Seq[Long])] = mutable.Buffer.empty
+  @volatile var crashOnBatch: Long = -1L
+  @volatile var crashed: Boolean = false
+}
+
+class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
+  import StreamingSpec._
+
+  private def newBase(): String = Files.createTempDirectory("graft-spec-").toString
+
+  private def shardDir(base: String): String = {
+    val dir = s"$base/shards"
+    ShardedEvents.materialize(spark, sf001, dir)
+    dir
+  }
+
+  private def batchEventIds = graft.Tables.events(spark, sf001)
+    .select("event_id").collect().map(_.getLong(0)).toSeq
+
+  test("at-least-once: crash after side effect, restart replays exactly the uncommitted batch") {
+    val base = newBase()
+    val shards = shardDir(base)
+    val ckpt = s"$base/ckpt"
+    received.clear(); crashed = false; crashOnBatch = 2L
+
+    def start() = ShardedEvents.readStream(spark, shards, maxFilesPerTrigger = Some(1))
+      .select("event_id")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val ids = df.collect().map(_.getLong(0)).toSeq
+        received.synchronized { received += ((batchId, ids)) }
+        // crash AFTER the side effect but BEFORE the epoch commit —
+        // the worker-death / lease-lost scenario
+        if (batchId == crashOnBatch && !crashed) {
+          crashed = true
+          throw new RuntimeException(s"injected failure in batch $batchId")
+        }
+      }
+      .start()
+
+    val q1 = start()
+    intercept[Exception] { q1.awaitTermination() }
+    assert(q1.exception.isDefined, "worker death must surface through query.exception")
+
+    // WAL discipline: batch 2's offsets were written (intent), not committed
+    val offsetsAfterCrash = StreamControl.checkpointOffsets(ckpt)
+    val commitsAfterCrash = StreamControl.checkpointCommits(ckpt)
+    assert(offsetsAfterCrash == commitsAfterCrash + 1,
+      s"expected exactly one uncommitted epoch, got offsets=$offsetsAfterCrash commits=$commitsAfterCrash")
+
+    // restart from the same checkpoint: resumes at batch 2, replays it
+    val q2 = start()
+    q2.awaitTermination()
+    assert(StreamControl.checkpointOffsets(ckpt) == StreamControl.checkpointCommits(ckpt))
+
+    val deliveredBatchIds = received.map(_._1)
+    assert(deliveredBatchIds.count(_ == crashOnBatch) == 2, "uncommitted batch must be redelivered")
+    deliveredBatchIds.filter(_ < crashOnBatch).groupBy(identity).foreach { case (_, g) =>
+      assert(g.size == 1, "committed batches must NOT be redelivered")
+    }
+
+    // duplicates exist (at-least-once), and dedup == the batch ground truth
+    val all = received.flatMap(_._2)
+    assert(all.size > all.distinct.size)
+    all.distinct.sorted shouldBe batchEventIds.sorted
+  }
+
+  test("exactly-once: idempotent foreachBatch sink collapses the replayed batch") {
+    val base = newBase()
+    val shards = shardDir(base)
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"
+    crashed = false; crashOnBatch = 2L
+
+    def start() = ShardedEvents.readStream(spark, shards, maxFilesPerTrigger = Some(1))
+      .select("event_id", "user_id", "event_type")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        IdempotentSink.writeBatch(df, batchId, out)
+        if (batchId == crashOnBatch && !crashed) {
+          crashed = true
+          throw new RuntimeException("crash after sink write, before commit")
+        }
+      }
+      .start()
+
+    intercept[Exception] { start().awaitTermination() }
+    val q2 = start(); q2.awaitTermination()
+
+    // batch 2 was written twice, but the second write overwrote the first:
+    // end-to-end output is exactly the batch ground truth
+    val ids = IdempotentSink.readAll(spark, out)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    ids.size shouldBe ids.distinct.size
+    ids.sorted shouldBe batchEventIds.sorted
+  }
+
+  test("listener stats mirror ConsumerStats hooks: init, per-batch rows, shutdown") {
+    val base = newBase()
+    val shards = shardDir(base)
+    val stats = new GraftStats
+    spark.streams.addListener(stats)
+    try {
+      val q = ShardedEvents.readStream(spark, shards)
+        .groupBy(col("event_type")).count()
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(s"stats_${System.nanoTime()}")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // listener bus is async; progress events may trail termination
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while ((!stats.terminated.get() || stats.rows.get() < batchEventIds.size) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(stats.started.get())
+      assert(stats.terminated.get())
+      assert(!stats.failed.get())
+      assert(stats.batches.get() >= 1)
+      assert(stats.rows.get() == batchEventIds.size)
+    } finally spark.streams.removeListener(stats)
+  }
+
+  test("graceful stop: ProcessingTime query drains and stops at a batch boundary") {
+    val base = newBase()
+    val shards = shardDir(base)
+    val mem = s"inspect_${System.nanoTime()}"
+    val q = ShardedEvents.readStream(spark, shards, maxFilesPerTrigger = Some(2))
+      .groupBy(col("event_type")).count()
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    q.processAllAvailable()
+    // C10 Inspectable: results visible mid-stream, while the query is live
+    assert(q.isActive)
+    val live = spark.table(mem).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(live.values.sum == batchEventIds.size)
+    StreamControl.stopGracefully(q)
+    assert(!q.isActive)
+    assert(q.exception.isEmpty)
+  }
+
+  test("streaming result == batch result (the reference's core oracle) for s1/s2") {
+    val s1 = StreamingQueries.s1StreamHourlyAgg(spark, sf001)
+    val b1 = graft.Tables.events(spark, sf001)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+    assert(s1.exceptAll(b1).isEmpty && b1.exceptAll(s1).isEmpty)
+
+    val s2 = StreamingQueries.s2StreamDedupCount(spark, sf001)
+    val b2 = graft.Tables.events(spark, sf001)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("event_id")).as("n_distinct"))
+    assert(s2.exceptAll(b2).isEmpty && b2.exceptAll(s2).isEmpty)
+  }
+}
