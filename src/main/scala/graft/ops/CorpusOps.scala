@@ -32,13 +32,6 @@ object CorpusOps {
   private val ShingleSql =
     "array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"
 
-  /** 60-bit base hash of a string via md5 (portable: identical value is
-    * computable in any engine with md5 — the DuckDB oracle uses
-    * `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`).
-    */
-  private def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
   /** Exact dedup: canonical fingerprint = md5 of the sorted distinct word
     * set. Each document maps to the smallest doc_id sharing its
     * fingerprint. Only the 32-byte fingerprint is shuffled.
@@ -79,20 +72,21 @@ object CorpusOps {
   def d2MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingleSets(spark, sfDir)
 
-    // (doc_id, shingle) -> 60-bit base hash, reduced mod P
-    val hashed = sh
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), (md5Hash60(col("s")) % MinhashP).as("h"))
-
-    // signature: per doc, min over shingles of (a_i*h + b_i) mod P
-    val mhCols = (0 until NumHashes).map { i =>
-      min((col("h") * SeedA(i) + SeedB(i)) % MinhashP).as(s"mh_$i")
-    }
-    val sig = hashed.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    // Signature computed entirely PER ROW with higher-order functions:
+    // base hash = xxhash64 (codegen'd; it only drives candidate RECALL —
+    // emitted pairs are verified with exact Jaccard, so the oracle does
+    // not depend on the hash), minhash_i = min over shingles of
+    // (a_i*h + b_i) mod P. No explode, no shuffle for the signature.
+    val mhExpr = (0 until NumHashes)
+      .map(i => s"array_min(transform(hs, h -> (h * ${SeedA(i)}L + ${SeedB(i)}L) % ${MinhashP}L))")
+      .mkString("array(", ", ", ")")
+    val sig = sh
+      .withColumn("hs", expr(s"transform(shingles, s -> pmod(xxhash64(s), ${MinhashP}L))"))
+      .withColumn("mh", expr(mhExpr))
 
     // bands: key = the band's minhash values concatenated
     val bandKeys = (0 until Bands).map { b =>
-      concat_ws("_", (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}")): _*)
+      concat_ws("_", (0 until RowsPerBand).map(r => col("mh").getItem(b * RowsPerBand + r)): _*)
     }
     val bands = sig
       .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))

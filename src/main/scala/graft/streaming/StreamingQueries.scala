@@ -31,12 +31,19 @@ object StreamingQueries {
 
   private val runCounter = new AtomicLong(0)
 
+  // The sharded layout is the SOURCE (static at query time), so it is
+  // materialized once per (JVM, sfDir); every query run still gets a
+  // fresh checkpoint location and result table.
+  private val shardCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def freshDirs(spark: SparkSession, sfDir: String): (String, String, String) = {
-    val base = Files.createTempDirectory("graft-stream-").toString
+    val shardDir = shardCache.computeIfAbsent(sfDir, { _ =>
+      val d = Files.createTempDirectory("graft-stream-").toString + "/shards"
+      ShardedEvents.materialize(spark, sfDir, d)
+      d
+    })
     val runId = runCounter.incrementAndGet()
-    val shardDir = s"$base/shards"
-    val ckpt = s"$base/checkpoint"
-    ShardedEvents.materialize(spark, sfDir, shardDir)
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
     (shardDir, ckpt, s"graft_mem_${runId}_${System.nanoTime()}")
   }
 
