@@ -69,6 +69,30 @@ object StreamingQueries {
     spark.table(mem)
   }
 
+  /** Streaming initial-position seek (O10's `at-timestamp` start,
+    * ConsumerConfig.scala:115-139 in the reference): the stream starts at
+    * an event-time position via a pushed-down timestamp predicate — the
+    * same seek the Kinesis connector's `startingPosition=at_timestamp`
+    * performs, expressed declaratively so it prunes at the scan.
+    * (`trim-horizon` = no predicate; `latest` = predicate at wall-clock.)
+    */
+  def s3StreamSeek(spark: SparkSession, sfDir: String): DataFrame = {
+    val (shardDir, ckpt, mem) = freshDirs(spark, sfDir)
+    val q = ShardedEvents.readStream(spark, shardDir)
+      .filter(col("ts") >= lit("2024-01-15").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
+
   /** Streaming dedup + per-type counts: `dropDuplicates` over the record
     * id is the replay-collapse operator in stream form (the reference's
     * at-least-once delivery makes downstream dedup the canonical consumer

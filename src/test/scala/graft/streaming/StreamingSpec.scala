@@ -169,6 +169,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(q.exception.isEmpty)
   }
 
+  test("per-key state persists across micro-batches (mapGroupsWithState tracker)") {
+    val base = newBase()
+    val shards = shardDir(base)
+    val finalStates = mutable.Map.empty[Long, PerKeyTracker.KeyState]
+    val q = PerKeyTracker.track(
+        ShardedEvents.readStream(spark, shards, maxFilesPerTrigger = Some(2)))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[(Long, PerKeyTracker.KeyState)], _: Long) =>
+        // later batches overwrite: the tracker emits cumulative state
+        ds.collect().foreach { case (k, s) => finalStates.synchronized { finalStates(k) = s } }
+      }
+      .start()
+    q.awaitTermination()
+
+    val truth = graft.Tables.events(spark, sf001)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("mn"), max(col("event_id")).as("mx"))
+      .collect()
+      .map(r => r.getLong(0) -> PerKeyTracker.KeyState(r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    finalStates.toMap shouldBe truth
+  }
+
   test("streaming result == batch result (the reference's core oracle) for s1/s2") {
     val s1 = StreamingQueries.s1StreamHourlyAgg(spark, sf001)
     val b1 = graft.Tables.events(spark, sf001)
