@@ -31,6 +31,7 @@ object SparkEntry {
     "c8_topk" -> (ops.EventOps.c8TopK _),
     "o10_seek_timestamp" -> (ops.EventOps.o10SeekTimestamp _),
     "q_sessionize" -> (ops.EventOps.qSessionize _),
+    "q_session_window" -> (ops.EventOps.qSessionWindow _),
     "q_asof_signup" -> (ops.EventOps.qAsofSignup _),
     // training-data pipeline operators (documents/embeddings corpus)
     "d1_exact_dedup" -> (ops.CorpusOps.d1ExactDedup _),
@@ -88,6 +89,8 @@ object SparkEntry {
       "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total FROM events WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY event_type",
     "q_sessionize" ->
       "WITH g AS (SELECT user_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_sess FROM events) SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM g GROUP BY user_id",
+    "q_session_window" ->
+      "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_sess FROM events), s AS (SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g) SELECT user_id, min(ts) AS session_start, count(*) AS n_events FROM s GROUP BY user_id, sid",
     "q_asof_signup" ->
       "SELECT event_id, user_id, last_signup FROM (SELECT event_id, user_id, event_type, last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup FROM events) WHERE event_type = 'purchase' AND last_signup IS NOT NULL",
     "d1_exact_dedup" ->

@@ -174,6 +174,21 @@ object EventOps {
       .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Event-time session windows via the NATIVE `session_window` operator
+    * (gap = 1 hour): per-(user, session) rows with the session start and
+    * event count. Complements [[qSessionize]] (the lag/cumsum encoding) —
+    * this is the operator Spark's streaming engine can run with merging
+    * session state; one shuffle on the key, session merge inside the agg.
+    * Boundary semantics: an event exactly `gap` after the previous one
+    * starts a NEW session (the oracle uses `>=` accordingly).
+    */
+  def qSessionWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
   /** As-of join (composed, not a custom physical operator): each purchase
     * event picks up the most recent prior signup of the same user via
     * last(...ignoreNulls) over an ordered window — the standard Spark-native
