@@ -1,0 +1,29 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object RecallCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.1"
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))").as("sh"))
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+    val truth = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("j", size(array_intersect(col("sa"), col("sb"))).cast("double") / size(array_union(col("sa"), col("sb"))))
+      .filter(col("j") >= 0.6)
+      .select("a_id", "b_id")
+    val found = ops.CorpusOps.d2MinhashLsh(spark, sf).select("a_id", "b_id")
+    val nTruth = truth.count(); val nFound = found.count()
+    val missed = truth.exceptAll(found).count()
+    println(s"RECALL truth=$nTruth found=$nFound missed=$missed")
+    spark.stop()
+  }
+}
