@@ -31,10 +31,12 @@ object VectorOps {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def norm(a: Column): Column = sqrt(dot(a, a))
+  /** Cosine via the native codegen'd kernel (graft.functions.
+    * CosineSimilarity): one fused loop for dot + both norms, bit-identical
+    * to the composed `aggregate(zip_with(...))` form and to the oracle.
+    */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosineSim(a, b)
 
   private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
@@ -58,7 +60,7 @@ object VectorOps {
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("sim"))
+        cosine(col("qv"), col("v")).as("sim"))
     topK(scored)
   }
 
@@ -74,7 +76,7 @@ object VectorOps {
     val scored = e.join(broadcast(q),
         col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("sim"))
+        cosine(col("qv"), col("v")).as("sim"))
     topK(scored)
   }
 }
