@@ -42,6 +42,7 @@ object SparkEntry {
     "d6_ann_brute" -> (ops.VectorOps.d6AnnBrute _),
     "d7_ann_ivf" -> (ops.VectorOps.d7AnnIvf _),
     "d8_multimodal_decode" -> (ops.MultimodalOps.d8MultimodalDecode _),
+    "d9_embed_neardup" -> (ops.VectorOps.d9EmbedNeardup _),
     // end-to-end Structured Streaming (sharded file source, checkpoint,
     // watermark, memory sink) run synchronously via Trigger.AvailableNow
     "s1_stream_hourly_agg" -> (streaming.StreamingQueries.s1StreamHourlyAgg _),
@@ -109,6 +110,8 @@ object SparkEntry {
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e WHERE vec_id < 20), s AS (SELECT q.q_id, e.vec_id AS n_id, list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) / (sqrt(list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)])) * sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]))) AS sim FROM q JOIN e ON e.label = q.q_label AND e.vec_id <> q.q_id), r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s) SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10",
     "d8_multimodal_decode" ->
       "WITH j AS (SELECT d.doc_id, d.lang, d.text, CAST(e.embedding AS DOUBLE[]) AS v FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id), h AS (SELECT doc_id, lang, octet_length(CAST(text AS BLOB)) AS byte_len, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h, v FROM j) SELECT doc_id, lang, byte_len, h % 640 + 1 AS width, h % 480 + 1 AS height, ['png', 'jpg', 'webp'][CAST(h % 3 AS INT) + 1] AS format, len(v) AS emb_dim, round(sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)])), 6) AS emb_norm FROM h",
+    "d9_embed_neardup" ->
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (sqrt(list_sum([a.v[i] * a.v[i] for i in range(1, len(a.v) + 1)])) * sqrt(list_sum([b.v[i] * b.v[i] for i in range(1, len(b.v) + 1)]))) AS sim FROM e a JOIN e b ON a.vec_id < b.vec_id) SELECT a_id, b_id, round(sim, 6) AS sim FROM s WHERE sim >= 0.45",
     "s1_stream_hourly_agg" ->
       "SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY 1, 2",
     "s2_stream_dedup_count" ->

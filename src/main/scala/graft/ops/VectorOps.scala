@@ -64,6 +64,28 @@ object VectorOps {
     topK(scored)
   }
 
+  /** Embedding-cosine near-duplicate pairs: exact all-pairs self-similarity
+    * at a threshold. Exact low-threshold pair search is inherently
+    * quadratic — no LSH family guarantees recall at moderate thresholds —
+    * so the honest scale story is a BLOCKED exact self-join: both sides
+    * shuffle-partitioned, each block pair scored independently with the
+    * fused native kernel, O(block²) memory per task, no driver state.
+    * (For high thresholds, the MinHash-LSH pattern of [[CorpusOps]]
+    * applies to sign-random-projection sketches instead.) Corpus here has
+    * no planted embedding dups, so the threshold 0.45 exercises the
+    * operator on the distribution's tail.
+    */
+  def d9EmbedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= 0.45)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+  }
+
   /** IVF cell-probed ANN: each query searches only the corpus vectors in
     * its own coarse cell (`label`), then exact-rerank top-k. One equi-join
     * on the cell id — at 100 TB this is the difference between scanning

@@ -71,6 +71,22 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
       s"near-dup avg hamming $nearAvg should be below random avg $randAvg")
   }
 
+  test("d1 fingerprint is invariant to word order and duplication (generated docs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("spark", "row", "key", "join", "agg", "scan", "fast", "slow", "table", "value")
+    val docs = (0 until 60).map { i =>
+      val words = Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      val shuffledWithDups = rnd.shuffle(words ++ Seq.fill(rnd.nextInt(5))(words(rnd.nextInt(words.size))))
+      (i.toLong, words.mkString(" "), shuffledWithDups.mkString(" "))
+    }
+    val df = docs.toDF("id", "t1", "t2")
+    def fp(c: String) =
+      md5(concat_ws(" ", array_sort(array_distinct(split(lower(trim(col(c))), " ")))))
+    val diff = df.filter(fp("t1") =!= fp("t2")).count()
+    diff shouldBe 0L
+  }
+
   test("d4 langid predictions are deterministic and cover only known langs") {
     val rows = CorpusOps.d4LangId(spark, sf001).collect()
     val langs = Set("en", "de", "fr", "es")
