@@ -17,6 +17,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // coalesce(1) is HARNESS-ONLY (single comparable file for the DuckDB
+    // compare); it single-tasks the final write and must never leak into
+    // operator code.
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

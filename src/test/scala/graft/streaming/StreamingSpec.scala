@@ -195,6 +195,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     finalStates.toMap shouldBe truth
   }
 
+  test("two consumers on disjoint shard subsets partition the stream (rebalance analog)") {
+    // the reference's rebalance it-tests assert each consumer received a
+    // non-empty exclusive set and the union is complete
+    // (KinesisSourceTest.scala:101-127, 261-271)
+    val base = newBase()
+    val shards = shardDir(base)
+    def consume(which: String, pred: org.apache.spark.sql.Column): Seq[Long] = {
+      val got = mutable.Buffer.empty[Long]
+      val q = ShardedEvents.readStream(spark, shards)
+        .filter(pred)
+        .select("event_id")
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt-$which")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = df.collect().map(_.getLong(0))
+          got.synchronized { got ++= ids }
+          ()
+        }
+        .start()
+      q.awaitTermination(); got.toSeq
+    }
+    val a = consume("a", col("shard") < ShardedEvents.NumShards / 2)
+    val b = consume("b", col("shard") >= ShardedEvents.NumShards / 2)
+    assert(a.nonEmpty && b.nonEmpty)
+    assert(a.toSet.intersect(b.toSet).isEmpty, "consumers must hold exclusive sets")
+    (a ++ b).sorted shouldBe batchEventIds.sorted
+  }
+
   test("streaming result == batch result (the reference's core oracle) for s1/s2") {
     val s1 = StreamingQueries.s1StreamHourlyAgg(spark, sf001)
     val b1 = graft.Tables.events(spark, sf001)
