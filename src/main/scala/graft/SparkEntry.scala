@@ -56,6 +56,8 @@ object SparkEntry {
     "q_cust_no_urgent" -> (ops.RelationalOps.qCustNoUrgent _),
     "q_distinct_suppliers" -> (ops.RelationalOps.qDistinctSuppliers _),
     "q_rollup_revenue" -> (ops.RelationalOps.qRollupRevenue _),
+    "q_percentiles" -> (ops.RelationalOps.qPercentiles _),
+    "q_pivot_priority" -> (ops.RelationalOps.qPivotPriority _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -130,6 +132,10 @@ object SparkEntry {
       "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')",
     "q_distinct_suppliers" ->
       "SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp, round(sum(l_quantity), 2) AS qty FROM lineitem GROUP BY l_partkey",
+    "q_percentiles" ->
+      "SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, round(quantile_cont(l_extendedprice, 0.9), 4) AS p90, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+    "q_pivot_priority" ->
+      "SELECT o_custkey, count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent, count(*) FILTER (o_orderpriority = '2-HIGH') AS high, count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium FROM orders GROUP BY o_custkey",
     "q_rollup_revenue" ->
       "SELECT r_name, n_name, round(sum(o_totalprice), 2) AS total, count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name)",
   )

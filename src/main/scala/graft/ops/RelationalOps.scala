@@ -79,6 +79,35 @@ object RelationalOps {
         countDistinct(col("l_suppkey")).as("n_supp"),
         round(sum(col("l_quantity")), 2).as("qty"))
 
+  /** Exact order statistics per group: median and p90 with linear
+    * interpolation (matches DuckDB `quantile_cont`). Exact percentile
+    * state is O(distinct values) per group — at 100 TB switch to
+    * `approx_percentile` (t-digest sketch, mergeable, bounded memory);
+    * kept exact here because the oracle compares values.
+    */
+  def qPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+
+  /** Pivot: per-customer order counts by priority — conditional
+    * aggregation with a FIXED pivot-value list (never an implicit
+    * distinct-scan of the pivot column, which at scale is a separate
+    * job); compiles to one partial+final aggregation.
+    */
+  def qPivotPriority(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnRenamed("1-URGENT", "urgent")
+      .withColumnRenamed("2-HIGH", "high")
+      .withColumnRenamed("3-MEDIUM", "medium")
+
   /** ROLLUP grouping sets over the region→nation hierarchy. */
   def qRollupRevenue(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
