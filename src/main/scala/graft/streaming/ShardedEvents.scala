@@ -44,6 +44,10 @@ object ShardedEvents {
     Tables.events(spark, sfDir)
       .withColumn("shard", pmod(col("user_id"), lit(NumShards)).cast("int"))
       .repartition(col("shard"))
+      // a shard is an ORDERED sequence (KinesisRecord.scala:27-29): sort
+      // within each shard partition so file order = sequence order and
+      // downstream consumers observe per-key arrival order
+      .sortWithinPartitions(col("shard"), col("event_id"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
   /** Open the sharded directory as a stream. `maxFilesPerTrigger` is the

@@ -195,6 +195,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     finalStates.toMap shouldBe truth
   }
 
+  test("per-key arrival order within a shard is sequence order (ordered-shard fidelity)") {
+    val base = newBase()
+    val shards = shardDir(base)
+    val arrivals = mutable.Buffer.empty[(Long, Long)] // (user_id, event_id)
+    val q = ShardedEvents.readStream(spark, shards, maxFilesPerTrigger = Some(1))
+      .select("user_id", "event_id")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // one file (= one shard chunk) per batch; collect preserves the
+        // file's row order
+        val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        arrivals.synchronized { arrivals ++= rows }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    arrivals.groupBy(_._1).foreach { case (user, seq) =>
+      val ids = seq.map(_._2)
+      assert(ids == ids.sorted, s"user $user observed out-of-order arrivals")
+    }
+    arrivals.size shouldBe batchEventIds.size
+  }
+
   test("two consumers on disjoint shard subsets partition the stream (rebalance analog)") {
     // the reference's rebalance it-tests assert each consumer received a
     // non-empty exclusive set and the union is complete
