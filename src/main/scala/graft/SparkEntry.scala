@@ -57,6 +57,7 @@ object SparkEntry {
     "q_distinct_suppliers" -> (ops.RelationalOps.qDistinctSuppliers _),
     "q_rollup_revenue" -> (ops.RelationalOps.qRollupRevenue _),
     "q_percentiles" -> (ops.RelationalOps.qPercentiles _),
+    "q_salted_join" -> (ops.SkewJoin.qSaltedJoin _),
     "q_pivot_priority" -> (ops.RelationalOps.qPivotPriority _),
   )
 
@@ -132,6 +133,8 @@ object SparkEntry {
       "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')",
     "q_distinct_suppliers" ->
       "SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp, round(sum(l_quantity), 2) AS qty FROM lineitem GROUP BY l_partkey",
+    "q_salted_join" ->
+      "SELECT o_orderkey, o_custkey, c_name, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey",
     "q_percentiles" ->
       "SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, round(quantile_cont(l_extendedprice, 0.9), 4) AS p90, count(*) AS n FROM lineitem GROUP BY l_returnflag",
     "q_pivot_priority" ->

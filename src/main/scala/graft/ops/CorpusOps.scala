@@ -114,7 +114,10 @@ object CorpusOps {
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
 
-    // exact verification on candidates only
+    // exact verification on candidates only. The shingle projection is
+    // recomputed on this branch rather than cached: the rescan is pruned
+    // to (doc_id, text) and touches only candidate docs after the join,
+    // which at scale is far cheaper than persisting the full shingle set.
     val sa = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
     val sb = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
     cands.join(sa, "a_id").join(sb, "b_id")

@@ -34,4 +34,17 @@ object SkewJoin {
     */
   def hotKeys(df: DataFrame, key: Column, threshold: Long): DataFrame =
     df.groupBy(key).count().filter(col("count") >= threshold)
+
+  /** Correctness-gate query: salted join of orders (skew side) with
+    * customer (replicated side) — result identical to the plain join,
+    * which is exactly what the oracle checks.
+    */
+  def qSaltedJoin(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val cust = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("o_custkey"), col("c_name"))
+    saltedEquiJoin(orders, cust, "o_custkey", n = 8)
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("o_totalprice"))
+  }
 }
