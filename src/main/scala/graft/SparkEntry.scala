@@ -39,6 +39,8 @@ object SparkEntry {
     "d3_text_stats" -> (ops.CorpusOps.d3TextStats _),
     "d4_langid" -> (ops.CorpusOps.d4LangId _),
     "d5_simhash" -> (ops.CorpusOps.d5Simhash _),
+    "d10_rolling_hash" -> (ops.CorpusOps.d10RollingHash _),
+    "d11_quality" -> (ops.CorpusOps.d11Quality _),
     "d6_ann_brute" -> (ops.VectorOps.d6AnnBrute _),
     "d7_ann_ivf" -> (ops.VectorOps.d7AnnIvf _),
     "d8_multimodal_decode" -> (ops.MultimodalOps.d8MultimodalDecode _),
@@ -107,6 +109,10 @@ object SparkEntry {
       "WITH s AS (SELECT lang, len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('the', 'a', 'of'))) AS s_en, len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('der', 'die', 'und'))) AS s_de, len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('le', 'la', 'et'))) AS s_fr, len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('el', 'los', 'y'))) AS s_es FROM documents) SELECT lang, CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en' WHEN s_de >= greatest(s_fr, s_es) THEN 'de' WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang, count(*) AS n FROM s GROUP BY lang, pred_lang",
     "d5_simhash" ->
       "WITH h AS (SELECT doc_id, [CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) for w in list_distinct(string_split(lower(trim(text)), ' '))] AS hs FROM documents) SELECT doc_id, CAST(list_sum([CASE WHEN 2 * len(list_filter(hs, x -> (x >> j) % 2 = 1)) >= len(hs) THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(0, 16)]) AS BIGINT) AS simhash FROM h",
+    "d10_rolling_hash" ->
+      "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS fp FROM documents",
+    "d11_quality" ->
+      "WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), c AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS n_tok, CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) AS DOUBLE) AS n_stop, CAST(list_sum([len(w) for w in ws]) AS DOUBLE) AS sum_len FROM t) SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, round(least(1.0, n_tok / 100.0) * 0.4 + (1.0 - n_stop / n_tok) * 0.3 + least(1.0, (sum_len / n_tok) / 8.0) * 0.3, 6) AS quality FROM c",
     "d6_ann_brute" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20), s AS (SELECT q.q_id, e.vec_id AS n_id, list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) / (sqrt(list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)])) * sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]))) AS sim FROM q, e WHERE e.vec_id <> q.q_id), r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s) SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10",
     "d7_ann_ivf" ->

@@ -182,6 +182,41 @@ object CorpusOps {
     * (no shuffle): near-dup docs land within small Hamming distance, so at
     * scale a join on simhash bands finds near-dups in O(N).
     */
+  /** Polynomial rolling-hash document fingerprint (Rabin–Karp style):
+    * h = fold over characters of (h*31 + ascii(c)) mod (1e9+7). Per-row,
+    * no shuffle; the classic content-defined fingerprint for exact-dup
+    * detection and chunking. (Oracle folds the same polynomial with
+    * DuckDB `list_reduce`.)
+    */
+  def d10RollingHash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr(
+          """aggregate(
+               transform(split(text, ''), c -> cast(ascii(c) as bigint)),
+               cast(0 as bigint),
+               (acc, x) -> (acc * 31 + x) % 1000000007)""").as("fp"))
+
+  /** Per-document quality score — the standard pre-training filter
+    * signals (length, stopword rate, mean word length) combined into one
+    * bounded score. Every input is an exact integer count divided once,
+    * so the score is deterministic under any execution order.
+    */
+  def d11Quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = words(col("text"))
+    val nTok = size(ws).cast("double")
+    val nStop = size(filter(ws, w => w.isin("the", "a", "of"))).cast("double")
+    val sumLen = expr("aggregate(transform(split(lower(trim(text)), ' '), w -> length(w)), 0, (acc, x) -> acc + x)").cast("double")
+    val score =
+      least(lit(1.0), nTok / 100.0) * 0.4 +
+        (lit(1.0) - nStop / nTok) * 0.3 +
+        least(lit(1.0), (sumLen / nTok) / 8.0) * 0.3
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_tokens"),
+        round(score, 6).as("quality"))
+  }
+
   def d5Simhash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
