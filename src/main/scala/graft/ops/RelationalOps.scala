@@ -89,9 +89,14 @@ object RelationalOps {
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        // one array-typed percentile call = ONE value buffer per group,
+        // not one per requested quantile
+        expr("percentile(l_extendedprice, array(0.5, 0.9))").as("ps"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p50"),
+        round(element_at(col("ps"), 2), 4).as("p90"),
+        col("n"))
 
   /** Pivot: per-customer order counts by priority — conditional
     * aggregation with a FIXED pivot-value list (never an implicit
