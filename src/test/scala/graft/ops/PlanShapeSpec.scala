@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the PHYSICAL plan properties that matter at 100 TB, so a future
+  * refactor that silently degrades a plan (full sort instead of top-k,
+  * shuffle instead of broadcast, unpushed filter) fails the suite, not
+  * the cluster.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("c8_topk plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("c8_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort leaked into top-k:\n$p")
+  }
+
+  test("q_revenue_by_nation broadcasts the dimension tables") {
+    val p = plan("q_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("c2_filter pushes the predicate into the parquet scan") {
+    val p = plan("c2_filter")
+    assert(p.contains("PushedFilters: [") && p.contains("StringStartsWith"),
+      s"expected startswith predicate pushed to scan:\n$p")
+  }
+
+  test("d6_ann_brute broadcasts queries and group-limits before the exchange") {
+    val p = plan("d6_ann_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), s"top-k should prune before shuffle:\n$p")
+  }
+
+  test("d2_minhash_lsh candidate generation is an equi-join, never a cartesian product") {
+    val p = plan("d2_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), s"LSH must not plan an all-pairs join:\n$p")
+  }
+
+  test("q_top_orders_per_cust is a single shuffle with in-shuffle group limit") {
+    val p = plan("q_top_orders_per_cust")
+    assert(p.contains("WindowGroupLimit"), p)
+    p.sliding("Exchange hashpartitioning".length).count(_ == "Exchange hashpartitioning") should be <= 2
+  }
+}
