@@ -71,8 +71,8 @@ object CorpusOps {
   }
   private val JaccardThreshold = 0.6
 
-  private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  private def shingleSets(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), expr(ShingleSql).as("shingles"))
@@ -83,8 +83,15 @@ object CorpusOps {
     * brute force (feasible at verification scale only) — matching it
     * demonstrates the LSH bands achieve full recall at this threshold.
     */
-  def d2MinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingleSets(spark, sfDir)
+  def d2MinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupPairs(Tables.documents(spark, sfDir))
+
+  /** The LSH pipeline over any `(doc_id, text)` corpus — exposed so the
+    * recall property can be tested on generated corpora, not just the
+    * fixture data.
+    */
+  def nearDupPairs(docs: DataFrame): DataFrame = {
+    val sh = shingleSets(docs)
 
     // Signature computed entirely PER ROW with higher-order functions:
     // base hash = xxhash64 (codegen'd; it only drives candidate RECALL —

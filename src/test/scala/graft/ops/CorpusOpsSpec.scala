@@ -45,6 +45,42 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     found shouldBe truth
   }
 
+  test("LSH recall holds on a GENERATED corpus with planted near-dups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omi", "pi", "rho",
+      "sigma", "tau", "ups")
+    // 60 base docs + a near-dup of each even doc (replace ~8% of words)
+    val base = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(30 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val dups = base.filter(_._1 % 2 == 0).map { case (i, ws) =>
+      val mutated = ws.map(w => if (rnd.nextInt(100) < 8) vocab(rnd.nextInt(vocab.size)) else w)
+      (1000L + i, mutated)
+    }
+    val docs = (base ++ dups).map { case (i, ws) => (i, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+
+    // brute-force truth
+    val sh = docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("ws"))
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))")
+          .as("sh"))
+    def side(p: String) = sh.select(col("doc_id").as(s"${p}_id"), col("sh").as(s"${p}_sh"))
+    val truth = side("a").crossJoin(side("b")).filter(col("a_id") < col("b_id"))
+      .withColumn("j", asize(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+        asize(array_union(col("a_sh"), col("b_sh"))))
+      .filter(col("j") >= 0.6)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+    val found = CorpusOps.nearDupPairs(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "generator must plant detectable near-dups")
+    found shouldBe truth
+  }
+
   test("d1 exact dedup is a partition: every doc maps to one canonical id <= its own") {
     val out = CorpusOps.d1ExactDedup(spark, sf001).collect()
     val nDocs = graft.Tables.documents(spark, sf001).count()
