@@ -1,5 +1,13 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Plan-audit tool: prints the formatted physical plan of the named
+  * queries (all queries when no args). Usage:
+  * `sbt "runMain graft.ExplainCheck d2_minhash_lsh q_revenue_by_nation"`.
+  * The durable plan-shape assertions live in PlanShapeSpec; this is for
+  * eyeballing new operators before pinning them there.
+  */
 object ExplainCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -7,10 +15,11 @@ object ExplainCheck {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.01"
-    for (q <- Seq("d2_minhash_lsh", "d6_ann_brute", "d7_ann_ivf", "d1_exact_dedup")) {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    for (q <- names) {
       println(s"===== $q")
-      graft.SparkEntry.queries(q)(spark, sf).explain("formatted")
+      SparkEntry.queries(q)(spark, sf).explain("formatted")
     }
     spark.stop()
   }

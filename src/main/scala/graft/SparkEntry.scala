@@ -59,6 +59,7 @@ object SparkEntry {
     "q_distinct_suppliers" -> (ops.RelationalOps.qDistinctSuppliers _),
     "q_rollup_revenue" -> (ops.RelationalOps.qRollupRevenue _),
     "q_percentiles" -> (ops.RelationalOps.qPercentiles _),
+    "q_brand_supplier_revenue" -> (ops.RelationalOps.qBrandSupplierRevenue _),
     "q_salted_join" -> (ops.SkewJoin.qSaltedJoin _),
     "q_pivot_priority" -> (ops.RelationalOps.qPivotPriority _),
   )
@@ -139,6 +140,8 @@ object SparkEntry {
       "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')",
     "q_distinct_suppliers" ->
       "SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp, round(sum(l_quantity), 2) AS qty FROM lineitem GROUP BY l_partkey",
+    "q_brand_supplier_revenue" ->
+      "SELECT p_brand, n_name, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, count(DISTINCT l_suppkey) AS n_suppliers FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey WHERE p_type = 'ECONOMY' GROUP BY p_brand, n_name",
     "q_salted_join" ->
       "SELECT o_orderkey, o_custkey, c_name, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey",
     "q_percentiles" ->

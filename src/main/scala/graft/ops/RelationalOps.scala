@@ -79,6 +79,29 @@ object RelationalOps {
         countDistinct(col("l_suppkey")).as("n_supp"),
         round(sum(col("l_quantity")), 2).as("qty"))
 
+  /** TPC-H Q9-flavored part/supplier profitability: two fact-dimension
+    * joins (part filtered + broadcast-eligible, supplier broadcast),
+    * grouped by brand and supplier nation. The p_type predicate is pushed
+    * below both joins; lineitem is the only shuffled side.
+    */
+  def qBrandSupplierRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).filter(col("p_type") === "ECONOMY"),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("p_brand"), col("n_name"))
+      .agg(
+        // per-row cents (deterministic double -> integer), then an EXACT
+        // integer sum: immune to float summation-order noise across any
+        // shuffle/merge order (a 622-group agg flips last-ulp cents if
+        // summed in doubles)
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+          .as("revenue_cents"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"))
+
   /** Exact order statistics per group: median and p90 with linear
     * interpolation (matches DuckDB `quantile_cont`). Exact percentile
     * state is O(distinct values) per group — at 100 TB switch to
