@@ -93,17 +93,15 @@ object CorpusOps {
   def nearDupPairs(docs: DataFrame): DataFrame = {
     val sh = shingleSets(docs)
 
-    // Signature computed entirely PER ROW with higher-order functions:
-    // base hash = xxhash64 (codegen'd; it only drives candidate RECALL —
-    // emitted pairs are verified with exact Jaccard, so the oracle does
-    // not depend on the hash), minhash_i = min over shingles of
-    // (a_i*h + b_i) mod P. No explode, no shuffle for the signature.
-    val mhExpr = Seeds
-      .map { case (a, b) => s"array_min(transform(hs, h -> (h * ${a}L + ${b}L) % ${MinhashP}L))" }
-      .mkString("array(", ", ", ")")
+    // Signature computed entirely PER ROW: base hash = xxhash64 (it only
+    // drives candidate RECALL — emitted pairs are verified with exact
+    // Jaccard, so the oracle does not depend on the hash), then the 24
+    // affine minima in one fused native loop
+    // (graft.functions.MinHashSignature). No explode, no shuffle.
     val sig = sh
       .withColumn("hs", expr(s"transform(shingles, s -> pmod(xxhash64(s), ${MinhashP}L))"))
-      .withColumn("mh", expr(mhExpr))
+      .withColumn("mh", graft.functions.MinHashSignature.minhashSignature(
+        col("hs"), Seeds.map(_._1), Seeds.map(_._2), MinhashP))
 
     // bands: key = the band's minhash values concatenated
     val bandKeys = (0 until Bands).map { b =>
