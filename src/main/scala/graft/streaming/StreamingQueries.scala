@@ -93,6 +93,37 @@ object StreamingQueries {
     spark.table(mem)
   }
 
+  /** Arbitrary per-key state in the correctness gate: the
+    * mapGroupsWithState tracker (O6's surface) runs over the sharded
+    * stream, each micro-batch's cumulative emissions land in the
+    * idempotent per-batch sink, and the FINAL emission per key (largest
+    * cumulative count, via one ranking window) must equal the batch
+    * aggregation — all distributed, no driver-side collection.
+    */
+  def s4StreamPerKeyState(spark: SparkSession, sfDir: String): DataFrame = {
+    val (shardDir, ckpt, _) = freshDirs(spark, sfDir)
+    val out = Files.createTempDirectory("graft-state-out-").toString
+    val q = PerKeyTracker.track(ShardedEvents.readStream(spark, shardDir))
+      .toDF("user_id", "state")
+      .select(col("user_id"), col("state.n").as("n"),
+        col("state.min_id").as("min_id"), col("state.max_id").as("max_id"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        IdempotentSink.writeBatch(df, batchId, out)
+      }
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n").desc)
+    IdempotentSink.readAll(spark, out)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("n"), col("min_id"), col("max_id"))
+  }
+
   /** Streaming dedup + per-type counts: `dropDuplicates` over the record
     * id is the replay-collapse operator in stream form (the reference's
     * at-least-once delivery makes downstream dedup the canonical consumer
