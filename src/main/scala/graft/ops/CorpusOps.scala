@@ -182,11 +182,6 @@ object CorpusOps {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** SimHash document fingerprint (16-bit): majority vote per bit over the
-    * 60-bit md5 hashes of the document's distinct words. Entirely per-row
-    * (no shuffle): near-dup docs land within small Hamming distance, so at
-    * scale a join on simhash bands finds near-dups in O(N).
-    */
   /** Polynomial rolling-hash document fingerprint (Rabin–Karp style):
     * h = fold over characters of (h*31 + ascii(c)) mod (1e9+7). Per-row,
     * no shuffle; the classic content-defined fingerprint for exact-dup
@@ -222,6 +217,11 @@ object CorpusOps {
         round(score, 6).as("quality"))
   }
 
+  /** SimHash document fingerprint (16-bit): majority vote per bit over the
+    * 60-bit md5 hashes of the document's distinct words. Entirely per-row
+    * (no shuffle): near-dup docs land within small Hamming distance, so at
+    * scale a join on simhash bands finds near-dups in O(N).
+    */
   def d5Simhash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
