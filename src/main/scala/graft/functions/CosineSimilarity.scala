@@ -24,7 +24,10 @@ import org.apache.spark.sql.types._
   * element-wise product, so results are bit-identical to the oracle.
   * Null array elements are not expected (inputs are dense embeddings);
   * a null ARRAY yields null via `nullSafeEval`. Mismatched lengths use
-  * the common prefix.
+  * the common prefix. A zero-norm (or empty) input yields 0.0 rather
+  * than 0.0/0.0 = NaN — NaN sorts ABOVE every real in Spark's ordering
+  * but is unordered in SQL comparisons, so letting it escape would make
+  * top-k ranking diverge from any oracle.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -52,7 +55,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -60,6 +64,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val denom = ctx.freshName("denom")
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
@@ -68,7 +73,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $yv = $y.getDouble($i);
          |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
        """.stripMargin
     })
 

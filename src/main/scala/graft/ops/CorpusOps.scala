@@ -45,13 +45,16 @@ object CorpusOps {
     fp.join(groups, "fp").select(col("doc_id"), col("canonical_id"), col("dup_count"))
   }
 
-  // MinHash parameters: 24 hash functions in 12 bands of 2 rows. At the
-  // 0.6 Jaccard threshold the per-pair miss probability is
-  // (1 - s^2)^12 ≤ 5e-6 for s >= 0.8 (empirically: total recall on the
-  // sf0.1 corpus, 256/256 pairs); candidate pairs are verified with
-  // exact Jaccard so false positives cost only the verification join.
-  private val NumHashes = 24
-  private val Bands = 12
+  // MinHash parameters: 48 hash functions in 24 bands of 2 rows. A pair at
+  // Jaccard s survives banding with probability 1 - (1 - s^2)^24: miss
+  // probability ~2e-5 at the 0.6 threshold itself, <2e-6 at s >= 0.65, and
+  // negligible above. (12 bands was ~0.5% at s = 0.6 — too loose for an
+  // exact-equality oracle; a borderline pair in a regenerated corpus could
+  // flip the gate. Re-run graft.RecallCheck whenever the corpus or these
+  // parameters change.) Candidate pairs are verified with exact Jaccard,
+  // so extra bands cost only signature width + band rows, never precision.
+  private val NumHashes = 48
+  private val Bands = 24
   private val RowsPerBand = NumHashes / Bands
   private val MinhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
 

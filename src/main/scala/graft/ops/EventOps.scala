@@ -120,16 +120,21 @@ object EventOps {
   }
 
   /** C4 `mapConcat` (1→N flatten / explode, /root/reference/README.md:45):
-    * each record expands into `(k mod 3) + 1` child rows via a generated
+    * each record expands into `(k % 3) + 1` child rows via a generated
     * sequence + `explode` — Spark's Generate operator, which pipelines
     * inside the scan stage (no shuffle at all).
+    *
+    * `%` (sign-of-dividend) matches the oracle's `%` exactly; the fixture
+    * guarantees k >= 0, which also sidesteps the one residual divergence
+    * (`sequence(1, n)` for n < 1 descends in Spark but `generate_series`
+    * is empty in the oracle).
     */
   def c4Explode(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .select(col("event_id"),
-        explode(sequence(lit(1L), pmod(col("k"), lit(3L)) + 1L)).as("i"))
+        explode(sequence(lit(1L), col("k") % lit(3L) + 1L)).as("i"))
 
   /** O10 initial-position seek (`at-timestamp`): a timestamp predicate that
     * Catalyst pushes into the scan (partition pruning when the table is

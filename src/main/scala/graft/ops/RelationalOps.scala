@@ -131,7 +131,9 @@ object RelationalOps {
       .groupBy(col("o_custkey"))
       .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
       .agg(count(lit(1)))
-      .na.fill(0L)
+      // fill only the pivot cells — a blanket fill would also rewrite the
+      // group key under a future nullable-key schema
+      .na.fill(0L, Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
       .withColumnRenamed("1-URGENT", "urgent")
       .withColumnRenamed("2-HIGH", "high")
       .withColumnRenamed("3-MEDIUM", "medium")

@@ -47,6 +47,9 @@ object StreamControl {
 
   private def countMetadataFiles(dir: Path): Long =
     if (!Files.isDirectory(dir)) 0L
-    else Files.list(dir).iterator.asScala
-      .count(p => p.getFileName.toString.forall(_.isDigit))
+    else {
+      val s = Files.list(dir)
+      try s.iterator.asScala.count(p => p.getFileName.toString.forall(_.isDigit))
+      finally s.close()
+    }
 }
