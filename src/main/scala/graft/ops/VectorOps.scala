@@ -64,22 +64,49 @@ object VectorOps {
     topK(scored)
   }
 
+  /** Block edge length for the d9 blocked self-join. Per-task memory is
+    * O(2·B·dim); B is small here so the fixture corpora exercise several
+    * block pairs — at 100 TB you size B so one block pair (~2·B·dim·8
+    * bytes of vectors) fits an executor core's working set.
+    */
+  private val BlockSize = 256L
+
   /** Embedding-cosine near-duplicate pairs: exact all-pairs self-similarity
     * at a threshold. Exact low-threshold pair search is inherently
     * quadratic — no LSH family guarantees recall at moderate thresholds —
-    * so the honest scale story is a BLOCKED exact self-join: both sides
-    * shuffle-partitioned, each block pair scored independently with the
-    * fused native kernel, O(block²) memory per task, no driver state.
-    * (For high thresholds, the MinHash-LSH pattern of [[CorpusOps]]
-    * applies to sign-random-projection sketches instead.) Corpus here has
-    * no planted embedding dups, so the threshold 0.45 exercises the
-    * operator on the distribution's tail.
+    * so the honest scale story is a BLOCKED exact self-join: vectors are
+    * tiled into blocks of [[BlockSize]] by id, each side is replicated to
+    * the (lo, hi) block pairs it participates in, and the pairs meet in a
+    * SHUFFLE hash equi-join on the block-pair key. Each task scores one
+    * block pair with the fused native kernel: O(B²) compares and O(B·dim)
+    * memory per task, no broadcast of the corpus, no driver state — the
+    * O(N²) total work is spread over N²/B² independent tasks. (For high
+    * thresholds, the MinHash-LSH pattern of [[CorpusOps]] applies to
+    * sign-random-projection sketches instead; at 0.45 SRP banding has no
+    * recall guarantee, so exact blocking is the correct operator.)
+    * Corpus here has no planted embedding dups, so the threshold 0.45
+    * exercises the operator on the distribution's tail.
     */
   def d9EmbedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = embeddings(spark, sfDir)
-    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
-    a.crossJoin(b)
+    val e = embeddings(spark, sfDir).withColumn("blk", floor(col("vec_id") / BlockSize))
+    // One O(1) scalar job to size the block grid — the analog of the stats
+    // collection AQE does before picking a join strategy. Not a data scan
+    // loop: a single max() aggregate returning one long to the driver.
+    val nBlocks = e.agg(coalesce(max(col("blk")), lit(0L))).head().getLong(0) + 1
+    // Row in block b appears once per block pair it belongs to:
+    // as the lo-side for pairs (b, hi), hi in [b, nBlocks); as the hi-side
+    // for pairs (lo, b), lo in [0, b]. The diagonal pair (b, b) gets both
+    // sides from block b; a_id < b_id dedups it (and is trivially true off
+    // the diagonal since blocks tile the id range in order).
+    val lo = e.select(
+      col("blk").as("lo"), explode(sequence(col("blk"), lit(nBlocks - 1))).as("hi"),
+      col("vec_id").as("a_id"), col("v").as("va"))
+    val hi = e.select(
+      explode(sequence(lit(0L), col("blk"))).as("lo"), col("blk").as("hi"),
+      col("vec_id").as("b_id"), col("v").as("vb"))
+    // shuffle_hash: replicated sides grow with the block count, so neither
+    // may ever be broadcast — the pair key distributes them instead.
+    lo.hint("shuffle_hash").join(hi, Seq("lo", "hi"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), cosine(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= 0.45)

@@ -118,7 +118,9 @@ object StreamingQueries {
     q.awaitTermination()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("n").desc)
-    IdempotentSink.readAll(spark, out)
+    val sinkSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, n BIGINT, min_id BIGINT, max_id BIGINT")
+    IdempotentSink.readAll(spark, out, sinkSchema)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("user_id"), col("n"), col("min_id"), col("max_id"))

@@ -42,6 +42,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(!p.contains("CartesianProduct"), s"LSH must not plan an all-pairs join:\n$p")
   }
 
+  test("d9_embed_neardup pairs blocks in a shuffle equi-join — no all-pairs plan, no corpus broadcast") {
+    val p = plan("d9_embed_neardup")
+    assert(!p.contains("CartesianProduct"), s"blocked self-join must not plan all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"blocked self-join must not broadcast the corpus:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"block pairs must meet in a shuffle equi-join:\n$p")
+  }
+
   test("q_top_orders_per_cust is a single shuffle with in-shuffle group limit") {
     val p = plan("q_top_orders_per_cust")
     assert(p.contains("WindowGroupLimit"), p)

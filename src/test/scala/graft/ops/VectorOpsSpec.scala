@@ -21,6 +21,24 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("d9 blocked self-join finds exactly the brute-force all-pairs result") {
+    val e = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    val brute = a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        graft.functions.CosineSimilarity.cosineSim(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= 0.45)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = VectorOps.d9EmbedNeardup(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "fixture should contain at least one pair above threshold")
+    blocked shouldBe brute
+  }
+
   test("d7 IVF ANN probes only the query's cell and agrees with brute force on shared pairs") {
     import spark.implicits._
     val labels = graft.Tables.embeddings(spark, sf001)

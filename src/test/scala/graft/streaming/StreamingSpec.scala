@@ -112,10 +112,20 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
 
     // batch 2 was written twice, but the second write overwrote the first:
     // end-to-end output is exactly the batch ground truth
-    val ids = IdempotentSink.readAll(spark, out)
+    val sinkSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, user_id BIGINT, event_type STRING")
+    val ids = IdempotentSink.readAll(spark, out, sinkSchema)
       .select("event_id").collect().map(_.getLong(0)).toSeq
     ids.size shouldBe ids.distinct.size
     ids.sorted shouldBe batchEventIds.sorted
+  }
+
+  test("idempotent sink: zero committed batches reads as empty, not an error") {
+    val out = Files.createTempDirectory("graft-empty-sink-").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("event_id BIGINT, n BIGINT")
+    val df = IdempotentSink.readAll(spark, out, schema)
+    df.count() shouldBe 0
+    df.schema.fieldNames shouldBe Array("event_id", "n")
   }
 
   test("listener stats mirror ConsumerStats hooks: init, per-batch rows, shutdown") {
