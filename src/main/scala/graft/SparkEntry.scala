@@ -50,6 +50,7 @@ object SparkEntry {
     "s1_stream_hourly_agg" -> (streaming.StreamingQueries.s1StreamHourlyAgg _),
     "s2_stream_dedup_count" -> (streaming.StreamingQueries.s2StreamDedupCount _),
     "s3_stream_seek" -> (streaming.StreamingQueries.s3StreamSeek _),
+    "s3_stream_seek_trim" -> (streaming.StreamingQueries.s3StreamSeekTrim _),
     "s4_stream_perkey_state" -> (streaming.StreamingQueries.s4StreamPerKeyState _),
     // relational coverage (SURVEY.md §2D → Spark built-ins)
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
@@ -129,6 +130,8 @@ object SparkEntry {
       "SELECT event_type, count(DISTINCT event_id) AS n_distinct FROM events GROUP BY event_type",
     "s3_stream_seek" ->
       "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total FROM events WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY event_type",
+    "s3_stream_seek_trim" ->
+      "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY event_type",
     "s4_stream_perkey_state" ->
       "SELECT user_id, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id FROM events GROUP BY user_id",
     "q_pricing_summary" ->

@@ -41,14 +41,29 @@ object ShardedEvents {
     * `partitionKey` to a shard.
     */
   def materialize(spark: SparkSession, sfDir: String, outDir: String): Unit =
-    Tables.events(spark, sfDir)
-      .withColumn("shard", pmod(col("user_id"), lit(NumShards)).cast("int"))
-      .repartition(col("shard"))
-      // a shard is an ORDERED sequence (KinesisRecord.scala:27-29): sort
-      // within each shard partition so file order = sequence order and
-      // downstream consumers observe per-key arrival order
-      .sortWithinPartitions(col("shard"), col("event_id"))
+    route(Tables.events(spark, sfDir), NumShards)
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  /** Append one tranche of records routed across `numShards` shards — the
+    * RE-SHARDING analog. A split widens the shard set (4→8: records route
+    * to child shards, new `shard=N` dirs appear), a merge narrows it
+    * (8→2). A live `readStream` discovers the new directories on its next
+    * micro-batch listing, exactly as KCL workers pick up child shards
+    * after a resharding event; the reference proves consumer completeness
+    * across both transitions (KinesisSourceTest.scala:182-228).
+    */
+  def appendTranche(events: DataFrame, outDir: String, numShards: Int): Unit =
+    route(events, numShards)
+      .write.mode("append").partitionBy("shard").parquet(outDir)
+
+  // a shard is an ORDERED sequence (KinesisRecord.scala:27-29): sort
+  // within each shard partition so file order = sequence order and
+  // downstream consumers observe per-key arrival order
+  private def route(events: DataFrame, numShards: Int): DataFrame =
+    events
+      .withColumn("shard", pmod(col("user_id"), lit(numShards)).cast("int"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("event_id"))
 
   /** Open the sharded directory as a stream. `maxFilesPerTrigger` is the
     * record-intake admission control (O9) and the `throttle` analog (C7):
@@ -59,5 +74,48 @@ object ShardedEvents {
     val r = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
     r.parquet(dir)
+  }
+
+  /** Initial stream position (O10) — the three seek modes the reference
+    * enumerates (ConsumerConfig.scala:115-139: `trim-horizon`, `latest`,
+    * `at-timestamp`).
+    */
+  sealed trait Seek
+  object Seek {
+    /** Start at the oldest retained record of every shard. */
+    case object TrimHorizon extends Seek
+    /** Start at the first record with event time >= `ts` (pushed to the scan). */
+    final case class AtTimestamp(ts: String) extends Seek
+    /** Start at the current END of each shard: only records appended after
+      * the stream opens are delivered, and shards created later are read
+      * from their beginning — exactly Kinesis `LATEST` semantics.
+      */
+    case object Latest extends Seek
+  }
+
+  /** Open the stream at a seek position. `Latest` resolves each shard's
+    * current end sequence ONCE, at open time — one per-shard aggregate
+    * collected to O(shard count) rows, the same shard-iterator resolution
+    * any Kinesis subscribe performs. (It must be eager: a lazy static
+    * DataFrame in a stream-static join is re-evaluated every micro-batch,
+    * which would advance the seek point as new records land.) The frozen
+    * snapshot then anti-filters the stream via a broadcast join; shards
+    * created after open have no snapshot row and pass through whole.
+    */
+  def readStreamFrom(spark: SparkSession, dir: String, seek: Seek,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = seek match {
+    case Seek.TrimHorizon => readStream(spark, dir, maxFilesPerTrigger)
+    case Seek.AtTimestamp(ts) =>
+      readStream(spark, dir, maxFilesPerTrigger).filter(col("ts") >= lit(ts).cast("timestamp"))
+    case Seek.Latest =>
+      import spark.implicits._
+      val ends = spark.read.schema(schema).parquet(dir)
+        .groupBy(col("shard")).agg(max(col("event_id")).as("start_after"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+        .toDF("shard", "start_after")
+      readStream(spark, dir, maxFilesPerTrigger)
+        .join(broadcast(ends), Seq("shard"), "left")
+        .filter(col("start_after").isNull || col("event_id") > col("start_after"))
+        .drop("start_after")
   }
 }

@@ -69,17 +69,25 @@ object StreamingQueries {
     spark.table(mem)
   }
 
-  /** Streaming initial-position seek (O10's `at-timestamp` start,
-    * ConsumerConfig.scala:115-139 in the reference): the stream starts at
-    * an event-time position via a pushed-down timestamp predicate — the
-    * same seek the Kinesis connector's `startingPosition=at_timestamp`
-    * performs, expressed declaratively so it prunes at the scan.
-    * (`trim-horizon` = no predicate; `latest` = predicate at wall-clock.)
+  /** Streaming initial-position seek (O10, ConsumerConfig.scala:115-139 in
+    * the reference): the stream starts at the position described by
+    * [[ShardedEvents.Seek]]. `at-timestamp` is a pushed-down event-time
+    * predicate — the same seek the Kinesis connector's
+    * `startingPosition=at_timestamp` performs, expressed declaratively so
+    * it prunes at the scan.
     */
-  def s3StreamSeek(spark: SparkSession, sfDir: String): DataFrame = {
+  def s3StreamSeek(spark: SparkSession, sfDir: String): DataFrame =
+    seekAgg(spark, sfDir, ShardedEvents.Seek.AtTimestamp("2024-01-15"))
+
+  /** The `trim-horizon` twin of [[s3StreamSeek]]: full replay from the
+    * oldest retained record of every shard.
+    */
+  def s3StreamSeekTrim(spark: SparkSession, sfDir: String): DataFrame =
+    seekAgg(spark, sfDir, ShardedEvents.Seek.TrimHorizon)
+
+  private def seekAgg(spark: SparkSession, sfDir: String, seek: ShardedEvents.Seek): DataFrame = {
     val (shardDir, ckpt, mem) = freshDirs(spark, sfDir)
-    val q = ShardedEvents.readStream(spark, shardDir)
-      .filter(col("ts") >= lit("2024-01-15").cast("timestamp"))
+    val q = ShardedEvents.readStreamFrom(spark, shardDir, seek)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .writeStream

@@ -259,6 +259,143 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     (a ++ b).sorted shouldBe batchEventIds.sorted
   }
 
+  test("dropDuplicatesWithinWatermark: exactly-once delivery with BOUNDED dedup state") {
+    // the production form of s2's unbounded-state dedup
+    // (StreamingQueries.scala): state rows older than the watermark are
+    // evicted, so dedup state is O(watermark window), not O(stream)
+    val base = newBase()
+    val dir = s"$base/shards"
+    val events = graft.Tables.events(spark, sf001)
+    val tsCuts = events
+      .selectExpr("percentile(cast(ts as double), array(0.3333, 0.6667)) as c")
+      .head().getSeq[Double](0)
+    def tranche(lo: Option[Double], hi: Option[Double]) = {
+      val t = events
+      val lof = lo.map(v => t.filter(col("ts").cast("double") > v)).getOrElse(t)
+      hi.map(v => lof.filter(col("ts").cast("double") <= v)).getOrElse(lof)
+    }
+    val tranches = Seq(
+      tranche(None, Some(tsCuts(0))),
+      tranche(Some(tsCuts(0)), Some(tsCuts(1))),
+      tranche(Some(tsCuts(1)), None))
+
+    // every record written TWICE: at-least-once delivery with duplicates
+    ShardedEvents.appendTranche(tranches.head.union(tranches.head), dir, 4)
+    val got = mutable.Buffer.empty[Long]
+    val q = ShardedEvents.readStream(spark, dir)
+      .withWatermark("ts", "1 minute")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id")
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect().map(_.getLong(0))
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    tranches.tail.foreach { t =>
+      ShardedEvents.appendTranche(t.union(t), dir, 4)
+      q.processAllAvailable()
+    }
+    val stateRows = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal)
+    StreamControl.stopGracefully(q)
+
+    // duplicates collapsed: every event delivered exactly once
+    val g = got.synchronized(got.toVector)
+    g.sorted shouldBe batchEventIds.sorted
+    // state is bounded by the watermark window: eviction must have kicked
+    // in, so the dedup state never held one row per record ever seen
+    assert(stateRows.exists(_ > 0), "dedup must keep some state")
+    assert(stateRows.max < batchEventIds.size,
+      s"state grew to ${stateRows.max} — unbounded (plain dropDuplicates would hold ${batchEventIds.size})")
+  }
+
+  test("seek latest: only records appended after the stream opens are delivered") {
+    // ConsumerConfig.scala:115-139 `latest`: subscribe at the current end
+    // of every shard; pre-existing records are never delivered, records
+    // appended afterwards (and shards created afterwards) all are
+    val base = newBase()
+    val dir = s"$base/shards"
+    val events = graft.Tables.events(spark, sf001)
+    val ids = batchEventIds.sorted
+    val cut = ids(ids.size / 2)
+    ShardedEvents.appendTranche(events.filter(col("event_id") <= cut), dir, 4)
+
+    val got = mutable.Buffer.empty[Long]
+    val q = ShardedEvents.readStreamFrom(spark, dir, ShardedEvents.Seek.Latest)
+      .select("event_id")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect().map(_.getLong(0))
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    got.synchronized(assert(got.isEmpty, "latest must skip everything before the subscribe point"))
+
+    // appended after open: delivered — including into a NEW shard set (8)
+    ShardedEvents.appendTranche(events.filter(col("event_id") > cut), dir, 8)
+    q.processAllAvailable()
+    StreamControl.stopGracefully(q)
+    got.synchronized(got.sorted.toVector) shouldBe ids.filter(_ > cut).toVector
+  }
+
+  test("re-sharding: stream stays complete across a shard split (4->8) and merge (8->2)") {
+    // the reference's resharding it-tests prove no record is lost or
+    // duplicated when the shard set changes under a live consumer
+    // (KinesisSourceTest.scala:182-228); here the shard set changes
+    // between micro-batches and the same completeness oracle must hold
+    val base = newBase()
+    val dir = s"$base/shards"
+    val events = graft.Tables.events(spark, sf001)
+    val ids = batchEventIds.sorted
+    val (c1, c2) = (ids(ids.size / 3), ids(2 * ids.size / 3))
+    ShardedEvents.appendTranche(events.filter(col("event_id") <= c1), dir, 4)
+
+    val arrivals = mutable.Buffer.empty[(Int, Long)] // (shard, event_id)
+    val q = ShardedEvents.readStream(spark, dir)
+      .select("shard", "event_id")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect().map(r => (r.getInt(0), r.getLong(1)))
+        arrivals.synchronized { arrivals ++= rows }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    arrivals.synchronized {
+      assert(arrivals.map(_._2).toSet == ids.filter(_ <= c1).toSet)
+      assert(arrivals.forall(_._1 < 4), "pre-split tranche must live in 4 shards")
+    }
+
+    // SPLIT 4->8: child shards appear as new dirs under the live stream
+    ShardedEvents.appendTranche(events.filter(col("event_id") > c1 && col("event_id") <= c2), dir, 8)
+    q.processAllAvailable()
+    arrivals.synchronized {
+      assert(arrivals.exists(_._1 >= 4), "split children must be discovered and consumed")
+    }
+
+    // MERGE 8->2: later records collapse back into two shards
+    ShardedEvents.appendTranche(events.filter(col("event_id") > c2), dir, 2)
+    q.processAllAvailable()
+    StreamControl.stopGracefully(q)
+
+    val got = arrivals.synchronized(arrivals.toVector)
+    got.map(_._2).toSet shouldBe ids.toSet                 // nothing lost
+    got.size shouldBe got.map(_._2).distinct.size          // nothing duplicated
+    // each record observed from exactly one shard (exclusive routing)
+    got.groupBy(_._2).values.foreach(v => assert(v.map(_._1).distinct.size == 1))
+  }
+
   test("streaming result == batch result (the reference's core oracle) for s1/s2") {
     val s1 = StreamingQueries.s1StreamHourlyAgg(spark, sf001)
     val b1 = graft.Tables.events(spark, sf001)
