@@ -221,22 +221,64 @@ object CorpusOps {
   }
 
   /** SimHash document fingerprint (16-bit): majority vote per bit over the
-    * 60-bit md5 hashes of the document's distinct words. Entirely per-row
-    * (no shuffle): near-dup docs land within small Hamming distance, so at
-    * scale a join on simhash bands finds near-dups in O(N).
+    * 60-bit md5 hashes of the document's distinct words, computed by the
+    * fused [[graft.functions.SimHashBits]] kernel (bit-identical to the
+    * composed aggregate/filter form — pinned by SimHashBitsSpec). Entirely
+    * per-row (no shuffle): near-dup docs land within small Hamming
+    * distance — [[d12SimhashNeardup]] is that banded join.
     */
   def d5Simhash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
       .select(col("doc_id"),
         expr("transform(ws, w -> cast(conv(substring(md5(w),1,15),16,10) as long))").as("hs"))
-      .select(
-        col("doc_id"),
-        // bit j of the fingerprint is set iff >= half the word hashes have it set
-        expr(
-          """aggregate(
-               transform(sequence(0, 15), j ->
-                 CASE WHEN 2 * size(filter(hs, h -> shiftright(h, j) % 2 = 1)) >= size(hs)
-                      THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END),
-               cast(0 as bigint), (acc, x) -> acc + x)""").as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.SimHashBits.simhashBits(col("hs"), 16).as("simhash"))
+
+  // d12 parameters: a 48-bit SHINGLE simhash in 4 bands of 12 bits, pair
+  // threshold hamming <= 3. Recall is EXACT by pigeonhole — a pair within
+  // hamming 3 differs in at most 3 bands, so at least one band is intact
+  // and the equi-join emits it; the hamming verify then keeps precision
+  // exact. (No probabilistic bound anywhere, unlike MinHash banding.)
+  // 48 bits rather than d5's 16: pair search needs collision headroom — 16
+  // bits over a corpus-scale doc count pairs everything by birthday alone.
+  // Shingle features rather than word sets: this corpus draws all docs
+  // from ONE shared vocabulary (d4's caveat), so distinct-word
+  // fingerprints converge corpus-wide; 3-word shingles discriminate. At
+  // 100 TB the same plan runs a 64-bit fingerprint in 4 x 16-bit bands.
+  private val SimhashBits = 48
+  private val SimhashBands = 4
+  private val SimhashBandBits = SimhashBits / SimhashBands
+  private val SimhashMaxHamming = SimhashBands - 1
+
+  /** SimHash banded near-dup join: the O(N) near-dup search d5's doc
+    * promises. Fingerprint per-row (no shuffle), band into
+    * [[SimhashBands]] equi-join keys, verify candidates with exact bit
+    * arithmetic. Output: (a_id, b_id, hd) for pairs within hamming
+    * distance [[SimhashMaxHamming]].
+    */
+  def d12SimhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = shingleSets(Tables.documents(spark, sfDir))
+      .select(col("doc_id"),
+        expr("transform(shingles, s -> cast(conv(substring(md5(s),1,15),16,10) as long))").as("hs"))
+      .select(col("doc_id"),
+        graft.functions.SimHashBits.simhashBits(col("hs"), SimhashBits).as("sh"))
+    val bandCols = (0 until SimhashBands).map { b =>
+      shiftright(col("sh"), b * SimhashBandBits)
+        .bitwiseAND(lit((1L << SimhashBandBits) - 1))
+    }
+    val bands = fp.select(col("doc_id"), col("sh"),
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "band_val")))
+    val x = bands.as("x"); val y = bands.as("y")
+    x.join(y,
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("x.sh").as("sha"),
+        col("y.doc_id").as("b_id"), col("y.sh").as("shb"))
+      .distinct()
+      .withColumn("hd", bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long"))
+      .filter(col("hd") <= SimhashMaxHamming)
+      .select(col("a_id"), col("b_id"), col("hd"))
+  }
 }

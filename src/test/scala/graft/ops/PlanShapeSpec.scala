@@ -42,6 +42,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(!p.contains("CartesianProduct"), s"LSH must not plan an all-pairs join:\n$p")
   }
 
+  test("d12_simhash_neardup candidate generation is a banded equi-join, never a cartesian product") {
+    val p = plan("d12_simhash_neardup")
+    assert(!p.contains("CartesianProduct"), s"simhash banding must not plan an all-pairs join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"simhash banding must not broadcast the corpus:\n$p")
+  }
+
   test("d9_embed_neardup pairs blocks in a shuffle equi-join — no all-pairs plan, no corpus broadcast") {
     val p = plan("d9_embed_neardup")
     assert(!p.contains("CartesianProduct"), s"blocked self-join must not plan all-pairs:\n$p")
