@@ -186,19 +186,17 @@ object CorpusOps {
   }
 
   /** Polynomial rolling-hash document fingerprint (Rabin–Karp style):
-    * h = fold over characters of (h*31 + ascii(c)) mod (1e9+7). Per-row,
-    * no shuffle; the classic content-defined fingerprint for exact-dup
-    * detection and chunking. (Oracle folds the same polynomial with
-    * DuckDB `list_reduce`.)
+    * h = fold over characters of (h*31 + ascii(c)) mod (1e9+7), computed
+    * by the fused [[graft.functions.RollingHash]] kernel (bit-identical to
+    * the composed aggregate/split form — pinned by RollingHashSpec).
+    * Per-row, no shuffle; the classic content-defined fingerprint for
+    * exact-dup detection and chunking. (Oracle folds the same polynomial
+    * with DuckDB `list_reduce`.)
     */
   def d10RollingHash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        expr(
-          """aggregate(
-               transform(split(text, ''), c -> cast(ascii(c) as bigint)),
-               cast(0 as bigint),
-               (acc, x) -> (acc * 31 + x) % 1000000007)""").as("fp"))
+        graft.functions.RollingHash.rollingHash(col("text")).as("fp"))
 
   /** Per-document quality score — the standard pre-training filter
     * signals (length, stopword rate, mean word length) combined into one
