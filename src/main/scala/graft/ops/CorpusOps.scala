@@ -229,7 +229,7 @@ object CorpusOps {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
       .select(col("doc_id"),
-        expr("transform(ws, w -> cast(conv(substring(md5(w),1,15),16,10) as long))").as("hs"))
+        graft.functions.Md5Prefix64.md5Prefix64(col("ws")).as("hs"))
       .select(col("doc_id"),
         graft.functions.SimHashBits.simhashBits(col("hs"), 16).as("simhash"))
 
@@ -264,7 +264,7 @@ object CorpusOps {
     // no constraint; the sentinel is unreachable for non-null text.
     val fp = shingleSets(Tables.documents(spark, sfDir))
       .select(col("doc_id"),
-        expr("transform(shingles, s -> cast(conv(substring(md5(s),1,15),16,10) as long))").as("hs"))
+        graft.functions.Md5Prefix64.md5Prefix64(col("shingles")).as("hs"))
       .select(col("doc_id"),
         coalesce(graft.functions.SimHashBits.simhashBits(col("hs"), SimhashBits), lit(-1L)).as("sh"))
     val bandCols = (0 until SimhashBands).map { b =>
