@@ -44,6 +44,9 @@ object SparkEntry {
     "d11_quality" -> (ops.CorpusOps.d11Quality _),
     "d6_ann_brute" -> (ops.VectorOps.d6AnnBrute _),
     "d7_ann_ivf" -> (ops.VectorOps.d7AnnIvf _),
+    // no oracleSql (iterative k-means training is not SQL-expressible):
+    // driver records a rows-only check; semantics pinned in VectorOpsSpec
+    "d13_ann_ivf_kmeans" -> (ops.VectorOps.d13AnnIvfKmeans _),
     "d8_multimodal_decode" -> (ops.MultimodalOps.d8MultimodalDecode _),
     "d9_embed_neardup" -> (ops.VectorOps.d9EmbedNeardup _),
     // end-to-end Structured Streaming (sharded file source, checkpoint,

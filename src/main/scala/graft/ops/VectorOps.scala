@@ -113,6 +113,76 @@ object VectorOps {
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Distributed Lloyd's k-means over the embedding column — a REAL coarse
+    * quantizer for IVF (d7 uses the precomputed `label` column as its
+    * cells; this trains cells from the vectors themselves). Each iteration
+    * is one broadcast join of the k×dim centroid table against the corpus
+    * (argmin via a `min(struct(dist, cid))` aggregate — deterministic,
+    * ties to the lowest cid) and one (cid, dim, value) explode/groupBy for
+    * the centroid update. Centroids live in a k×dim driver-side array
+    * between iterations — the standard driver-resident centroid model
+    * (Spark MLlib's KMeans does the same); the corpus itself never leaves
+    * the executors. Seeds are the k lowest vec_ids, so the whole
+    * computation is deterministic. At 100 TB: train the quantizer on a
+    * sample, then assign the full corpus with the one final broadcast pass
+    * this returns.
+    *
+    * Returns (vec_id, v, cid).
+    */
+  /** One assignment pass: nearest trained centroid per vector (squared
+    * L2, sequential accumulation; ties break to the lowest cid).
+    */
+  def assignToCentroids(e: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val cdf = centroids.toDF("cid", "cv")
+    val dist = expr("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), cast(0 as double), (acc, x) -> acc + x)")
+    e.join(broadcast(cdf))
+      .withColumn("d", dist)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cid"))).getField("cid").as("cid"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("cid"))
+  }
+
+  /** The trained centroid table after `iters` Lloyd iterations. */
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    var centroids: Seq[(Int, Seq[Double])] = e.orderBy(col("vec_id")).limit(k)
+      .select(col("v")).collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0)) }
+    for (_ <- 0 until iters) {
+      centroids = assignToCentroids(e, centroids)
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("cv"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    }
+    centroids
+  }
+
+  def kmeansAssign(e: DataFrame, k: Int, iters: Int): DataFrame =
+    assignToCentroids(e, kmeansCentroids(e, k, iters))
+
+  /** IVF ANN over TRAINED cells: [[kmeansAssign]] quantizes the corpus,
+    * then each query probes only its own cell and exact-reranks, exactly
+    * like [[d7AnnIvf]]. Not SQL-expressible (iterative training), so the
+    * driver records a rows-only check and VectorOpsSpec pins the
+    * semantics: assignments are bit-exact argmins, neighbors share the
+    * query's cell, similarities agree with the brute-force scorer.
+    */
+  def d13AnnIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = kmeansAssign(embeddings(spark, sfDir), k = 8, iters = 3)
+    val q = cells.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cid").as("q_cid"))
+    val scored = cells.join(broadcast(q),
+        col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("qv"), col("v")).as("sim"))
+    topK(scored)
+  }
+
   /** IVF cell-probed ANN: each query searches only the corpus vectors in
     * its own coarse cell (`label`), then exact-rerank top-k. One equi-join
     * on the cell id — at 100 TB this is the difference between scanning

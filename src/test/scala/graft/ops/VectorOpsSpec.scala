@@ -39,6 +39,47 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     blocked shouldBe brute
   }
 
+  test("kmeans assignment is the bit-exact argmin over the trained centroids") {
+    val e = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val centroids = VectorOps.kmeansCentroids(e, k = 8, iters = 3)
+    val assigned = VectorOps.assignToCentroids(e, centroids)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
+    assigned.length shouldBe e.count()
+
+    // sequential-fold L2 in index order matches the zip_with/aggregate
+    // accumulation bit for bit, and (dist, cid) tuple order matches the
+    // min(struct(d, cid)) tie-break — so the argmin must agree EXACTLY
+    assigned.foreach { case (id, v, cid) =>
+      val best = centroids.map { case (c, cv) =>
+        var d = 0.0
+        v.indices.foreach(i => d += (v(i) - cv(i)) * (v(i) - cv(i)))
+        (d, c)
+      }.min
+      assert(best._2 == cid, s"vec $id: expected argmin cell ${best._2}, got $cid")
+    }
+  }
+
+  test("d13 kmeans-IVF neighbors share the query's trained cell and score exactly") {
+    val e = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cells = VectorOps.kmeansAssign(e, k = 8, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Double](1), r.getInt(2))).toMap
+    val res = VectorOps.d13AnnIvfKmeans(spark, sf001).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val q = r.getAs[Long]("q_id"); val n = r.getAs[Long]("n_id")
+      assert(cells(n)._2 == cells(q)._2, "IVF must only probe the query's own cell")
+      // similarity is the exact sequential-accumulation cosine
+      val (qv, _) = cells(q); val (nv, _) = cells(n)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      qv.indices.foreach { i => dot += qv(i) * nv(i); na += qv(i) * qv(i); nb += nv(i) * nv(i) }
+      val sim = BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.abs(sim - r.getAs[Double]("sim")) should be < 1e-9
+    }
+  }
+
   test("d7 IVF ANN probes only the query's cell and agrees with brute force on shared pairs") {
     import spark.implicits._
     val labels = graft.Tables.embeddings(spark, sf001)
