@@ -93,8 +93,30 @@ object CorpusOps {
     * recall property can be tested on generated corpora, not just the
     * fixture data.
     */
-  def nearDupPairs(docs: DataFrame): DataFrame = {
-    val sh = shingleSets(docs)
+  def nearDupPairs(docs: DataFrame): DataFrame =
+    bandedNearDupPairs(shingleSets(docs), JaccardThreshold)
+
+  /** Character 4-gram Jaccard near-dup pairs — the n-gram variant of the
+    * dedup family (d2 = word shingles, d14 = char 4-grams; char grams
+    * catch near-dups that word tokenization misses: joined/split words,
+    * punctuation edits). Same banded MinHash-LSH mechanics over the gram
+    * set; threshold 0.7 (the fixture's background char-gram overlap tops
+    * out near 0.39, planted near-dups sit above 0.7, so banding miss
+    * probability is ~1e-7 per pair at the boundary).
+    */
+  def d14NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .filter(length(col("t")) >= 4) // sequence(1, n) must be ascending
+      .select(col("doc_id"),
+        array_distinct(expr("transform(sequence(1, length(t) - 3), i -> substring(t, i, 4))")).as("shingles"))
+    bandedNearDupPairs(grams, 0.7)
+  }
+
+  /** Banded MinHash-LSH + exact-Jaccard verification over any
+    * `(doc_id, shingles: array<string>)` feature table.
+    */
+  private def bandedNearDupPairs(sh: DataFrame, threshold: Double): DataFrame = {
 
     // Signature computed entirely PER ROW: base hash = xxhash64 (it only
     // drives candidate RECALL — emitted pairs are verified with exact
@@ -132,7 +154,7 @@ object CorpusOps {
       .withColumn("j",
         size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))))
-      .filter(col("j") >= JaccardThreshold)
+      .filter(col("j") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jaccard"))
   }
 

@@ -42,6 +42,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(!p.contains("CartesianProduct"), s"LSH must not plan an all-pairs join:\n$p")
   }
 
+  test("d14_ngram_jaccard candidate generation is an equi-join, never a cartesian product") {
+    val p = plan("d14_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), s"LSH must not plan an all-pairs join:\n$p")
+  }
+
   test("d12_simhash_neardup candidate generation is a banded equi-join, never a cartesian product") {
     val p = plan("d12_simhash_neardup")
     assert(!p.contains("CartesianProduct"), s"simhash banding must not plan an all-pairs join:\n$p")
