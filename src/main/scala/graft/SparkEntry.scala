@@ -120,7 +120,7 @@ object SparkEntry {
     "d10_rolling_hash" ->
       "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS fp FROM documents",
     "d14_ngram_jaccard" ->
-      "WITH g AS (SELECT doc_id, list_distinct([substr(lower(trim(text)), i, 4) for i in range(1, len(lower(trim(text))) - 2)]) AS gs FROM documents WHERE len(lower(trim(text))) >= 4), p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) / len(list_distinct(a.gs || b.gs)) AS j FROM g a JOIN g b ON a.doc_id < b.doc_id) SELECT a_id, b_id, round(j, 6) AS jaccard FROM p WHERE j >= 0.7",
+      "WITH g AS (SELECT doc_id, list_distinct([substr(lower(trim(text)), i, 8) for i in range(1, len(lower(trim(text))) - 6)]) AS gs FROM documents WHERE len(lower(trim(text))) >= 8), p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) / len(list_distinct(a.gs || b.gs)) AS j FROM g a JOIN g b ON a.doc_id < b.doc_id) SELECT a_id, b_id, round(j, 6) AS jaccard FROM p WHERE j >= 0.7",
     "d12_simhash_neardup" ->
       "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS shingles FROM w WHERE len(ws) >= 3), h AS (SELECT doc_id, [CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) for s in shingles] AS hs FROM sh), f AS (SELECT doc_id, CAST(list_sum([CASE WHEN 2 * len(list_filter(hs, x -> (x >> j) % 2 = 1)) >= len(hs) THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(0, 48)]) AS BIGINT) AS sh FROM h) SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hd FROM f a JOIN f b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sh, b.sh)) <= 3",
     "d11_quality" ->

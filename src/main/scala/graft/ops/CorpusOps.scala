@@ -96,58 +96,87 @@ object CorpusOps {
   def nearDupPairs(docs: DataFrame): DataFrame =
     bandedNearDupPairs(shingleSets(docs), JaccardThreshold)
 
-  /** Character 4-gram Jaccard near-dup pairs — the n-gram variant of the
-    * dedup family (d2 = word shingles, d14 = char 4-grams; char grams
-    * catch near-dups that word tokenization misses: joined/split words,
+  /** Character 8-gram Jaccard near-dup pairs — the n-gram variant of the
+    * dedup family (d2 = word shingles, d14 = char grams; char grams catch
+    * near-dups that word tokenization misses: joined/split words,
     * punctuation edits). Same banded MinHash-LSH mechanics over the gram
-    * set; threshold 0.7 (the fixture's background char-gram overlap tops
-    * out near 0.39, planted near-dups sit above 0.7, so banding miss
-    * probability is ~1e-7 per pair at the boundary).
+    * set, but with its own banding shape: this corpus draws every doc
+    * from one shared vocabulary, so short grams have enormous BACKGROUND
+    * overlap (4-gram Jaccard medians ~0.28 — LSH candidates then approach
+    * all-pairs and candidate verification goes quadratic). 8-grams push
+    * the background to ~0.04 (p99 0.09) while true near-dups stay >= 0.8,
+    * and 16 bands x 3 rows gives banding miss ~1e-5 at s=0.8 with ~1%
+    * background collision — candidates stay O(true pairs), not O(N²).
     */
   def d14NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = Tables.documents(spark, sfDir)
+    val docsT = Tables.documents(spark, sfDir)
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
-      .filter(length(col("t")) >= 4) // sequence(1, n) must be ascending
-      .select(col("doc_id"),
-        array_distinct(expr("transform(sequence(1, length(t) - 3), i -> substring(t, i, 4))")).as("shingles"))
-    bandedNearDupPairs(grams, 0.7)
+      .filter(length(col("t")) >= 8) // sequence(1, n) must be ascending
+    // candidate side: the fused kernel — window hash + k minima straight
+    // off the string, no gram array materialized (the base hash only
+    // drives recall; the verify below is what the oracle pins)
+    val sig = docsT.select(col("doc_id"),
+      graft.functions.CharGramMinHash.charGramMinhash(
+        col("t"), 8, Seeds.map(_._1), Seeds.map(_._2), MinhashP).as("mh"))
+    // verify side: exact gram-set Jaccard, but computed by the fused
+    // binary kernel from the raw TEXTS — the join payload is the ~300-char
+    // documents, not the ~8x-larger materialized gram arrays
+    val ta = docsT.select(col("doc_id").as("a_id"), col("t").as("ta"))
+    val tb = docsT.select(col("doc_id").as("b_id"), col("t").as("tb"))
+    candidatePairs(sig, bands = 16, rowsPerBand = 3)
+      .join(ta, "a_id").join(tb, "b_id")
+      .withColumn("j", graft.functions.NgramJaccard.ngramJaccard(col("ta"), col("tb"), 8))
+      .filter(col("j") >= 0.7)
+      .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jaccard"))
   }
 
   /** Banded MinHash-LSH + exact-Jaccard verification over any
-    * `(doc_id, shingles: array<string>)` feature table.
+    * `(doc_id, shingles: array<string>)` feature table. Banding shape is
+    * per-caller: bands*rowsPerBand hash functions are drawn from [[Seeds]]
+    * (which holds [[NumHashes]] — callers must stay within it).
     */
-  private def bandedNearDupPairs(sh: DataFrame, threshold: Double): DataFrame = {
-
+  private def bandedNearDupPairs(sh: DataFrame, threshold: Double,
+      bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
     // Signature computed entirely PER ROW: base hash = xxhash64 (it only
     // drives candidate RECALL — emitted pairs are verified with exact
-    // Jaccard, so the oracle does not depend on the hash), then the 24
+    // Jaccard, so the oracle does not depend on the hash), then the
     // affine minima in one fused native loop
     // (graft.functions.MinHashSignature). No explode, no shuffle.
     val sig = sh
       .withColumn("hs", expr(s"transform(shingles, s -> pmod(xxhash64(s), ${MinhashP}L))"))
       .withColumn("mh", graft.functions.MinHashSignature.minhashSignature(
         col("hs"), Seeds.map(_._1), Seeds.map(_._2), MinhashP))
+      .select(col("doc_id"), col("mh"))
+    verifyCandidates(candidatePairs(sig, bands, rowsPerBand), sh, threshold)
+  }
 
-    // bands: key = the band's minhash values concatenated
-    val bandKeys = (0 until Bands).map { b =>
-      concat_ws("_", (0 until RowsPerBand).map(r => col("mh").getItem(b * RowsPerBand + r)): _*)
+  /** LSH banding over a `(doc_id, mh: array<long>)` signature table:
+    * candidate pairs are docs sharing any band — an equi-join on the band
+    * key, never all-pairs.
+    */
+  private def candidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands * rowsPerBand <= NumHashes)
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws("_", (0 until rowsPerBand).map(r => col("mh").getItem(b * rowsPerBand + r)): _*)
     }
-    val bands = sig
+    val banded = sig
       .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
-
-    // candidates: docs sharing any band — an equi-join, never all-pairs
-    val x = bands.as("x"); val y = bands.as("y")
-    val cands = x.join(y,
+    val x = banded.as("x"); val y = banded.as("y")
+    x.join(y,
         col("x.band_id") === col("y.band_id") &&
         col("x.band_key") === col("y.band_key") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+  }
 
-    // exact verification on candidates only. The shingle projection is
-    // recomputed on this branch rather than cached: the rescan is pruned
-    // to (doc_id, text) and touches only candidate docs after the join,
-    // which at scale is far cheaper than persisting the full shingle set.
+  /** Exact-Jaccard verification of candidate pairs against the
+    * `(doc_id, shingles)` feature table. The feature projection is
+    * recomputed on this branch rather than cached: the rescan is pruned
+    * to (doc_id, text) and touches only candidate docs after the join,
+    * which at scale is far cheaper than persisting the full feature set.
+    */
+  private def verifyCandidates(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val sa = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
     val sb = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
     cands.join(sa, "a_id").join(sb, "b_id")
