@@ -14,7 +14,10 @@ object RecallCheck {
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"),
         expr("array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))").as("sh"))
-    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+    // repartition the streamed side of the brute-force cross join: the
+    // corpus parquet is a single file = one partition, which would run
+    // the whole O(N^2) truth computation on one core
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sa")).repartition(32)
     val b = docs.select(col("doc_id").as("b_id"), col("sh").as("sb"))
     val truth = a.crossJoin(b).filter(col("a_id") < col("b_id"))
       .withColumn("j", size(array_intersect(col("sa"), col("sb"))).cast("double") / size(array_union(col("sa"), col("sb"))))
@@ -23,7 +26,23 @@ object RecallCheck {
     val found = ops.CorpusOps.d2MinhashLsh(spark, sf).select("a_id", "b_id")
     val nTruth = truth.count(); val nFound = found.count()
     val missed = truth.exceptAll(found).count()
-    println(s"RECALL truth=$nTruth found=$nFound missed=$missed")
+    println(s"RECALL d2 truth=$nTruth found=$nFound missed=$missed")
+
+    // d14: same audit for the char-8-gram LSH (brute force via the exact
+    // NgramJaccard kernel — NgramJaccardSpec pins it to the composed form)
+    val t = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .filter(length(col("t")) >= 8)
+    val ta = t.select(col("doc_id").as("a_id"), col("t").as("ta")).repartition(32)
+    val tb = t.select(col("doc_id").as("b_id"), col("t").as("tb"))
+    val truth14 = ta.crossJoin(tb).filter(col("a_id") < col("b_id"))
+      .withColumn("j", functions.NgramJaccard.ngramJaccard(col("ta"), col("tb"), 8))
+      .filter(col("j") >= 0.7)
+      .select("a_id", "b_id")
+    val found14 = ops.CorpusOps.d14NgramJaccard(spark, sf).select("a_id", "b_id")
+    val nTruth14 = truth14.count(); val nFound14 = found14.count()
+    val missed14 = truth14.exceptAll(found14).count()
+    println(s"RECALL d14 truth=$nTruth14 found=$nFound14 missed=$missed14")
     spark.stop()
   }
 }
