@@ -45,17 +45,21 @@ object CorpusOps {
     fp.join(groups, "fp").select(col("doc_id"), col("canonical_id"), col("dup_count"))
   }
 
-  // MinHash parameters: 48 hash functions in 24 bands of 2 rows. A pair at
-  // Jaccard s survives banding with probability 1 - (1 - s^2)^24: miss
-  // probability ~2e-5 at the 0.6 threshold itself, <2e-6 at s >= 0.65, and
-  // negligible above. (12 bands was ~0.5% at s = 0.6 — too loose for an
-  // exact-equality oracle; a borderline pair in a regenerated corpus could
-  // flip the gate. Re-run graft.RecallCheck whenever the corpus or these
-  // parameters change.) Candidate pairs are verified with exact Jaccard,
-  // so extra bands cost only signature width + band rows, never precision.
-  private val NumHashes = 48
+  // MinHash parameters. d2 (word shingles, threshold 0.6) uses the FIRST
+  // 48 hash functions in 24 bands of 2 rows: a pair at Jaccard s survives
+  // banding with probability 1 - (1 - s^2)^24 — miss ~2e-5 at the 0.6
+  // threshold itself, <2e-6 at s >= 0.65, negligible above. (12 bands was
+  // ~0.5% at s = 0.6 — too loose for an exact-equality oracle; a
+  // borderline pair in a regenerated corpus could flip the gate. Re-run
+  // graft.RecallCheck whenever the corpus or these parameters change.)
+  // d14 (char grams, threshold 0.7, high background) uses all 96 in 32
+  // bands of 3 rows. The seed pool is append-only: Seeds(i) depends only
+  // on i, so widening it never changes existing signatures. Candidate
+  // pairs are verified with exact Jaccard, so extra bands cost only
+  // signature width + band rows, never precision.
+  private val NumHashes = 96
   private val Bands = 24
-  private val RowsPerBand = NumHashes / Bands
+  private val RowsPerBand = 2
   private val MinhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
 
   // Affine permutations (a*h + b) mod P over the field Z_P need LARGE
@@ -104,9 +108,13 @@ object CorpusOps {
     * from one shared vocabulary, so short grams have enormous BACKGROUND
     * overlap (4-gram Jaccard medians ~0.28 — LSH candidates then approach
     * all-pairs and candidate verification goes quadratic). 8-grams push
-    * the background to ~0.04 (p99 0.09) while true near-dups stay >= 0.8,
-    * and 16 bands x 3 rows gives banding miss ~1e-5 at s=0.8 with ~1%
-    * background collision — candidates stay O(true pairs), not O(N²).
+    * the background to ~0.04 (p99 0.09) while true near-dups stay >= 0.8;
+    * 32 bands x 3 rows with a >= 2-matching-bands consensus then gives
+    * miss ~7.6e-5 AT the 0.7 output threshold itself (binomial(32, 0.7³)
+    * below 2 — the same order as d2's at-threshold bar, ~1e-6 at s=0.8
+    * where the truth actually sits) while the consensus prunes one-band
+    * background collisions ~30x — the verify set stays O(true pairs),
+    * not O(N²).
     */
   def d14NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val docsT = Tables.documents(spark, sfDir)
@@ -118,12 +126,13 @@ object CorpusOps {
     val sig = docsT.select(col("doc_id"),
       graft.functions.CharGramMinHash.charGramMinhash(
         col("t"), 8, Seeds.map(_._1), Seeds.map(_._2), MinhashP).as("mh"))
+    val cands = candidatePairs(sig, bands = 32, rowsPerBand = 3, minBands = 2)
     // verify side: exact gram-set Jaccard, but computed by the fused
     // binary kernel from the raw TEXTS — the join payload is the ~300-char
     // documents, not the ~8x-larger materialized gram arrays
     val ta = docsT.select(col("doc_id").as("a_id"), col("t").as("ta"))
     val tb = docsT.select(col("doc_id").as("b_id"), col("t").as("tb"))
-    candidatePairs(sig, bands = 16, rowsPerBand = 3)
+    cands
       .join(ta, "a_id").join(tb, "b_id")
       .withColumn("j", graft.functions.NgramJaccard.ngramJaccard(col("ta"), col("tb"), 8))
       .filter(col("j") >= 0.7)
@@ -142,10 +151,11 @@ object CorpusOps {
     // Jaccard, so the oracle does not depend on the hash), then the
     // affine minima in one fused native loop
     // (graft.functions.MinHashSignature). No explode, no shuffle.
+    val k = bands * rowsPerBand
     val sig = sh
       .withColumn("hs", expr(s"transform(shingles, s -> pmod(xxhash64(s), ${MinhashP}L))"))
       .withColumn("mh", graft.functions.MinHashSignature.minhashSignature(
-        col("hs"), Seeds.map(_._1), Seeds.map(_._2), MinhashP))
+        col("hs"), Seeds.take(k).map(_._1), Seeds.take(k).map(_._2), MinhashP))
       .select(col("doc_id"), col("mh"))
     verifyCandidates(candidatePairs(sig, bands, rowsPerBand), sh, threshold)
   }
@@ -154,20 +164,45 @@ object CorpusOps {
     * candidate pairs are docs sharing any band — an equi-join on the band
     * key, never all-pairs.
     */
-  private def candidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  private def candidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
+      minBands: Int = 1): DataFrame = {
     require(bands * rowsPerBand <= NumHashes)
     val bandKeys = (0 until bands).map { b =>
       concat_ws("_", (0 until rowsPerBand).map(r => col("mh").getItem(b * rowsPerBand + r)): _*)
     }
-    val banded = sig
-      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
+    candidatePairsFromBands(sig
+      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key"))),
+      minBands)
+  }
+
+  /** The shared candidate self-join over a banded
+    * `(doc_id, band_id, band_key, extras...)` table: docs sharing a band
+    * meet in an equi-join on the band key — never all-pairs. Extra columns
+    * ride along as `a_<name>`/`b_<name>` so callers (d12 carries the
+    * fingerprint) avoid a join-back.
+    *
+    * `minBands` is a consensus filter on the number of matching bands —
+    * the multi-probe count is free (the dedup step is a groupBy anyway)
+    * and at high band counts it prunes background collisions by orders of
+    * magnitude: a pair matches a band with probability s^rows, so true
+    * pairs match many bands while background pairs almost always match
+    * exactly one. minBands = 1 is plain LSH (dedup only).
+    */
+  private def candidatePairsFromBands(banded: DataFrame, minBands: Int = 1): DataFrame = {
     val x = banded.as("x"); val y = banded.as("y")
-    x.join(y,
+    val extras = banded.columns.filterNot(Set("doc_id", "band_id", "band_key"))
+    val names = Seq("a_id", "b_id") ++ extras.flatMap(c => Seq(s"a_$c", s"b_$c"))
+    val out = Seq(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")) ++
+      extras.flatMap(c => Seq(col(s"x.$c").as(s"a_$c"), col(s"y.$c").as(s"b_$c")))
+    val grouped = x.join(y,
         col("x.band_id") === col("y.band_id") &&
         col("x.band_key") === col("y.band_key") &&
         col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
+      .select(out: _*)
+      .groupBy(names.map(col): _*)
+      .count()
+    (if (minBands > 1) grouped.filter(col("count") >= minBands) else grouped)
+      .drop("count")
   }
 
   /** Exact-Jaccard verification of candidate pairs against the
@@ -322,17 +357,10 @@ object CorpusOps {
       shiftright(col("sh"), b * SimhashBandBits)
         .bitwiseAND(lit((1L << SimhashBandBits) - 1))
     }
-    val bands = fp.select(col("doc_id"), col("sh"),
-      posexplode(array(bandCols: _*)).as(Seq("band_id", "band_val")))
-    val x = bands.as("x"); val y = bands.as("y")
-    x.join(y,
-        col("x.band_id") === col("y.band_id") &&
-        col("x.band_val") === col("y.band_val") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("x.sh").as("sha"),
-        col("y.doc_id").as("b_id"), col("y.sh").as("shb"))
-      .distinct()
-      .withColumn("hd", bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long"))
+    val banded = fp.select(col("doc_id"), col("sh"),
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "band_key")))
+    candidatePairsFromBands(banded) // fingerprints ride along as a_sh/b_sh
+      .withColumn("hd", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long"))
       .filter(col("hd") <= SimhashMaxHamming)
       .select(col("a_id"), col("b_id"), col("hd"))
   }

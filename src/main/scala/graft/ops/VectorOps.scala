@@ -122,10 +122,15 @@ object VectorOps {
     * the centroid update. Centroids live in a k×dim driver-side array
     * between iterations — the standard driver-resident centroid model
     * (Spark MLlib's KMeans does the same); the corpus itself never leaves
-    * the executors. Seeds are the k lowest vec_ids, so the whole
-    * computation is deterministic. At 100 TB: train the quantizer on a
-    * sample, then assign the full corpus with the one final broadcast pass
-    * this returns.
+    * the executors. Seeds are the k lowest vec_ids. Within one training,
+    * assignment is fully deterministic (argmin over one collected centroid
+    * set, fixed arithmetic); across trainings the centroid update's avg()
+    * is subject to floating-point aggregation order like any shuffle
+    * reduction, so two independent trainings may differ by ulps — derive
+    * all downstream cell logic from ONE training (as [[d13AnnIvfKmeans]]
+    * and its spec do). At 100 TB: train the quantizer on a sample, then
+    * assign the full corpus with the one final broadcast pass this
+    * returns.
     *
     * Returns (vec_id, v, cid).
     */
@@ -165,15 +170,14 @@ object VectorOps {
   def kmeansAssign(e: DataFrame, k: Int, iters: Int): DataFrame =
     assignToCentroids(e, kmeansCentroids(e, k, iters))
 
-  /** IVF ANN over TRAINED cells: [[kmeansAssign]] quantizes the corpus,
-    * then each query probes only its own cell and exact-reranks, exactly
-    * like [[d7AnnIvf]]. Not SQL-expressible (iterative training), so the
-    * driver records a rows-only check and VectorOpsSpec pins the
-    * semantics: assignments are bit-exact argmins, neighbors share the
-    * query's cell, similarities agree with the brute-force scorer.
+  /** Cell-probed exact-rerank ANN over any `(vec_id, v, cid)` cell
+    * assignment: each query searches only its own cell, like
+    * [[d7AnnIvf]]. Note `cells` appears on both sides of the join, so a
+    * lazy assignment is evaluated twice per action — cheap here (one
+    * broadcast pass over the corpus) because training already ran eagerly
+    * in [[kmeansCentroids]].
     */
-  def d13AnnIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = kmeansAssign(embeddings(spark, sfDir), k = 8, iters = 3)
+  def annIvfOverCells(cells: DataFrame): DataFrame = {
     val q = cells.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cid").as("q_cid"))
     val scored = cells.join(broadcast(q),
@@ -182,6 +186,18 @@ object VectorOps {
         cosine(col("qv"), col("v")).as("sim"))
     topK(scored)
   }
+
+  /** IVF ANN over TRAINED cells: [[kmeansAssign]] quantizes the corpus,
+    * then each query probes only its own cell and exact-reranks. Both join
+    * sides derive from the single centroid set that training collected, so
+    * query and corpus always agree on cells. Not SQL-expressible
+    * (iterative training), so the driver records a rows-only check and
+    * VectorOpsSpec pins the semantics: assignments are bit-exact argmins,
+    * neighbors share the query's cell, similarities agree with the
+    * brute-force scorer.
+    */
+  def d13AnnIvfKmeans(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfOverCells(kmeansAssign(embeddings(spark, sfDir), k = 8, iters = 3))
 
   /** IVF cell-probed ANN: each query searches only the corpus vectors in
     * its own coarse cell (`label`), then exact-rerank top-k. One equi-join

@@ -88,7 +88,11 @@ object ShardedEvents {
     final case class AtTimestamp(ts: String) extends Seek
     /** Start at the current END of each shard: only records appended after
       * the stream opens are delivered, and shards created later are read
-      * from their beginning — exactly Kinesis `LATEST` semantics.
+      * from their beginning — Kinesis `LATEST` semantics. "End" is a
+      * SEQUENCE position: event_id plays the sequence number here and, as
+      * in Kinesis (where the stream assigns them), must be monotone per
+      * shard — a producer re-sending an old payload gets a new event_id,
+      * it does not reuse the old one.
       */
     case object Latest extends Seek
   }

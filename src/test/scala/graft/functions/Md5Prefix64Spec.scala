@@ -17,7 +17,7 @@ class Md5Prefix64Spec extends AnyFunSuite with SparkSpec with Matchers {
     val diff = df.select(
         Md5Prefix64.md5Prefix64(col("xs")).as("native"),
         expr(composed).as("hof"))
-      .filter(col("native") =!= col("hof"))
+      .filter(!(col("native") <=> col("hof")))
       .count()
     diff shouldBe 0L
   }
@@ -33,7 +33,7 @@ class Md5Prefix64Spec extends AnyFunSuite with SparkSpec with Matchers {
     val diff = df.select(
         Md5Prefix64.md5Prefix64(col("xs")).as("native"),
         expr(composed).as("hof"))
-      .filter(col("native") =!= col("hof"))
+      .filter(!(col("native") <=> col("hof")))
       .count()
     diff shouldBe 0L
   }

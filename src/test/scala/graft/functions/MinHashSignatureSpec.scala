@@ -22,7 +22,7 @@ class MinHashSignatureSpec extends AnyFunSuite with SparkSpec with Matchers {
     val diff = df.select(
         MinHashSignature.minhashSignature(col("hs"), sa, sb, p).as("native"),
         expr(composed).as("hof"))
-      .filter(col("native") =!= col("hof"))
+      .filter(!(col("native") <=> col("hof")))
       .count()
     diff shouldBe 0L
   }

@@ -25,7 +25,7 @@ class NgramJaccardSpec extends AnyFunSuite with SparkSpec with Matchers {
     val diff = pairs.select(
         NgramJaccard.ngramJaccard(col("ta"), col("tb"), 8).as("native"),
         expr(composed("ta", "tb", 8)).as("hof"))
-      .filter(col("native") =!= col("hof"))
+      .filter(!(col("native") <=> col("hof")))
       .count()
     diff shouldBe 0L
   }
@@ -42,7 +42,7 @@ class NgramJaccardSpec extends AnyFunSuite with SparkSpec with Matchers {
         .select(
           NgramJaccard.ngramJaccard(col("ta"), col("tb"), n).as("native"),
           expr(composed("ta", "tb", n)).as("hof"))
-        .filter(col("native") =!= col("hof"))
+        .filter(!(col("native") <=> col("hof")))
         .count()
       withClue(s"n=$n:") { diff shouldBe 0L }
     }

@@ -19,7 +19,7 @@ class RollingHashSpec extends AnyFunSuite with SparkSpec with Matchers {
       .select(
         RollingHash.rollingHash(col("text")).as("native"),
         expr(composed).as("hof"))
-      .filter(col("native") =!= col("hof"))
+      .filter(!(col("native") <=> col("hof")))
       .count()
     diff shouldBe 0L
   }
@@ -34,7 +34,7 @@ class RollingHashSpec extends AnyFunSuite with SparkSpec with Matchers {
     val diff = df.select(
         RollingHash.rollingHash(col("text")).as("native"),
         expr(composed).as("hof"))
-      .filter(col("native") =!= col("hof"))
+      .filter(!(col("native") <=> col("hof")))
       .count()
     diff shouldBe 0L
   }

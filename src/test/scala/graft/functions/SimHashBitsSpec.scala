@@ -26,7 +26,7 @@ class SimHashBitsSpec extends AnyFunSuite with SparkSpec with Matchers {
       val diff = df.select(
           SimHashBits.simhashBits(col("hs"), bits).as("native"),
           expr(composed(bits)).as("hof"))
-        .filter(col("native") =!= col("hof"))
+        .filter(!(col("native") <=> col("hof")))
         .count()
       withClue(s"width $bits:") { diff shouldBe 0L }
     }
@@ -38,7 +38,7 @@ class SimHashBitsSpec extends AnyFunSuite with SparkSpec with Matchers {
     val diff = hs.select(
         SimHashBits.simhashBits(col("hs"), 16).as("native"),
         expr(composed(16)).as("hof"))
-      .filter(col("native") =!= col("hof"))
+      .filter(!(col("native") <=> col("hof")))
       .count()
     diff shouldBe 0L
   }
