@@ -95,10 +95,21 @@ object CorpusOps {
 
   /** The LSH pipeline over any `(doc_id, text)` corpus — exposed so the
     * recall property can be tested on generated corpora, not just the
-    * fixture data.
+    * fixture data. The signature side runs the fused
+    * [[graft.functions.WordShingleMinHash]] kernel straight off the text
+    * (no shingle array, no per-shingle lambda); the verify side stays the
+    * exact shingle-set Jaccard the oracle pins. (For precomputed feature
+    * sets, [[bandedNearDupPairs]] remains the generic entry point.)
     */
-  def nearDupPairs(docs: DataFrame): DataFrame =
-    bandedNearDupPairs(shingleSets(docs), JaccardThreshold)
+  def nearDupPairs(docs: DataFrame): DataFrame = {
+    val k = Bands * RowsPerBand
+    val sig = docs
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .filter(size(split(col("t"), " ")) >= 3)
+      .select(col("doc_id"), graft.functions.WordShingleMinHash.wordShingleMinhash(
+        col("t"), 3, Seeds.take(k).map(_._1), Seeds.take(k).map(_._2), MinhashP).as("mh"))
+    verifyCandidates(candidatePairs(sig, Bands, RowsPerBand), shingleSets(docs), JaccardThreshold)
+  }
 
   /** Character 8-gram Jaccard near-dup pairs — the n-gram variant of the
     * dedup family (d2 = word shingles, d14 = char grams; char grams catch
