@@ -60,6 +60,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(p.contains("ShuffledHashJoin"), s"block pairs must meet in a shuffle equi-join:\n$p")
   }
 
+  test("d13 kmeans-IVF: no cartesian product; cell probe is a hash equi-join") {
+    val p = plan("d13_ann_ivf_kmeans")
+    assert(!p.contains("CartesianProduct"), p)
+    // The BroadcastNestedLoopJoins in this plan are the k-means ASSIGN
+    // step (corpus x broadcast(centroid table)) — the build side is the
+    // k-row centroid table, bounded by k, never the corpus. The cell
+    // probe itself must be a hash join on the cell id.
+    assert(p.contains("BroadcastHashJoin"), s"cell probe should hash-join on cid:\n$p")
+  }
+
   test("q_top_orders_per_cust is a single shuffle with in-shuffle group limit") {
     val p = plan("q_top_orders_per_cust")
     assert(p.contains("WindowGroupLimit"), p)
