@@ -49,6 +49,7 @@ object SparkEntry {
     // driver records a rows-only check; semantics pinned in VectorOpsSpec
     "d13_ann_ivf_kmeans" -> (ops.VectorOps.d13AnnIvfKmeans _),
     "d8_multimodal_decode" -> (ops.MultimodalOps.d8MultimodalDecode _),
+    "d15_frame_sample" -> (ops.MultimodalOps.d15FrameSample _),
     "d9_embed_neardup" -> (ops.VectorOps.d9EmbedNeardup _),
     // end-to-end Structured Streaming (sharded file source, checkpoint,
     // watermark, memory sink) run synchronously via Trigger.AvailableNow
@@ -131,6 +132,8 @@ object SparkEntry {
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e WHERE vec_id < 20), s AS (SELECT q.q_id, e.vec_id AS n_id, list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) / (sqrt(list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)])) * sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]))) AS sim FROM q JOIN e ON e.label = q.q_label AND e.vec_id <> q.q_id), r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s) SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10",
     "d8_multimodal_decode" ->
       "WITH j AS (SELECT d.doc_id, d.lang, d.text, CAST(e.embedding AS DOUBLE[]) AS v FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id), h AS (SELECT doc_id, lang, octet_length(CAST(text AS BLOB)) AS byte_len, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h, v FROM j) SELECT doc_id, lang, byte_len, h % 640 + 1 AS width, h % 480 + 1 AS height, ['png', 'jpg', 'webp'][CAST(h % 3 AS INT) + 1] AS format, len(v) AS emb_dim, round(sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)])), 6) AS emb_norm FROM h",
+    "d15_frame_sample" ->
+      "SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, md5(substring(text, CAST(i * 32 + 1 AS BIGINT), 32)) AS frame_md5 FROM documents, LATERAL unnest(range(0, length(text) // 32)) AS t(i) WHERE length(text) >= 32 AND i % 4 = 0",
     "d9_embed_neardup" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (sqrt(list_sum([a.v[i] * a.v[i] for i in range(1, len(a.v) + 1)])) * sqrt(list_sum([b.v[i] * b.v[i] for i in range(1, len(b.v) + 1)]))) AS sim FROM e a JOIN e b ON a.vec_id < b.vec_id) SELECT a_id, b_id, round(sim, 6) AS sim FROM s WHERE sim >= 0.45",
     "s1_stream_hourly_agg" ->

@@ -51,6 +51,30 @@ object MultimodalOps {
     }
   }
 
+  /** Video-style frame sampling over the media payload: tile the payload
+    * into fixed-size frames (32 units), keep every 4th (the classic
+    * keyframe-stride sample), fingerprint each sampled frame. The plan is
+    * the c4/explode shape — Generate pipelined into the scan, per-frame
+    * work row-local, no shuffle — exactly how a real frame sampler fans a
+    * video column out to per-frame rows at 100 TB.
+    *
+    * Frames here are CHARACTER ranges of the text payload so the DuckDB
+    * oracle is exact under any corpus encoding (DuckDB cannot slice
+    * BLOBs); a real deployment frames the binary payload by byte ranges —
+    * `substring` slices BinaryType with the identical plan shape.
+    */
+  def d15FrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val FrameLen = 32
+    val Stride = 4
+    Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= FrameLen) // sequence(0, n-1) must be ascending
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, length(text) div $FrameLen - 1)")).as("frame_idx"))
+      .filter(col("frame_idx") % Stride === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        md5(expr(s"substring(text, cast(frame_idx * $FrameLen + 1 as int), $FrameLen)")).as("frame_md5"))
+  }
+
   /** Assemble the multimodal record (documents ⋈ embeddings on the primary
     * key) and run the batched decode kernel over the binary payload.
     */

@@ -60,6 +60,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(p.contains("ShuffledHashJoin"), s"block pairs must meet in a shuffle equi-join:\n$p")
   }
 
+  test("d15_frame_sample fans out frames with zero shuffles (Generate pipelined into the scan)") {
+    val p = plan("d15_frame_sample")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Exchange"), s"frame sampling is row-local and must not shuffle:\n$p")
+  }
+
   test("d13 kmeans-IVF: no cartesian product; cell probe is a hash equi-join") {
     val p = plan("d13_ann_ivf_kmeans")
     assert(!p.contains("CartesianProduct"), p)
