@@ -51,6 +51,7 @@ object SparkEntry {
     "d8_multimodal_decode" -> (ops.MultimodalOps.d8MultimodalDecode _),
     "d15_frame_sample" -> (ops.MultimodalOps.d15FrameSample _),
     "d9_embed_neardup" -> (ops.VectorOps.d9EmbedNeardup _),
+    "d16_srp_neardup" -> (ops.VectorOps.d16SrpNeardup _),
     // end-to-end Structured Streaming (sharded file source, checkpoint,
     // watermark, memory sink) run synchronously via Trigger.AvailableNow
     "s1_stream_hourly_agg" -> (streaming.StreamingQueries.s1StreamHourlyAgg _),
@@ -136,6 +137,11 @@ object SparkEntry {
       "SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, md5(substring(text, CAST(i * 32 + 1 AS BIGINT), 32)) AS frame_md5 FROM documents, LATERAL unnest(range(0, length(text) // 32)) AS t(i) WHERE length(text) >= 32 AND i % 4 = 0",
     "d9_embed_neardup" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (sqrt(list_sum([a.v[i] * a.v[i] for i in range(1, len(a.v) + 1)])) * sqrt(list_sum([b.v[i] * b.v[i] for i in range(1, len(b.v) + 1)]))) AS sim FROM e a JOIN e b ON a.vec_id < b.vec_id) SELECT a_id, b_id, round(sim, 6) AS sim FROM s WHERE sim >= 0.45",
+    // oracle = brute force over the SAME planted corpus (union of the
+    // embeddings table and the perturbed twins d16 constructs); the LSH
+    // path must therefore achieve exact recall at the 0.9 threshold
+    "d16_srp_neardup" ->
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), aug AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id + 10000, [x * CAST(0.99 AS DOUBLE) + CAST(0.001 AS DOUBLE) for x in v] FROM e WHERE vec_id < 50), s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (sqrt(list_sum([a.v[i] * a.v[i] for i in range(1, len(a.v) + 1)])) * sqrt(list_sum([b.v[i] * b.v[i] for i in range(1, len(b.v) + 1)]))) AS sim FROM aug a JOIN aug b ON a.vec_id < b.vec_id) SELECT a_id, b_id, round(sim, 6) AS sim FROM s WHERE sim >= 0.9",
     "s1_stream_hourly_agg" ->
       "SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY 1, 2",
     "s2_stream_dedup_count" ->

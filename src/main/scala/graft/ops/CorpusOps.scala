@@ -199,7 +199,7 @@ object CorpusOps {
     * pairs match many bands while background pairs almost always match
     * exactly one. minBands = 1 is plain LSH (dedup only).
     */
-  private def candidatePairsFromBands(banded: DataFrame, minBands: Int = 1): DataFrame = {
+  private[ops] def candidatePairsFromBands(banded: DataFrame, minBands: Int = 1): DataFrame = {
     val x = banded.as("x"); val y = banded.as("y")
     val extras = banded.columns.filterNot(Set("doc_id", "band_id", "band_key"))
     val names = Seq("a_id", "b_id") ++ extras.flatMap(c => Seq(s"a_$c", s"b_$c"))

@@ -113,6 +113,74 @@ object VectorOps {
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
   }
 
+  // d16 parameters: 8 bands x 16 bits of sign-random-projection signature.
+  // SRP banding is sound exactly where d9's doc says blocking is not
+  // needed: HIGH thresholds. At the 0.9 output threshold a true pair has
+  // per-bit agreement p = 1 - acos(sim)/pi >= 0.856, so a band matches
+  // with p^16 and 8 bands miss with (1-p^16)^8 <= 2e-3 at sim exactly 0.9
+  // — and the pairs this operator exists for (near-identical embeddings,
+  // sim >= 0.999, p >= 0.986) miss with < 1e-10. Background pairs
+  // (sim <= 0.6 everywhere in this corpus) collide per band at <= 3e-4,
+  // so the verify set stays O(true pairs + a few hundred), never O(N^2).
+  private val SrpBands = 8
+  private val SrpBitsPerBand = 16
+  private val SrpDim = 64
+  private val SrpSeed = 0x6ea1f00dL
+  private val SrpThreshold = 0.9
+  private val PlantedN = 50L
+  private val PlantedIdOffset = 10000L
+
+  /** The corpus for [[d16SrpNeardup]]: the embeddings table PLUS a
+    * deterministically perturbed copy of the first [[PlantedN]] vectors
+    * (`v' = 0.99*v + 0.001`, cosine(v, v') ~ 0.99997). The fixture corpus
+    * has no natural high-similarity pairs (max ~0.6), so the planted twins
+    * are what makes a high-threshold near-dup query observable — and the
+    * perturbation is plain element-wise arithmetic, so the DuckDB oracle
+    * constructs the identical corpus and the gate stays a brute-force
+    * hash compare.
+    */
+  private def plantedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir).select(col("vec_id"), col("v"))
+    e.union(e.filter(col("vec_id") < PlantedN).select(
+      (col("vec_id") + PlantedIdOffset).as("vec_id"),
+      transform(col("v"), x => x * lit(0.99) + lit(0.001)).as("v")))
+  }
+
+  /** SRP-LSH near-duplicate pairs over any `(vec_id, v: array<double>)`
+    * corpus — the sub-quadratic HIGH-threshold complement to
+    * [[d9EmbedNeardup]]'s exact blocked self-join: signature per row (one
+    * fused kernel pass, no shuffle), band into equi-join keys, exact-cosine
+    * verify only the candidates. Candidate generation is an equi-join on
+    * (band_id, band_key) — never all-pairs — and the banded shuffle carries
+    * only (id, band_id, key); vectors are joined back for the O(candidates)
+    * verify, so nothing O(N·dim) is ever broadcast or replicated.
+    */
+  def srpNearDupPairs(corpus: DataFrame, threshold: Double, seed: Long = SrpSeed): DataFrame = {
+    // coalesce: provably non-nullable band keys, else the optimizer pushes
+    // IsNotNull below the Generate and re-runs the signature kernel per
+    // row per join side (the d12 lesson, CorpusOps.scala).
+    val sig = corpus.select(col("vec_id").as("doc_id"),
+      coalesce(graft.functions.SrpSignature.srpSignature(
+        col("v"), SrpBands, SrpBitsPerBand, SrpDim, seed), array(lit(-1L))).as("keys"))
+    val banded = sig.select(col("doc_id"),
+      posexplode(col("keys")).as(Seq("band_id", "band_key")))
+    val va = corpus.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val vb = corpus.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    CorpusOps.candidatePairsFromBands(banded)
+      .join(va, "a_id").join(vb, "b_id")
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Gate query: SRP-LSH near-dup pairs at 0.9 over the planted corpus.
+    * Expected output = exactly the [[PlantedN]] (source, twin) pairs; the
+    * oracle is the full brute-force quadratic join, so any banding recall
+    * miss or verify divergence fails the hash compare.
+    */
+  def d16SrpNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    srpNearDupPairs(plantedCorpus(spark, sfDir), SrpThreshold)
+
   /** Distributed Lloyd's k-means over the embedding column — a REAL coarse
     * quantizer for IVF (d7 uses the precomputed `label` column as its
     * cells; this trains cells from the vectors themselves). Each iteration

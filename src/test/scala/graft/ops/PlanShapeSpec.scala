@@ -53,6 +53,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"simhash banding must not broadcast the corpus:\n$p")
   }
 
+  test("d16_srp_neardup candidate generation is a banded equi-join, never a cartesian product") {
+    val p = plan("d16_srp_neardup")
+    assert(!p.contains("CartesianProduct"), s"SRP banding must not plan an all-pairs join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"SRP banding must not broadcast the corpus:\n$p")
+  }
+
   test("d9_embed_neardup pairs blocks in a shuffle equi-join — no all-pairs plan, no corpus broadcast") {
     val p = plan("d9_embed_neardup")
     assert(!p.contains("CartesianProduct"), s"blocked self-join must not plan all-pairs:\n$p")

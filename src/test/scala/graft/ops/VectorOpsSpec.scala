@@ -39,6 +39,30 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     blocked shouldBe brute
   }
 
+  test("d16 SRP-LSH finds exactly the brute-force pairs over the planted corpus") {
+    // rebuild the planted corpus with the same arithmetic d16 uses
+    val e = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val corpus = e.union(e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("v"), x => x * lit(0.99) + lit(0.001)).as("v")))
+    val a = corpus.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val b = corpus.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    val brute = a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        graft.functions.CosineSimilarity.cosineSim(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= 0.9)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = VectorOps.d16SrpNeardup(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "planted twins must produce pairs above threshold")
+    // above 0.9 only the planted (source, twin) pairs exist in this fixture
+    brute.foreach { case (aId, bId, _) => assert(bId == aId + 10000L) }
+    lsh shouldBe brute
+  }
+
   test("kmeans assignment is the bit-exact argmin over the trained centroids") {
     val e = graft.Tables.embeddings(spark, sf001)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
