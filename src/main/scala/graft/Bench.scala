@@ -21,6 +21,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS); see graft.Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -25,6 +25,9 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS); see graft.Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the production deployment hook for the SQL function surface —
+      // specs run under it so GraftExtensionsSpec tests the real path
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
