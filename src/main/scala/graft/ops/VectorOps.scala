@@ -238,6 +238,21 @@ object VectorOps {
   def kmeansAssign(e: DataFrame, k: Int, iters: Int): DataFrame =
     assignToCentroids(e, kmeansCentroids(e, k, iters))
 
+  /** Sample-trained k-means assignment — the 100 TB form the
+    * [[kmeansCentroids]] doc promises: Lloyd iterations touch only a
+    * deterministic 1-in-`sampleMod` id-hash sample (every per-iteration
+    * broadcast join, centroid-update explode/groupBy, and driver collect
+    * shrinks by that factor), then ONE full-corpus broadcast pass assigns
+    * every vector to the trained cells. Centroid quality degrades only
+    * with sampling error in the cell means — for coarse IVF quantization
+    * (cells, not classifications) a few percent of the corpus is ample.
+    * The sample is keyed on `pmod(vec_id, sampleMod)` so training is
+    * reproducible across runs and sessions.
+    */
+  def kmeansAssignSampled(e: DataFrame, k: Int, iters: Int, sampleMod: Int): DataFrame =
+    assignToCentroids(e,
+      kmeansCentroids(e.filter(pmod(col("vec_id"), lit(sampleMod)) === 0), k, iters))
+
   /** Cell-probed exact-rerank ANN over any `(vec_id, v, cid)` cell
     * assignment: each query searches only its own cell, like
     * [[d7AnnIvf]]. Note `cells` appears on both sides of the join, so a
@@ -265,7 +280,8 @@ object VectorOps {
     * brute-force scorer.
     */
   def d13AnnIvfKmeans(spark: SparkSession, sfDir: String): DataFrame =
-    annIvfOverCells(kmeansAssign(embeddings(spark, sfDir), k = 8, iters = 3))
+    annIvfOverCells(kmeansAssignSampled(embeddings(spark, sfDir), k = 8, iters = 3,
+      sampleMod = 4))
 
   /** IVF cell-probed ANN: each query searches only the corpus vectors in
     * its own coarse cell (`label`), then exact-rerank top-k. One equi-join

@@ -89,8 +89,11 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     // ONE training feeds both the expected cells and the probe under test:
     // independent retrains may differ by ulps in avg()'s aggregation order
-    // (see kmeansCentroids doc), so cross-run cell identity is not assumed
-    val cellsDf = VectorOps.kmeansAssign(e, k = 8, iters = 3)
+    // (see kmeansCentroids doc), so cross-run cell identity is not assumed.
+    // Sampled training (what d13 ships) — the full corpus is still
+    // assigned, so every query/neighbor below went through the one
+    // full-corpus assignment pass.
+    val cellsDf = VectorOps.kmeansAssignSampled(e, k = 8, iters = 3, sampleMod = 4)
     val cells = cellsDf
       .collect().map(r => r.getLong(0) -> (r.getSeq[Double](1), r.getInt(2))).toMap
     val res = VectorOps.annIvfOverCells(cellsDf).collect()
