@@ -59,6 +59,7 @@ object SparkEntry {
     "s3_stream_seek" -> (streaming.StreamingQueries.s3StreamSeek _),
     "s3_stream_seek_trim" -> (streaming.StreamingQueries.s3StreamSeekTrim _),
     "s4_stream_perkey_state" -> (streaming.StreamingQueries.s4StreamPerKeyState _),
+    "s5_stream_perkey_tws" -> (streaming.StreamingQueries.s5StreamPerKeyTws _),
     // relational coverage (SURVEY.md §2D → Spark built-ins)
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_revenue_by_nation" -> (ops.RelationalOps.qRevenueByNation _),
@@ -151,6 +152,8 @@ object SparkEntry {
     "s3_stream_seek_trim" ->
       "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY event_type",
     "s4_stream_perkey_state" ->
+      "SELECT user_id, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id FROM events GROUP BY user_id",
+    "s5_stream_perkey_tws" ->
       "SELECT user_id, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id FROM events GROUP BY user_id",
     "q_pricing_summary" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, round(avg(l_quantity), 4) AS avg_qty, count(*) AS n FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus",

@@ -134,6 +134,49 @@ object StreamingQueries {
       .select(col("user_id"), col("n"), col("min_id"), col("max_id"))
   }
 
+  /** s4's twin on Spark 4's `transformWithState` (PerKeyTracker.trackTws):
+    * identical per-key semantics and the same oracle, but state lives in
+    * named ValueState handles in the RocksDB state store — the API and
+    * provider combination that scales state beyond executor heap. The
+    * provider conf is scoped to this query (read at query start) and
+    * restored afterwards so the other streaming gates keep their default
+    * (HDFS-backed in-memory) provider.
+    */
+  def s5StreamPerKeyTws(spark: SparkSession, sfDir: String): DataFrame = {
+    val (shardDir, ckpt, _) = freshDirs(spark, sfDir)
+    val out = Files.createTempDirectory("graft-tws-out-").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = PerKeyTracker.trackTws(ShardedEvents.readStream(spark, shardDir))
+        .toDF("user_id", "state")
+        .select(col("user_id"), col("state.n").as("n"),
+          col("state.min_id").as("min_id"), col("state.max_id").as("max_id"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          IdempotentSink.writeBatch(df, batchId, out)
+        }
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n").desc)
+    val sinkSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, n BIGINT, min_id BIGINT, max_id BIGINT")
+    IdempotentSink.readAll(spark, out, sinkSchema)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("n"), col("min_id"), col("max_id"))
+  }
+
   /** Streaming dedup + per-type counts: `dropDuplicates` over the record
     * id is the replay-collapse operator in stream form (the reference's
     * at-least-once delivery makes downstream dedup the canonical consumer
