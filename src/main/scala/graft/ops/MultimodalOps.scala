@@ -75,6 +75,56 @@ object MultimodalOps {
         md5(expr(s"substring(text, cast(frame_idx * $FrameLen + 1 as int), $FrameLen)")).as("frame_md5"))
   }
 
+  /** Input/output rows for the resize kernel. */
+  final case class ResizeIn(doc_id: Long, payload: Array[Byte])
+  final case class ResizeOut(
+      doc_id: Long, width: Long, height: Long,
+      out_w: Long, out_h: Long, thumb_md5: String)
+
+  /** Aspect-fit resize of the decoded media into a [[d17Resize]] target
+    * box: the metadata math (decode dims → integer aspect-fit target dims,
+    * downscale-only) is exact and oracle-pinned; the pixel resample is the
+    * same DETERMINISTIC STUB shape as [[Decode.features]] — the "thumbnail"
+    * is fingerprinted as md5 over (payload hash, target dims), which a
+    * real deployment replaces with the actual resampled bytes. Runs in the
+    * identical batched `mapPartitions` kernel shape as d8, because that is
+    * where a real resampler lives (per-partition, O(batch) memory, no
+    * shuffle: resize is row-local).
+    */
+  def resizeKernel(assembled: org.apache.spark.sql.Dataset[ResizeIn], box: Long): DataFrame = {
+    import assembled.sparkSession.implicits._
+    assembled.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.grouped(64).flatMap { batch =>
+        batch.map { r =>
+          val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+          val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+          val w = h % 640 + 1; val ht = h % 480 + 1
+          val (ow, oh) =
+            if (math.max(w, ht) <= box) (w, ht)
+            else if (w >= ht) (box, math.max(1L, ht * box / w))
+            else (math.max(1L, w * box / ht), box)
+          val thumb = md.digest(s"$hex:${ow}x$oh".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          ResizeOut(r.doc_id, w, ht, ow, oh, thumb)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Thumbnail stage over the documents' media payload: decode dims (d8's
+    * stub formulas), aspect-fit them into a 256-box (downscale only,
+    * floor arithmetic, min dimension 1), fingerprint the fake resample.
+    */
+  def d17Resize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    resizeKernel(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[ResizeIn],
+      box = 256L)
+  }
+
   /** Assemble the multimodal record (documents ⋈ embeddings on the primary
     * key) and run the batched decode kernel over the binary payload.
     */

@@ -18,6 +18,31 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(Set("png", "jpg", "webp").contains(fmt))
   }
 
+  test("d17 resize fits the 256 box, only downscales, and agrees with d8's decoded dims") {
+    val out = MultimodalOps.d17Resize(spark, sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val w = r.getAs[Long]("width"); val h = r.getAs[Long]("height")
+      val ow = r.getAs[Long]("out_w"); val oh = r.getAs[Long]("out_h")
+      assert(ow >= 1 && oh >= 1 && ow <= math.max(w, 256L) && oh <= math.max(h, 256L))
+      if (math.max(w, h) <= 256) { assert(ow == w && oh == h) } // never upscale
+      else {
+        assert(math.max(ow, oh) == 256, s"long edge must hit the box: $w x $h -> $ow x $oh")
+        // floor-scaled short edge: exact integer form of (short * 256 / long)
+        if (w >= h) assert(oh == math.max(1L, h * 256 / w)) else assert(ow == math.max(1L, w * 256 / h))
+      }
+      assert(r.getAs[String]("thumb_md5").length == 32)
+    }
+    // dims must agree with d8's decode for the same payloads
+    val d8dims = MultimodalOps.d8MultimodalDecode(spark, sf001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("width"), r.getAs[Long]("height"))).toMap
+    out.foreach { r =>
+      d8dims.get(r.getAs[Long]("doc_id")).foreach { case (w, h) =>
+        assert(r.getAs[Long]("width") == w && r.getAs[Long]("height") == h)
+      }
+    }
+  }
+
   test("d8 pipeline preserves cardinality of the doc-embedding join and carries metadata") {
     val out = MultimodalOps.d8MultimodalDecode(spark, sf001)
     val docs = graft.Tables.documents(spark, sf001)
