@@ -43,6 +43,25 @@ object RecallCheck {
     val nTruth14 = truth14.count(); val nFound14 = found14.count()
     val missed14 = truth14.exceptAll(found14).count()
     println(s"RECALL d14 truth=$nTruth14 found=$nFound14 missed=$missed14")
+
+    // d16: SRP-LSH over the planted embedding corpus (truth = exact
+    // blocked-free brute force with the fused cosine kernel at the 0.9
+    // output threshold — the same pairs the DuckDB gate pins)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val corpus = e.union(e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("v"), x => x * lit(0.99) + lit(0.001)).as("v")))
+    val ea = corpus.select(col("vec_id").as("a_id"), col("v").as("va")).repartition(32)
+    val eb = corpus.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    val truth16 = ea.crossJoin(eb).filter(col("a_id") < col("b_id"))
+      .withColumn("s", functions.CosineSimilarity.cosineSim(col("va"), col("vb")))
+      .filter(col("s") >= 0.9)
+      .select("a_id", "b_id")
+    val found16 = ops.VectorOps.d16SrpNeardup(spark, sf).select("a_id", "b_id")
+    val nTruth16 = truth16.count(); val nFound16 = found16.count()
+    val missed16 = truth16.exceptAll(found16).count()
+    println(s"RECALL d16 truth=$nTruth16 found=$nFound16 missed=$missed16")
     spark.stop()
   }
 }
