@@ -177,6 +177,50 @@ object StreamingQueries {
       .select(col("user_id"), col("n"), col("min_id"), col("max_id"))
   }
 
+  /** Stream-stream event-time interval self-join: purchases matched to
+    * the same user's clicks in the preceding 30 minutes — the canonical
+    * attribution join, and the one major stateful streaming surface the
+    * suite didn't yet demonstrate. Both sides are the SAME source stream
+    * (a streaming self-join); the equi-key (user_id) plus the event-time
+    * range condition is what lets Spark bound each side's join state by
+    * the other side's watermark instead of keeping streams forever.
+    *
+    * The watermark delay is set beyond the fixture's 30-day span so
+    * correctness is independent of how the AvailableNow run chunks files
+    * into micro-batches (shards interleave the full time range, so a
+    * tight delay could drop cross-batch matches). At 100 TB, size the
+    * delay to the source's real arrival disorder — that delay, times the
+    * per-side arrival rate, IS the state size, which is the point of the
+    * range condition.
+    */
+  def s6StreamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (shardDir, ckpt, mem) = freshDirs(spark, sfDir)
+    val events = ShardedEvents.readStream(spark, shardDir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value").as("p_value"))
+      .withWatermark("p_ts", "35 days")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "35 days")
+    val q = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("interval 30 minutes") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("user_id"),
+        round(col("p_value"), 2).as("p_value"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
+
   /** Streaming dedup + per-type counts: `dropDuplicates` over the record
     * id is the replay-collapse operator in stream form (the reference's
     * at-least-once delivery makes downstream dedup the canonical consumer
