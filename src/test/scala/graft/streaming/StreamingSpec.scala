@@ -314,6 +314,81 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       s"state grew to ${stateRows.max} — unbounded (plain dropDuplicates would hold ${batchEventIds.size})")
   }
 
+  test("stream-stream interval join: complete result with BOUNDED join state under an advancing watermark") {
+    // the production form of s6's generous-watermark join
+    // (StreamingQueries.scala): with time-ordered arrival, a tight
+    // watermark + the range condition evict both sides' join state, so
+    // state is O(join window), not O(stream)
+    val base = newBase()
+    val dir = s"$base/shards"
+    val events = graft.Tables.events(spark, sf001)
+    val tsCuts = events
+      .selectExpr("percentile(cast(ts as double), array(0.3333, 0.6667)) as c")
+      .head().getSeq[Double](0)
+    def tranche(lo: Option[Double], hi: Option[Double]) = {
+      val t = events
+      val lof = lo.map(v => t.filter(col("ts").cast("double") > v)).getOrElse(t)
+      hi.map(v => lof.filter(col("ts").cast("double") <= v)).getOrElse(lof)
+    }
+    val tranches = Seq(
+      tranche(None, Some(tsCuts(0))),
+      tranche(Some(tsCuts(0)), Some(tsCuts(1))),
+      tranche(Some(tsCuts(1)), None))
+
+    ShardedEvents.appendTranche(tranches.head, dir, 4)
+    val src = ShardedEvents.readStream(spark, dir)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 minute")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 minute")
+    val got = mutable.Buffer.empty[(Long, Long)]
+    val q = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("interval 30 minutes") &&
+        col("c_ts") <= col("p_ts"))
+      .select("p_id", "c_id")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    tranches.tail.foreach { t =>
+      ShardedEvents.appendTranche(t, dir, 4)
+      q.processAllAvailable()
+    }
+    val stateRows = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal)
+    StreamControl.stopGracefully(q)
+
+    // complete: every batch-join pair was emitted exactly once
+    val expected = {
+      val p = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      val c = events.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      p.join(c, col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("interval 30 minutes") &&
+          col("c_ts") <= col("p_ts"))
+        .select("p_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+    }
+    val g = got.synchronized(got.toVector)
+    g.sorted shouldBe expected.sorted
+    // join state is evicted by the watermark: it never held every
+    // purchase/click row ever seen
+    val totalPc = events
+      .filter(col("event_type").isin("purchase", "click")).count()
+    assert(stateRows.exists(_ > 0), "the join must keep some state")
+    assert(stateRows.max < totalPc,
+      s"state grew to ${stateRows.max} — unbounded (an unwatermarked join would hold $totalPc)")
+  }
+
   test("seek latest: only records appended after the stream opens are delivered") {
     // ConsumerConfig.scala:115-139 `latest`: subscribe at the current end
     // of every shard; pre-existing records are never delivered, records
