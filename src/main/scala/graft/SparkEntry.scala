@@ -43,6 +43,7 @@ object SparkEntry {
     "d12_simhash_neardup" -> (ops.CorpusOps.d12SimhashNeardup _),
     "d14_ngram_jaccard" -> (ops.CorpusOps.d14NgramJaccard _),
     "d11_quality" -> (ops.CorpusOps.d11Quality _),
+    "d18_corpus_prep" -> (ops.CorpusOps.d18CorpusPrep _),
     "d6_ann_brute" -> (ops.VectorOps.d6AnnBrute _),
     "d7_ann_ivf" -> (ops.VectorOps.d7AnnIvf _),
     // no oracleSql (iterative k-means training is not SQL-expressible):
@@ -130,6 +131,11 @@ object SparkEntry {
       "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS shingles FROM w WHERE len(ws) >= 3), h AS (SELECT doc_id, [CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) for s in shingles] AS hs FROM sh), f AS (SELECT doc_id, CAST(list_sum([CASE WHEN 2 * len(list_filter(hs, x -> (x >> j) % 2 = 1)) >= len(hs) THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(0, 48)]) AS BIGINT) AS sh FROM h) SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hd FROM f a JOIN f b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sh, b.sh)) <= 3",
     "d11_quality" ->
       "WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), c AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS n_tok, CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) AS DOUBLE) AS n_stop, CAST(list_sum([len(w) for w in ws]) AS DOUBLE) AS sum_len FROM t) SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, round(least(1.0, n_tok / 100.0) * 0.4 + (1.0 - n_stop / n_tok) * 0.3 + least(1.0, (sum_len / n_tok) / 8.0) * 0.3, 6) AS quality FROM c",
+    // the composed prep pipeline: langid + quality (d4/d11 formulas) ->
+    // quality gate -> exact-dup canonicals (d1) -> near-dup loser removal
+    // (d2 pairs) -> per-(lang, pred_lang) survival stats
+    "d18_corpus_prep" ->
+      "WITH t AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws FROM documents), ann AS (SELECT doc_id, lang, CASE WHEN len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) >= greatest(len(list_filter(ws, w -> w IN ('der', 'die', 'und'))), len(list_filter(ws, w -> w IN ('le', 'la', 'et'))), len(list_filter(ws, w -> w IN ('el', 'los', 'y')))) THEN 'en' WHEN len(list_filter(ws, w -> w IN ('der', 'die', 'und'))) >= greatest(len(list_filter(ws, w -> w IN ('le', 'la', 'et'))), len(list_filter(ws, w -> w IN ('el', 'los', 'y')))) THEN 'de' WHEN len(list_filter(ws, w -> w IN ('le', 'la', 'et'))) >= len(list_filter(ws, w -> w IN ('el', 'los', 'y'))) THEN 'fr' ELSE 'es' END AS pred_lang, round(least(1.0, CAST(len(ws) AS DOUBLE) / 100.0) * 0.4 + (1.0 - CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) * 0.3 + least(1.0, (CAST(list_sum([len(w) for w in ws]) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) / 8.0) * 0.3, 6) AS quality, CAST(len(ws) AS BIGINT) AS n_tokens FROM t), fp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp FROM documents), canon AS (SELECT f.doc_id FROM fp f JOIN (SELECT fp, min(doc_id) AS m FROM fp GROUP BY fp) g ON f.fp = g.fp WHERE f.doc_id = g.m), sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS shingles FROM t WHERE len(ws) >= 3), losers AS (SELECT DISTINCT b.doc_id AS b_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(list_distinct(a.shingles || b.shingles)) >= 0.6) SELECT lang, pred_lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, min(quality) AS min_quality, max(quality) AS max_quality FROM ann WHERE quality >= 0.5 AND doc_id IN (SELECT doc_id FROM canon) AND doc_id NOT IN (SELECT b_id FROM losers) GROUP BY lang, pred_lang",
     "d6_ann_brute" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20), s AS (SELECT q.q_id, e.vec_id AS n_id, list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) / (sqrt(list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)])) * sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]))) AS sim FROM q, e WHERE e.vec_id <> q.q_id), r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s) SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10",
     "d7_ann_ivf" ->

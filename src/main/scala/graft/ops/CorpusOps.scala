@@ -315,6 +315,60 @@ object CorpusOps {
         round(score, 6).as("quality"))
   }
 
+  /** End-to-end corpus PREPARATION pipeline — the actual 100 TB use case
+    * the individual d-operators exist for, composed into one declarative
+    * plan: per-doc language-ID (d4's scorer) and quality score (d11's
+    * exact formula) → keep quality >= 0.5 → keep only exact-dup canonicals
+    * (d1's fingerprint, keep the smallest doc_id) → drop near-dup losers
+    * (the higher id of any d2 pair at Jaccard >= 0.6) → survival stats per
+    * (lang, pred_lang). The content-derived keep/drop sets are computed on
+    * the FULL corpus, so the decision for a document never depends on
+    * filter order. Catalyst fuses the three per-doc annotation passes into
+    * one scan; the dedup/near-dup branches are the d1/d2 plans unchanged
+    * (only fingerprints and ids shuffle); the final semi/anti joins are
+    * id-only. min/max of the (rounded) quality rather than avg keeps the
+    * aggregate order-independent and oracle-exact.
+    */
+  def d18CorpusPrep(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val ws = words(col("text"))
+    def score(markers: String*): Column =
+      size(filter(ws, w => w.isin(markers: _*))).cast("long")
+    val nTok = size(ws).cast("double")
+    val nStop = size(filter(ws, w => w.isin("the", "a", "of"))).cast("double")
+    val sumLen = expr("aggregate(transform(split(lower(trim(text)), ' '), w -> length(w)), 0, (acc, x) -> acc + x)").cast("double")
+    val quality = round(
+      least(lit(1.0), nTok / 100.0) * 0.4 +
+        (lit(1.0) - nStop / nTok) * 0.3 +
+        least(lit(1.0), (sumLen / nTok) / 8.0) * 0.3, 6)
+    val annotated = docs.select(
+      col("doc_id"), col("lang"),
+      when(score("the", "a", "of") >= greatest(score("der", "die", "und"),
+          score("le", "la", "et"), score("el", "los", "y")), "en")
+        .when(score("der", "die", "und") >= greatest(score("le", "la", "et"),
+          score("el", "los", "y")), "de")
+        .when(score("le", "la", "et") >= score("el", "los", "y"), "fr")
+        .otherwise("es").as("pred_lang"),
+      quality.as("quality"),
+      size(ws).cast("long").as("n_tokens"))
+    val fp = docs.select(col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(words(col("text")))))).as("fp"))
+    val canon = fp.join(
+        fp.groupBy(col("fp")).agg(min(col("doc_id")).as("canonical_id")), "fp")
+      .filter(col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"))
+    val losers = nearDupPairs(docs).select(col("b_id").as("doc_id")).distinct()
+    annotated
+      .filter(col("quality") >= 0.5)
+      .join(canon, Seq("doc_id"), "left_semi")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+  }
+
   /** SimHash document fingerprint (16-bit): majority vote per bit over the
     * 60-bit md5 hashes of the document's distinct words, computed by the
     * fused [[graft.functions.SimHashBits]] kernel (bit-identical to the

@@ -59,6 +59,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"SRP banding must not broadcast the corpus:\n$p")
   }
 
+  test("d18_corpus_prep composes without a cartesian product (near-dup branch stays banded)") {
+    val p = plan("d18_corpus_prep")
+    assert(!p.contains("CartesianProduct"), s"pipeline must not plan an all-pairs join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"pipeline must not broadcast the corpus:\n$p")
+  }
+
   test("d9_embed_neardup pairs blocks in a shuffle equi-join — no all-pairs plan, no corpus broadcast") {
     val p = plan("d9_embed_neardup")
     assert(!p.contains("CartesianProduct"), s"blocked self-join must not plan all-pairs:\n$p")
