@@ -178,8 +178,14 @@ object CorpusOps {
   private def candidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
       minBands: Int = 1): DataFrame = {
     require(bands * rowsPerBand <= NumHashes)
+    // band key = one 64-bit hash of the band's minhash values, not a
+    // concatenated string: the banded table shuffles and groups on this
+    // key, and fixed-width longs compare/serialize several times cheaper
+    // than ~40-char strings. A cross-band 2^-64 hash collision can only
+    // ADD a candidate pair, which the exact verify then rejects — recall
+    // and the emitted pairs are unchanged (RecallCheck re-confirmed).
     val bandKeys = (0 until bands).map { b =>
-      concat_ws("_", (0 until rowsPerBand).map(r => col("mh").getItem(b * rowsPerBand + r)): _*)
+      xxhash64((0 until rowsPerBand).map(r => col("mh").getItem(b * rowsPerBand + r)): _*)
     }
     candidatePairsFromBands(sig
       .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key"))),
