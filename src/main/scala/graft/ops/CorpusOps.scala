@@ -206,15 +206,28 @@ object CorpusOps {
     * exactly one. minBands = 1 is plain LSH (dedup only).
     */
   private[ops] def candidatePairsFromBands(banded: DataFrame, minBands: Int = 1): DataFrame = {
-    val x = banded.as("x"); val y = banded.as("y")
     val extras = banded.columns.filterNot(Set("doc_id", "band_id", "band_key"))
     val names = Seq("a_id", "b_id") ++ extras.flatMap(c => Seq(s"a_$c", s"b_$c"))
-    val out = Seq(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")) ++
-      extras.flatMap(c => Seq(col(s"x.$c").as(s"a_$c"), col(s"y.$c").as(s"b_$c")))
-    val grouped = x.join(y,
-        col("x.band_id") === col("y.band_id") &&
-        col("x.band_key") === col("y.band_key") &&
-        col("x.doc_id") < col("y.doc_id"))
+    val payload = struct((Seq("doc_id") ++ extras).map(col): _*)
+    val out = Seq(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id")) ++
+      extras.flatMap(c => Seq(col(s"a.$c").as(s"a_$c"), col(s"b.$c").as(s"b_$c")))
+    // Bucket-grouped pair generation rather than a banded SELF-JOIN: one
+    // shuffle groups each band bucket, then ordered pairs stream out of
+    // two pipelined Generates. A self-join materializes the signature
+    // subplan TWICE (once per side — and exchange reuse cannot save a
+    // broadcast side), doubling the most expensive CPU stage; here the
+    // kernel runs once per document. Per-task memory is O(largest
+    // bucket); banding is designed precisely to keep buckets small
+    // (background-collision analysis at d2/d14/d16), and no size cap is
+    // applied — a pathological corpus that concentrated a bucket would
+    // need bucket salting, not silent truncation.
+    val grouped = banded
+      .groupBy(col("band_id"), col("band_key"))
+      .agg(collect_list(payload).as("bucket"))
+      .filter(size(col("bucket")) >= 2)
+      .select(explode(col("bucket")).as("a"), col("bucket"))
+      .select(col("a"), explode(col("bucket")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
       .select(out: _*)
       .groupBy(names.map(col): _*)
       .count()
