@@ -195,6 +195,18 @@ object StreamingQueries {
     */
   def s6StreamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val (shardDir, ckpt, mem) = freshDirs(spark, sfDir)
+    // Streaming state partitioning is a DELIBERATE, checkpoint-permanent
+    // choice (the store count can never change after the first batch), so
+    // size it to state volume rather than inheriting the batch shuffle
+    // default: a stream-stream join keeps 4 store instances per
+    // partition, and at this state size 32 partitions spend more time in
+    // per-store load/commit than in the join. Scoped to this query and
+    // restored — batch queries keep the session default. At scale the
+    // same knob is sized UP with state volume.
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.getOption(partKey)
+    spark.conf.set(partKey, "8")
+    try {
     val events = ShardedEvents.readStream(spark, shardDir)
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("p_ts"),
@@ -218,6 +230,10 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    } finally prevParts match {
+      case Some(v) => spark.conf.set(partKey, v)
+      case None => spark.conf.unset(partKey)
+    }
     spark.table(mem)
   }
 
