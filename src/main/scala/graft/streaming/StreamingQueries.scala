@@ -47,11 +47,33 @@ object StreamingQueries {
     (shardDir, ckpt, s"graft_mem_${runId}_${System.nanoTime()}")
   }
 
+  /** Run `body` with streaming-state partitioning sized to these queries'
+    * state volume, restoring the session default afterwards. The state
+    * partition count is checkpoint-PERMANENT (fixed at the first batch
+    * forever), so a streaming job must size it deliberately instead of
+    * inheriting the batch shuffle default: every stateful operator keeps
+    * one or more store instances per partition, and when state is small
+    * the per-store load/commit overhead dominates the actual work. At
+    * scale the same knob is sized UP with state volume. Session-conf
+    * scoping is safe here because the driver runs queries sequentially;
+    * the restore keeps batch queries on the session default.
+    */
+  private def withStateSizing[T](spark: SparkSession, partitions: Int = 8)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, partitions.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Hourly tumbling-window aggregation over the event stream with a
     * 1-hour watermark: the windowed-aggregation + watermark surface the
     * reference delegates entirely to downstream code (SURVEY.md §2D).
     */
-  def s1StreamHourlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
+  def s1StreamHourlyAgg(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
     val (shardDir, ckpt, mem) = freshDirs(spark, sfDir)
     val q = ShardedEvents.readStream(spark, shardDir)
       .withWatermark("ts", "1 hour")
@@ -85,7 +107,7 @@ object StreamingQueries {
   def s3StreamSeekTrim(spark: SparkSession, sfDir: String): DataFrame =
     seekAgg(spark, sfDir, ShardedEvents.Seek.TrimHorizon)
 
-  private def seekAgg(spark: SparkSession, sfDir: String, seek: ShardedEvents.Seek): DataFrame = {
+  private def seekAgg(spark: SparkSession, sfDir: String, seek: ShardedEvents.Seek): DataFrame = withStateSizing(spark) {
     val (shardDir, ckpt, mem) = freshDirs(spark, sfDir)
     val q = ShardedEvents.readStreamFrom(spark, shardDir, seek)
       .groupBy(col("event_type"))
@@ -108,7 +130,7 @@ object StreamingQueries {
     * cumulative count, via one ranking window) must equal the batch
     * aggregation — all distributed, no driver-side collection.
     */
-  def s4StreamPerKeyState(spark: SparkSession, sfDir: String): DataFrame = {
+  def s4StreamPerKeyState(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
     val (shardDir, ckpt, _) = freshDirs(spark, sfDir)
     val out = Files.createTempDirectory("graft-state-out-").toString
     val q = PerKeyTracker.track(ShardedEvents.readStream(spark, shardDir))
@@ -142,7 +164,7 @@ object StreamingQueries {
     * restored afterwards so the other streaming gates keep their default
     * (HDFS-backed in-memory) provider.
     */
-  def s5StreamPerKeyTws(spark: SparkSession, sfDir: String): DataFrame = {
+  def s5StreamPerKeyTws(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
     val (shardDir, ckpt, _) = freshDirs(spark, sfDir)
     val out = Files.createTempDirectory("graft-tws-out-").toString
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -193,20 +215,8 @@ object StreamingQueries {
     * per-side arrival rate, IS the state size, which is the point of the
     * range condition.
     */
-  def s6StreamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  def s6StreamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
     val (shardDir, ckpt, mem) = freshDirs(spark, sfDir)
-    // Streaming state partitioning is a DELIBERATE, checkpoint-permanent
-    // choice (the store count can never change after the first batch), so
-    // size it to state volume rather than inheriting the batch shuffle
-    // default: a stream-stream join keeps 4 store instances per
-    // partition, and at this state size 32 partitions spend more time in
-    // per-store load/commit than in the join. Scoped to this query and
-    // restored — batch queries keep the session default. At scale the
-    // same knob is sized UP with state volume.
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.getOption(partKey)
-    spark.conf.set(partKey, "8")
-    try {
     val events = ShardedEvents.readStream(spark, shardDir)
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("p_ts"),
@@ -230,10 +240,6 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    } finally prevParts match {
-      case Some(v) => spark.conf.set(partKey, v)
-      case None => spark.conf.unset(partKey)
-    }
     spark.table(mem)
   }
 
@@ -244,7 +250,7 @@ object StreamingQueries {
     * correctness harness replays a bounded table); production uses
     * `dropDuplicatesWithinWatermark` so state is GC'd by event time.
     */
-  def s2StreamDedupCount(spark: SparkSession, sfDir: String): DataFrame = {
+  def s2StreamDedupCount(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
     val (shardDir, ckpt, mem) = freshDirs(spark, sfDir)
     val q = ShardedEvents.readStream(spark, shardDir)
       .dropDuplicates(Seq("event_id"))
