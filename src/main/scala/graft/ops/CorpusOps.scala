@@ -37,12 +37,16 @@ object CorpusOps {
     * fingerprint. Only the 32-byte fingerprint is shuffled.
     */
   def d1ExactDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val fp = Tables.documents(spark, sfDir).select(
-      col("doc_id"),
-      md5(concat_ws(" ", array_sort(array_distinct(words(col("text")))))).as("fp"))
-    val groups = fp.groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
-    fp.join(groups, "fp").select(col("doc_id"), col("canonical_id"), col("dup_count"))
+    // window over the fingerprint, not groupBy + join-back: one scan and
+    // ONE shuffle (the join form materializes the fingerprint subplan
+    // twice and shuffles twice); identical output
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(words(col("text")))))).as("fp"))
+      .select(col("doc_id"),
+        min(col("doc_id")).over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("dup_count"))
   }
 
   // MinHash parameters. d2 (word shingles, threshold 0.6) uses the FIRST
@@ -370,10 +374,10 @@ object CorpusOps {
         .otherwise("es").as("pred_lang"),
       quality.as("quality"),
       size(ws).cast("long").as("n_tokens"))
-    val fp = docs.select(col("doc_id"),
-      md5(concat_ws(" ", array_sort(array_distinct(words(col("text")))))).as("fp"))
-    val canon = fp.join(
-        fp.groupBy(col("fp")).agg(min(col("doc_id")).as("canonical_id")), "fp")
+    val fpw = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val canon = docs.select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(words(col("text")))))).as("fp"))
+      .withColumn("canonical_id", min(col("doc_id")).over(fpw))
       .filter(col("doc_id") === col("canonical_id"))
       .select(col("doc_id"))
     val losers = nearDupPairs(docs).select(col("b_id").as("doc_id")).distinct()
