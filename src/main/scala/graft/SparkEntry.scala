@@ -44,6 +44,8 @@ object SparkEntry {
     "d14_ngram_jaccard" -> (ops.CorpusOps.d14NgramJaccard _),
     "d11_quality" -> (ops.CorpusOps.d11Quality _),
     "d18_corpus_prep" -> (ops.CorpusOps.d18CorpusPrep _),
+    "d19_split_assign" -> (ops.CorpusOps.d19SplitAssign _),
+    "d20_contamination" -> (ops.CorpusOps.d20Contamination _),
     "d6_ann_brute" -> (ops.VectorOps.d6AnnBrute _),
     "d7_ann_ivf" -> (ops.VectorOps.d7AnnIvf _),
     // no oracleSql (iterative k-means training is not SQL-expressible):
@@ -131,6 +133,10 @@ object SparkEntry {
       "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS shingles FROM w WHERE len(ws) >= 3), h AS (SELECT doc_id, [CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) for s in shingles] AS hs FROM sh), f AS (SELECT doc_id, CAST(list_sum([CASE WHEN 2 * len(list_filter(hs, x -> (x >> j) % 2 = 1)) >= len(hs) THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(0, 48)]) AS BIGINT) AS sh FROM h) SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hd FROM f a JOIN f b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sh, b.sh)) <= 3",
     "d11_quality" ->
       "WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), c AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS n_tok, CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) AS DOUBLE) AS n_stop, CAST(list_sum([len(w) for w in ws]) AS DOUBLE) AS sum_len FROM t) SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, round(least(1.0, n_tok / 100.0) * 0.4 + (1.0 - n_stop / n_tok) * 0.3 + least(1.0, (sum_len / n_tok) / 8.0) * 0.3, 6) AS quality FROM c",
+    "d19_split_assign" ->
+      "WITH h AS (SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15)) AS BIGINT) % 100 AS bucket FROM documents) SELECT doc_id, bucket, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM h",
+    "d20_contamination" ->
+      "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS shingles FROM w WHERE len(ws) >= 3), g AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS gh FROM sh, LATERAL unnest(shingles) AS t(s)), ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0) SELECT doc_id, count(*) AS n_shared FROM g JOIN ev USING (gh) WHERE doc_id % 97 <> 0 GROUP BY doc_id",
     // the composed prep pipeline: langid + quality (d4/d11 formulas) ->
     // quality gate -> exact-dup canonicals (d1) -> near-dup loser removal
     // (d2 pairs) -> per-(lang, pred_lang) survival stats

@@ -452,4 +452,53 @@ object CorpusOps {
       .filter(col("hd") <= SimhashMaxHamming)
       .select(col("a_id"), col("b_id"), col("hd"))
   }
+
+  /** Deterministic train/val/test split assignment: bucket = (top 60 bits
+    * of md5(doc_id || ":split")) mod 100, train < 80, val < 90, else test.
+    * The salt suffix keys the split so other hash uses of doc_id stay
+    * uncorrelated.
+    *
+    * SCALE: a pure per-row projection — zero shuffle, zero state. Hashing
+    * rather than rand() is the point at 100 TB: a retried or speculative
+    * task re-derives the SAME assignment (rand() would leak rows across
+    * splits on retry), and the split is reproducible across runs and
+    * clusters.
+    */
+  def d19SplitAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 15), 16, 10).cast("long")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (h % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+  }
+
+  /** Benchmark-contamination audit (the GPT-3-style n-gram collision
+    * check): which training documents share a 3-word shingle with the
+    * held-out eval slice (doc_id % 97 == 0), and how many shared shingles
+    * each has. Output: (doc_id, n_shared) over non-eval documents with at
+    * least one collision.
+    *
+    * SCALE: the eval side of the join is a benchmark — tiny next to a
+    * 100 TB corpus — so its distinct 60-bit shingle hashes are BROADCAST
+    * and the corpus side streams through the probe without shuffling its
+    * exploded grams; the only shuffle is the final per-doc count. Joining
+    * 8-byte hashes, not gram strings, keeps the broadcast and the probe
+    * rows small; the oracle hashes identically so parity is exact even
+    * under (negligible) prefix collisions. Shingle lists are distinct per
+    * document, so count(*) after the equi-join is the distinct
+    * shared-gram count.
+    */
+  def d20Contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = shingleSets(Tables.documents(spark, sfDir))
+      .select(col("doc_id"),
+        explode(graft.functions.Md5Prefix64.md5Prefix64(col("shingles"))).as("gh"))
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0).select(col("gh")).distinct()
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams), "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

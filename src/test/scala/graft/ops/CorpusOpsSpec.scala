@@ -131,4 +131,35 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     val total = rows.map(_.getAs[Long]("n")).sum
     assert(total == graft.Tables.documents(spark, sf001).count())
   }
+
+  test("d19 split is a deterministic total assignment near the 80/10/10 target") {
+    val a = CorpusOps.d19SplitAssign(spark, sf001).collect()
+    val b = CorpusOps.d19SplitAssign(spark, sf001).collect()
+    // re-running (the retry/speculation case) yields byte-identical splits
+    a.map(r => (r.getLong(0), r.getString(2))).toMap shouldBe
+      b.map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(a.length == graft.Tables.documents(spark, sf001).count())
+    val frac = a.groupBy(_.getString(2)).view.mapValues(_.length.toDouble / a.length).toMap
+    // hash buckets are uniform; at n=500 allow generous binomial slack
+    assert(frac("train") > 0.70 && frac("train") < 0.90, frac)
+    assert(frac("val") > 0.04 && frac("val") < 0.16, frac)
+    assert(frac("test") > 0.04 && frac("test") < 0.16, frac)
+  }
+
+  test("d20 contamination counts are bounded by the doc's own shingle count and exclude eval docs") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val out = CorpusOps.d20Contamination(spark, sf001).collect()
+    assert(out.nonEmpty) // planted dups guarantee collisions with the eval slice
+    val shingleCounts = docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("ws"))
+      .select(col("doc_id"), asize(array_distinct(
+        transform(sequence(lit(0), asize(col("ws")) - 3),
+          i => concat_ws(" ", col("ws")(i), col("ws")(i + 1), col("ws")(i + 2))))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val (id, n) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared"))
+      assert(id % 97 != 0, s"eval doc $id must not appear in the contamination report")
+      assert(n >= 1 && n <= shingleCounts(id), s"doc $id shares $n of ${shingleCounts(id)} shingles")
+    }
+  }
 }

@@ -88,6 +88,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(p.contains("BroadcastHashJoin"), s"cell probe should hash-join on cid:\n$p")
   }
 
+  test("d19_split_assign is a pure projection — zero exchanges") {
+    val p = plan("d19_split_assign")
+    assert(!p.contains("Exchange"), s"split assignment is row-local and must not shuffle:\n$p")
+  }
+
+  test("d20_contamination broadcasts the eval gram set; corpus grams never shuffle pre-join") {
+    val p = plan("d20_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams (benchmark side) must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus grams must not sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_top_orders_per_cust is a single shuffle with in-shuffle group limit") {
     val p = plan("q_top_orders_per_cust")
     assert(p.contains("WindowGroupLimit"), p)
