@@ -51,6 +51,9 @@ object SparkEntry {
     // no oracleSql (iterative k-means training is not SQL-expressible):
     // driver records a rows-only check; semantics pinned in VectorOpsSpec
     "d13_ann_ivf_kmeans" -> (ops.VectorOps.d13AnnIvfKmeans _),
+    // the oracle-checked trained-quantizer twin: median updates are
+    // order-independent, so DuckDB reproduces training hash-exactly
+    "d21_ann_ivf_kmedians" -> (ops.VectorOps.d21AnnIvfKmedians _),
     "d8_multimodal_decode" -> (ops.MultimodalOps.d8MultimodalDecode _),
     "d15_frame_sample" -> (ops.MultimodalOps.d15FrameSample _),
     "d17_resize" -> (ops.MultimodalOps.d17Resize _),
@@ -144,6 +147,28 @@ object SparkEntry {
       "WITH t AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws FROM documents), ann AS (SELECT doc_id, lang, CASE WHEN len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) >= greatest(len(list_filter(ws, w -> w IN ('der', 'die', 'und'))), len(list_filter(ws, w -> w IN ('le', 'la', 'et'))), len(list_filter(ws, w -> w IN ('el', 'los', 'y')))) THEN 'en' WHEN len(list_filter(ws, w -> w IN ('der', 'die', 'und'))) >= greatest(len(list_filter(ws, w -> w IN ('le', 'la', 'et'))), len(list_filter(ws, w -> w IN ('el', 'los', 'y')))) THEN 'de' WHEN len(list_filter(ws, w -> w IN ('le', 'la', 'et'))) >= len(list_filter(ws, w -> w IN ('el', 'los', 'y'))) THEN 'fr' ELSE 'es' END AS pred_lang, round(least(1.0, CAST(len(ws) AS DOUBLE) / 100.0) * 0.4 + (1.0 - CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) * 0.3 + least(1.0, (CAST(list_sum([len(w) for w in ws]) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) / 8.0) * 0.3, 6) AS quality, CAST(len(ws) AS BIGINT) AS n_tokens FROM t), fp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp FROM documents), canon AS (SELECT f.doc_id FROM fp f JOIN (SELECT fp, min(doc_id) AS m FROM fp GROUP BY fp) g ON f.fp = g.fp WHERE f.doc_id = g.m), sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS shingles FROM t WHERE len(ws) >= 3), losers AS (SELECT DISTINCT b.doc_id AS b_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(list_distinct(a.shingles || b.shingles)) >= 0.6) SELECT lang, pred_lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, min(quality) AS min_quality, max(quality) AS max_quality FROM ann WHERE quality >= 0.5 AND doc_id IN (SELECT doc_id FROM canon) AND doc_id NOT IN (SELECT b_id FROM losers) GROUP BY lang, pred_lang",
     "d6_ann_brute" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20), s AS (SELECT q.q_id, e.vec_id AS n_id, list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) / (sqrt(list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)])) * sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]))) AS sim FROM q, e WHERE e.vec_id <> q.q_id), r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s) SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10",
+    "d21_ann_ivf_kmedians" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8), " +
+        "j0 AS (SELECT e.vec_id, e.v, c.cid, c.cv FROM e CROSS JOIN c0 c), " +
+        "d0 AS (SELECT vec_id, v, cid, list_sum([(v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, len(v) + 1)]) AS d FROM j0), " +
+        "a0 AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0) WHERE rn = 1), " +
+        "x0 AS (SELECT cid, i, v[i] AS x FROM a0, LATERAL unnest(range(1, len(v) + 1)) AS t(i)), " +
+        "m0 AS (SELECT cid, i, round(quantile_cont(x, 0.5), 6) AS m FROM x0 GROUP BY cid, i), " +
+        "c1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m0 GROUP BY cid), " +
+        "j1 AS (SELECT e.vec_id, e.v, c.cid, c.cv FROM e CROSS JOIN c1 c), " +
+        "d1 AS (SELECT vec_id, v, cid, list_sum([(v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, len(v) + 1)]) AS d FROM j1), " +
+        "a1 AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1) WHERE rn = 1), " +
+        "x1 AS (SELECT cid, i, v[i] AS x FROM a1, LATERAL unnest(range(1, len(v) + 1)) AS t(i)), " +
+        "m1 AS (SELECT cid, i, round(quantile_cont(x, 0.5), 6) AS m FROM x1 GROUP BY cid, i), " +
+        "c2 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY cid), " +
+        "j2 AS (SELECT e.vec_id, e.v, c.cid, c.cv FROM e CROSS JOIN c2 c), " +
+        "d2 AS (SELECT vec_id, v, cid, list_sum([(v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, len(v) + 1)]) AS d FROM j2), " +
+        "a2 AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d2) WHERE rn = 1), " +
+        "q AS (SELECT vec_id AS q_id, v AS qv, cid AS q_cid FROM a2 WHERE vec_id < 20), " +
+        "s AS (SELECT q.q_id, a.vec_id AS n_id, list_sum([qv[i] * a.v[i] for i in range(1, len(a.v) + 1)]) / (sqrt(list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)])) * sqrt(list_sum([a.v[i] * a.v[i] for i in range(1, len(a.v) + 1)]))) AS sim FROM q JOIN a2 a ON a.cid = q.q_cid AND a.vec_id <> q.q_id), " +
+        "r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s) " +
+        "SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10"),
     "d7_ann_ivf" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e WHERE vec_id < 20), s AS (SELECT q.q_id, e.vec_id AS n_id, list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) / (sqrt(list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)])) * sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]))) AS sim FROM q JOIN e ON e.label = q.q_label AND e.vec_id <> q.q_id), r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s) SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10",
     "d8_multimodal_decode" ->

@@ -298,4 +298,63 @@ object VectorOps {
         cosine(col("qv"), col("v")).as("sim"))
     topK(scored)
   }
+
+  private val KMedK = 8
+  private val KMedIters = 2
+
+  /** Squared L2 distance of `v` to a LITERAL centroid: a fixed-order
+    * sequential fold, so it is bit-identical to the oracle's list_sum
+    * comprehension.
+    */
+  private def sqDistLit(cv: Seq[Double]): Column =
+    aggregate(zip_with(col("v"), array(cv.map(lit): _*), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest-centroid id as a pure per-row EXPRESSION over literal
+    * centroids — no join, no shuffle: the corpus never moves during
+    * assignment. `array_min` over `(d, cid)` structs orders by distance
+    * then cid (= the oracle's `ORDER BY d, cid` tie-break) with a
+    * LINEAR-size expression tree — a `when`-chain fold would re-embed the
+    * accumulator at every step and blow up ~3^k.
+    */
+  private def nearestCidLit(centroids: Seq[(Int, Seq[Double])]): Column =
+    array_min(array(centroids.sortBy(_._1).map { case (cid, cv) =>
+      struct(sqDistLit(cv).as("d"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Component-wise MEDIAN centroid update. Median is selection-based —
+    * order-INDEPENDENT, unlike avg's float accumulation — which is what
+    * makes a trained quantizer oracle-reproducible at all (the one thing
+    * d13's k-means cannot be). Rounded to 6 dp on both sides so the
+    * engines' identical `lower + (upper-lower)*0.5` interpolation can
+    * never diverge downstream. Driver collect is bounded by k x dim.
+    * At 100 TB swap `percentile` for `approx_percentile` (same note as
+    * q_percentiles); the exact form buffers one cell-dimension's values.
+    */
+  private def medianCentroids(assigned: DataFrame): Seq[(Int, Seq[Double])] =
+    assigned.select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(round(percentile(col("x"), lit(0.5)), 6).as("m"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("cv"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+
+  /** IVF ANN over a k-MEDIANS-trained coarse quantizer — the fully
+    * oracle-checked trained-quantizer path (d13's k-means twin). Seeds =
+    * the [[KMedK]] smallest vec_ids; [[KMedIters]] Lloyd iterations with
+    * median updates; every assignment is a zero-shuffle literal
+    * projection; search is [[annIvfOverCells]]'s cell-probed exact
+    * re-rank. Every arithmetic step is order-independent or fixed-order,
+    * so the DuckDB oracle reproduces training AND search hash-exactly.
+    */
+  def d21AnnIvfKmedians(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir).select(col("vec_id"), col("v"))
+    val seeds = e.filter(col("vec_id") < KMedK).orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+    var cents = seeds
+    for (_ <- 0 until KMedIters)
+      cents = medianCentroids(e.withColumn("cid", nearestCidLit(cents)))
+    annIvfOverCells(e.withColumn("cid", nearestCidLit(cents)))
+  }
 }

@@ -88,6 +88,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(p.contains("BroadcastHashJoin"), s"cell probe should hash-join on cid:\n$p")
   }
 
+  test("d21 kmedians-IVF: literal-centroid assignment plans as pure projection (no BNLJ anywhere)") {
+    val p = plan("d21_ann_ivf_kmedians")
+    assert(!p.contains("CartesianProduct"), p)
+    // d13's assign step needs a BNLJ against the centroid table; d21
+    // folds the centroids into the expression, so the ONLY join in the
+    // whole plan is the cell-probe hash join.
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"assignment must not join the centroid table:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cell probe should hash-join on cid:\n$p")
+  }
+
   test("d19_split_assign is a pure projection — zero exchanges") {
     val p = plan("d19_split_assign")
     assert(!p.contains("Exchange"), s"split assignment is row-local and must not shuffle:\n$p")
