@@ -501,4 +501,31 @@ object CorpusOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Per-stratum sample size for [[d22StratifiedSample]]. */
+  private val StratumN = 8
+
+  /** Deterministic stratified sample: the [[StratumN]] documents with the
+    * smallest salted hash per (lang, source) stratum — balanced
+    * subsampling for training mixes, where `TABLESAMPLE`/`rand()` can
+    * neither stratify nor reproduce.
+    *
+    * SCALE: rank-by-hash within stratum is one shuffle on the stratum
+    * key, and the rank filter plans as WindowGroupLimit — partial top-N
+    * runs map-side BEFORE the exchange, so each stratum ships at most
+    * N rows per input partition, never the stratum. The hash (not doc_id
+    * order) makes the sample unbiased w.r.t. ingest order and stable
+    * under retry, and the ":strat" salt decorrelates it from d19's split.
+    */
+  def d22StratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":strat"))), 1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("source")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), h.as("h"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= StratumN)
+      .select(col("doc_id"), col("lang"), col("source"), col("rank").cast("long").as("rank"))
+  }
 }

@@ -205,18 +205,15 @@ object VectorOps {
   /** One assignment pass: nearest trained centroid per vector (squared
     * L2, sequential accumulation; ties break to the lowest cid).
     */
-  def assignToCentroids(e: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
-    val spark = e.sparkSession
-    import spark.implicits._
-    val cdf = centroids.toDF("cid", "cv")
-    val dist = expr("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), cast(0 as double), (acc, x) -> acc + x)")
-    e.join(broadcast(cdf))
-      .withColumn("d", dist)
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d"), col("cid"))).getField("cid").as("cid"),
-        first(col("v")).as("v"))
-      .select(col("vec_id"), col("v"), col("cid"))
-  }
+  /** Argmin cell assignment as a zero-shuffle literal projection (see
+    * [[nearestCidLit]]). The earlier join-the-centroid-table form cost a
+    * BroadcastNestedLoopJoin plus a full-corpus groupBy shuffle PER
+    * ITERATION; folding the k centroids into the expression leaves the
+    * corpus in place — same `(d, cid)` struct-min semantics, bit-identical
+    * assignments.
+    */
+  def assignToCentroids(e: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    e.select(col("vec_id"), col("v"), nearestCidLit(centroids).as("cid"))
 
   /** The trained centroid table after `iters` Lloyd iterations. */
   def kmeansCentroids(e: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {

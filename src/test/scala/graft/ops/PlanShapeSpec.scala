@@ -78,13 +78,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(!p.contains("Exchange"), s"frame sampling is row-local and must not shuffle:\n$p")
   }
 
-  test("d13 kmeans-IVF: no cartesian product; cell probe is a hash equi-join") {
+  test("d13 kmeans-IVF: assignment is a literal projection; cell probe is the only join") {
     val p = plan("d13_ann_ivf_kmeans")
     assert(!p.contains("CartesianProduct"), p)
-    // The BroadcastNestedLoopJoins in this plan are the k-means ASSIGN
-    // step (corpus x broadcast(centroid table)) — the build side is the
-    // k-row centroid table, bounded by k, never the corpus. The cell
-    // probe itself must be a hash join on the cell id.
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"assignment must not join the centroid table:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"cell probe should hash-join on cid:\n$p")
   }
 
@@ -108,6 +105,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(p.contains("BroadcastHashJoin"), s"eval grams (benchmark side) must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus grams must not sort-merge:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d22_stratified_sample prunes to top-N per stratum before the exchange (WindowGroupLimit)") {
+    val p = plan("d22_stratified_sample")
+    assert(p.contains("WindowGroupLimit"), s"per-stratum limit must run map-side:\n$p")
+    p.sliding("Exchange hashpartitioning".length).count(_ == "Exchange hashpartitioning") should be <= 1
   }
 
   test("q_top_orders_per_cust is a single shuffle with in-shuffle group limit") {
