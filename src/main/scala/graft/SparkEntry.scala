@@ -69,6 +69,7 @@ object SparkEntry {
     "s4_stream_perkey_state" -> (streaming.StreamingQueries.s4StreamPerKeyState _),
     "s5_stream_perkey_tws" -> (streaming.StreamingQueries.s5StreamPerKeyTws _),
     "s6_stream_stream_join" -> (streaming.StreamingQueries.s6StreamStreamJoin _),
+    "s7_stream_corpus_dedup" -> (streaming.StreamingQueries.s7StreamCorpusDedup _),
     // relational coverage (SURVEY.md §2D → Spark built-ins)
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_revenue_by_nation" -> (ops.RelationalOps.qRevenueByNation _),
@@ -201,6 +202,10 @@ object SparkEntry {
       "SELECT user_id, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id FROM events GROUP BY user_id",
     "s6_stream_stream_join" ->
       "SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id, round(p.value, 2) AS p_value FROM events p JOIN events c ON p.event_type = 'purchase' AND c.event_type = 'click' AND c.user_id = p.user_id AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts",
+    // streaming first-arrival dedup keyed by (lang, fp) == batch
+    // per-lang distinct-fingerprint count, independent of shard order
+    "s7_stream_corpus_dedup" ->
+      "SELECT lang, count(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' '))) AS n_unique FROM documents GROUP BY lang",
     "q_pricing_summary" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, round(avg(l_quantity), 4) AS avg_qty, count(*) AS n FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus",
     "q_revenue_by_nation" ->

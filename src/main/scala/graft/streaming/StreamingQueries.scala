@@ -266,4 +266,49 @@ object StreamingQueries {
     q.awaitTermination()
     spark.table(mem)
   }
+
+  // corpus ingest is materialized once per (JVM, sfDir), like the event
+  // shards above
+  private val corpusShardCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** INCREMENTAL corpus dedup — `ops.CorpusOps.d1ExactDedup`'s fingerprint
+    * running at ingest: documents arrive on a sharded stream, each
+    * micro-batch fingerprints its documents (d1's md5-of-sorted-word-set,
+    * computed per-row, no shuffle), and `dropDuplicates` keeps the FIRST
+    * arrival of every (lang, fingerprint) across batches. Keying the
+    * dedup state by (lang, fp) — not fp alone — makes the per-lang counts
+    * independent of shard interleaving, so streaming == batch exactly.
+    *
+    * SCALE: this is how a 100 TB pipeline actually deduplicates — against
+    * accumulated state at ingest, not nightly over the full corpus. State
+    * holds one 32-byte fingerprint per unique document (never the text);
+    * with an ingest-time watermark the same query runs
+    * `dropDuplicatesWithinWatermark` to bound it (the s2 production note
+    * applies verbatim).
+    */
+  def s7StreamCorpusDedup(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
+    val shardDir = corpusShardCache.computeIfAbsent(sfDir, { _ =>
+      val d = Files.createTempDirectory("graft-corpus-").toString + "/shards"
+      ShardedCorpus.materialize(spark, sfDir, d)
+      d
+    })
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
+    val ws = split(lower(trim(col("text"))), " ")
+    val q = ShardedCorpus.readStream(spark, shardDir)
+      .select(col("lang"),
+        md5(concat_ws(" ", array_sort(array_distinct(ws)))).as("fp"))
+      .dropDuplicates(Seq("lang", "fp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_unique"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
 }
