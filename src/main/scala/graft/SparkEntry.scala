@@ -47,6 +47,7 @@ object SparkEntry {
     "d19_split_assign" -> (ops.CorpusOps.d19SplitAssign _),
     "d20_contamination" -> (ops.CorpusOps.d20Contamination _),
     "d22_stratified_sample" -> (ops.CorpusOps.d22StratifiedSample _),
+    "d23_tfidf_topterms" -> (ops.CorpusOps.d23TfidfTopTerms _),
     "d6_ann_brute" -> (ops.VectorOps.d6AnnBrute _),
     "d7_ann_ivf" -> (ops.VectorOps.d7AnnIvf _),
     // no oracleSql (iterative k-means training is not SQL-expressible):
@@ -144,6 +145,8 @@ object SparkEntry {
       "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS shingles FROM w WHERE len(ws) >= 3), g AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS gh FROM sh, LATERAL unnest(shingles) AS t(s)), ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0) SELECT doc_id, count(*) AS n_shared FROM g JOIN ev USING (gh) WHERE doc_id % 97 <> 0 GROUP BY doc_id",
     "d22_stratified_sample" ->
       "WITH h AS (SELECT doc_id, lang, source, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 15)) AS BIGINT) AS h FROM documents), r AS (SELECT doc_id, lang, source, row_number() OVER (PARTITION BY lang, source ORDER BY h, doc_id) AS rank FROM h) SELECT doc_id, lang, source, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 8",
+    "d23_tfidf_topterms" ->
+      "WITH n AS (SELECT count(*) AS n_docs FROM documents), t AS (SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents), tf AS (SELECT lang, w, count(*) AS tf FROM t GROUP BY lang, w), df AS (SELECT w, count(DISTINCT doc_id) AS df FROM t GROUP BY w), s AS (SELECT tf.lang, tf.w, round(tf.tf * n.n_docs / df.df, 6) AS score FROM tf JOIN df ON tf.w = df.w CROSS JOIN n), r AS (SELECT lang, w, score, row_number() OVER (PARTITION BY lang ORDER BY score DESC, w) AS rank FROM s) SELECT lang, w AS term, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5",
     // the composed prep pipeline: langid + quality (d4/d11 formulas) ->
     // quality gate -> exact-dup canonicals (d1) -> near-dup loser removal
     // (d2 pairs) -> per-(lang, pred_lang) survival stats

@@ -502,6 +502,37 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Top terms per language by a log-free TF-IDF: score(w, lang) =
+    * tf(w, lang) * N / df(w), where tf counts occurrences in the
+    * language, N is the corpus size and df the number of documents
+    * containing w. The log-free rational form is deliberate: every factor
+    * is an exact int64, so the one double division is bit-identical in
+    * any engine — log() parity across libm implementations is not
+    * guaranteed, exact-integer ratios are. Rank preserves the idf
+    * ordering monotonically.
+    *
+    * SCALE: one explode of the token stream feeds BOTH aggregations
+    * (tf by (lang, w), df by w via distinct doc — partial aggregation
+    * map-side on each); they rejoin on the term key, vocabulary-sized,
+    * and the top-k per language is a WindowGroupLimit over the scored
+    * vocabulary, never the token stream.
+    */
+  def d23TfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(words(col("text"))).as("w"))
+    val tf = toks.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("w")).agg(count_distinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score").desc, col("w").asc)
+    tf.join(df, "w")
+      .withColumn("score", round(col("tf") * lit(nDocs) / col("df"), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("w").as("term"), col("score"), col("rank"))
+  }
+
   /** Per-stratum sample size for [[d22StratifiedSample]]. */
   private val StratumN = 8
 
