@@ -56,6 +56,7 @@ object SparkEntry {
     // the oracle-checked trained-quantizer twin: median updates are
     // order-independent, so DuckDB reproduces training hash-exactly
     "d21_ann_ivf_kmedians" -> (ops.VectorOps.d21AnnIvfKmedians _),
+    "d24_embed_quantize" -> (ops.VectorOps.d24EmbedQuantize _),
     "d8_multimodal_decode" -> (ops.MultimodalOps.d8MultimodalDecode _),
     "d15_frame_sample" -> (ops.MultimodalOps.d15FrameSample _),
     "d17_resize" -> (ops.MultimodalOps.d17Resize _),
@@ -145,6 +146,8 @@ object SparkEntry {
       "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS shingles FROM w WHERE len(ws) >= 3), g AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS gh FROM sh, LATERAL unnest(shingles) AS t(s)), ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0) SELECT doc_id, count(*) AS n_shared FROM g JOIN ev USING (gh) WHERE doc_id % 97 <> 0 GROUP BY doc_id",
     "d22_stratified_sample" ->
       "WITH h AS (SELECT doc_id, lang, source, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 15)) AS BIGINT) AS h FROM documents), r AS (SELECT doc_id, lang, source, row_number() OVER (PARTITION BY lang, source ORDER BY h, doc_id) AS rank FROM h) SELECT doc_id, lang, source, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 8",
+    "d24_embed_quantize" ->
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), s AS (SELECT vec_id, v, list_max([abs(x) for x in v]) / 127.0 AS scale FROM e), q AS (SELECT vec_id, v, scale, CASE WHEN scale = 0 THEN [0.0 for x in v] ELSE [greatest(-127.0, least(127.0, floor(x / scale + 0.5))) for x in v] END AS qv FROM s) SELECT vec_id, round(scale, 6) AS scale, CAST(len(v) AS BIGINT) AS n_dims, round(list_max([abs(v[i] - qv[i] * scale) for i in range(1, len(v) + 1)]), 6) AS max_err, CAST(len(list_filter(qv, x -> abs(x) = 127.0)) AS BIGINT) AS n_saturated FROM q",
     "d23_tfidf_topterms" ->
       "WITH n AS (SELECT count(*) AS n_docs FROM documents), t AS (SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents), tf AS (SELECT lang, w, count(*) AS tf FROM t GROUP BY lang, w), df AS (SELECT w, count(DISTINCT doc_id) AS df FROM t GROUP BY w), s AS (SELECT tf.lang, tf.w, round(tf.tf * n.n_docs / df.df, 6) AS score FROM tf JOIN df ON tf.w = df.w CROSS JOIN n), r AS (SELECT lang, w, score, row_number() OVER (PARTITION BY lang ORDER BY score DESC, w) AS rank FROM s) SELECT lang, w AS term, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5",
     // the composed prep pipeline: langid + quality (d4/d11 formulas) ->

@@ -354,4 +354,37 @@ object VectorOps {
       cents = medianCentroids(e.withColumn("cid", nearestCidLit(cents)))
     annIvfOverCells(e.withColumn("cid", nearestCidLit(cents)))
   }
+
+  /** Symmetric per-vector int8 quantization audit: scale = max|v_i|/127,
+    * q_i = clamp(floor(v_i/scale + 0.5), ±127), reporting the
+    * reconstruction error — the storage-side step that cuts an embedding
+    * table 4× (plus the scale column) before it is written at corpus
+    * scale. `floor(x + 0.5)` rather than round(): float round-half
+    * behavior is engine-discretionary, floor is IEEE-exact everywhere.
+    *
+    * SCALE: a pure per-row projection — zero shuffle; max/abs are
+    * order-independent, so the audit is oracle-exact.
+    */
+  def d24EmbedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir).select(col("vec_id"), col("v"))
+    val quant = e
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+      .withColumn("qv",
+        when(col("scale") === 0, transform(col("v"), _ => lit(0.0)))
+          .otherwise(transform(col("v"), x =>
+            greatest(lit(-127.0), least(lit(127.0), floor(x / col("scale") + 0.5))))))
+    // max_err must see the UNROUNDED scale: aliasing `round(scale, 6) AS
+    // scale` in the same select would SHADOW the input column for later
+    // projection entries (Spark 4 lateral column aliases resolve in list
+    // order), silently quantizing against the rounded scale.
+    quant
+      .withColumn("max_err", round(array_max(zip_with(col("v"), col("qv"),
+        (a, q) => abs(a - q * col("scale")))), 6))
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        size(col("v")).cast("long").as("n_dims"),
+        col("max_err"),
+        size(filter(col("qv"), q => abs(q) === 127.0)).cast("long").as("n_saturated"))
+  }
 }
