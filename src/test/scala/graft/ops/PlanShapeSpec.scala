@@ -100,6 +100,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(!p.contains("Exchange"), s"split assignment is row-local and must not shuffle:\n$p")
   }
 
+  test("d24_embed_quantize is a pure projection — zero exchanges") {
+    val p = plan("d24_embed_quantize")
+    assert(!p.contains("Exchange"), s"quantization is row-local and must not shuffle:\n$p")
+  }
+
   test("d20_contamination broadcasts the eval gram set; corpus grams never shuffle pre-join") {
     val p = plan("d20_contamination")
     assert(p.contains("BroadcastHashJoin"), s"eval grams (benchmark side) must broadcast:\n$p")

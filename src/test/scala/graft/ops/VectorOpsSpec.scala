@@ -130,4 +130,31 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(shared.nonEmpty, "IVF should recover some true neighbors")
     shared.foreach { case (b, i) => assert(math.abs(b - i) < 1e-12) }
   }
+
+  test("d21 kmedians-IVF probes within trained cells and covers every query") {
+    val res = VectorOps.d21AnnIvfKmedians(spark, sf001).collect()
+    // every query (vec_id < 20) must surface neighbors, and ranks are
+    // dense 1..k' per query
+    val byQ = res.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 20, s"expected 20 probed queries, got ${byQ.size}")
+    byQ.foreach { case (q, rows) =>
+      rows.map(_.getAs[Int]("rn")).sorted.toSeq shouldBe (1 to rows.length)
+      rows.foreach(r => assert(r.getAs[Double]("sim") <= 1.0 + 1e-9, s"query $q"))
+    }
+  }
+
+  test("d24 quantization: max_err bounded by scale/2 for unsaturated vectors") {
+    val res = VectorOps.d24EmbedQuantize(spark, sf001).collect()
+    assert(res.length == graft.Tables.embeddings(spark, sf001).count())
+    res.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val err = r.getAs[Double]("max_err")
+      // floor(x/scale + 0.5) lands within half a quantization step;
+      // the max|v| component hits |q| = 127 exactly, so saturation
+      // clamps nothing and the bound holds for every vector (the 1e-6
+      // slack covers the 6 dp rounding of both reported columns)
+      assert(err <= scale / 2 + 1e-6, s"vec ${r.getLong(0)}: err $err vs scale $scale")
+      assert(r.getAs[Long]("n_saturated") >= 1, "the max-abs dim must sit at ±127")
+    }
+  }
 }
