@@ -72,6 +72,7 @@ object SparkEntry {
     "s5_stream_perkey_tws" -> (streaming.StreamingQueries.s5StreamPerKeyTws _),
     "s6_stream_stream_join" -> (streaming.StreamingQueries.s6StreamStreamJoin _),
     "s7_stream_corpus_dedup" -> (streaming.StreamingQueries.s7StreamCorpusDedup _),
+    "s8_stream_neardup" -> (streaming.StreamingQueries.s8StreamNearDup _),
     // relational coverage (SURVEY.md §2D → Spark built-ins)
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_revenue_by_nation" -> (ops.RelationalOps.qRevenueByNation _),
@@ -212,6 +213,9 @@ object SparkEntry {
     // per-lang distinct-fingerprint count, independent of shard order
     "s7_stream_corpus_dedup" ->
       "SELECT lang, count(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' '))) AS n_unique FROM documents GROUP BY lang",
+    // incremental LSH near-dup at ingest == the batch d2 answer
+    "s8_stream_neardup" ->
+      "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS shingles FROM w WHERE len(ws) >= 3), p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(list_distinct(a.shingles || b.shingles)) AS j FROM sh a JOIN sh b ON a.doc_id < b.doc_id) SELECT a_id, b_id, round(j, 6) AS jaccard FROM p WHERE j >= 0.6",
     "q_pricing_summary" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, round(avg(l_quantity), 4) AS avg_qty, count(*) AS n FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus",
     "q_revenue_by_nation" ->

@@ -502,6 +502,32 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** `(band_key, doc_id, grams)` rows for any `(doc_id, text)` relation —
+    * batch or STREAMING (every step is a per-row projection + explode, so
+    * the same code binds to a `readStream` source): d2's fused MinHash
+    * signature, d2's banding (band identity mixed into the xxhash64 key —
+    * a cross-band collision can only ADD a candidate, which downstream
+    * exact verification rejects), plus the 60-bit gram-hash SET for that
+    * verification. Gram-hash Jaccard equals shingle-string Jaccard except
+    * under a 60-bit collision within one candidate pair (~2^-60 · |grams|²
+    * — the d12/d20 acceptance).
+    */
+  def bandedGramRows(docs: DataFrame): DataFrame = {
+    val k = Bands * RowsPerBand
+    val sig = docs
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .filter(size(split(col("t"), " ")) >= 3)
+      .select(col("doc_id"), col("t"), split(col("t"), " ").as("ws"))
+      .select(col("doc_id"),
+        graft.functions.WordShingleMinHash.wordShingleMinhash(
+          col("t"), 3, Seeds.take(k).map(_._1), Seeds.take(k).map(_._2), MinhashP).as("mh"),
+        graft.functions.Md5Prefix64.md5Prefix64(expr(ShingleSql)).as("grams"))
+    val bandKeys = (0 until Bands).map { b =>
+      xxhash64(lit(b) +: (0 until RowsPerBand).map(r => col("mh").getItem(b * RowsPerBand + r)): _*)
+    }
+    sig.select(col("doc_id"), col("grams"), explode(array(bandKeys: _*)).as("band_key"))
+  }
+
   /** Top terms per language by a log-free TF-IDF: score(w, lang) =
     * tf(w, lang) * N / df(w), where tf counts occurrences in the
     * language, N is the corpus size and df the number of documents

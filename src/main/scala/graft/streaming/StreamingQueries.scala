@@ -4,7 +4,7 @@ import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** End-to-end Structured Streaming queries wired into the driver's
   * CORRECTNESS gate: each runs a real streaming query — sharded file
@@ -271,6 +271,13 @@ object StreamingQueries {
   // shards above
   private val corpusShardCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private def corpusShardDir(spark: SparkSession, sfDir: String): String =
+    corpusShardCache.computeIfAbsent(sfDir, { _ =>
+      val d = Files.createTempDirectory("graft-corpus-").toString + "/shards"
+      ShardedCorpus.materialize(spark, sfDir, d)
+      d
+    })
+
   /** INCREMENTAL corpus dedup — `ops.CorpusOps.d1ExactDedup`'s fingerprint
     * running at ingest: documents arrive on a sharded stream, each
     * micro-batch fingerprints its documents (d1's md5-of-sorted-word-set,
@@ -287,11 +294,7 @@ object StreamingQueries {
     * applies verbatim).
     */
   def s7StreamCorpusDedup(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
-    val shardDir = corpusShardCache.computeIfAbsent(sfDir, { _ =>
-      val d = Files.createTempDirectory("graft-corpus-").toString + "/shards"
-      ShardedCorpus.materialize(spark, sfDir, d)
-      d
-    })
+    val shardDir = corpusShardDir(spark, sfDir)
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
     val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
     val ws = split(lower(trim(col("text"))), " ")
@@ -303,6 +306,88 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_unique"))
       .writeStream
       .outputMode("complete")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
+
+  // encoder codegen requires these to be publicly accessible
+  /** One banded row of the ingest stream (see
+    * `ops.CorpusOps.bandedGramRows`). */
+  case class BandedGramRow(band_key: Long, doc_id: Long, grams: Array[Long])
+  /** LSH-bucket state: every document seen in this band bucket. */
+  case class StoredDoc(docId: Long, grams: Array[Long])
+  case class BucketDocs(docs: List[StoredDoc])
+  case class RawPair(a_id: Long, b_id: Long, j: Double)
+
+  /** INCREMENTAL near-dup detection — d2's MinHash-LSH running at ingest:
+    * each arriving document lands in its LSH band buckets
+    * (`flatMapGroupsWithState` keyed by band key), is exact-verified
+    * against the documents accumulated in those buckets, and every
+    * verified pair (Jaccard >= 0.6) is emitted the moment its second
+    * member arrives. A pair surfacing from several bands is collapsed by
+    * a downstream first-arrival dedup (append-mode stateful chaining).
+    * Output == the batch d2 answer, so the oracle IS d2's brute-force
+    * SQL: streaming == batch, the reference's core delivery oracle,
+    * extended to a similarity join.
+    *
+    * SCALE: state per bucket = gram-hash sets (8 B/gram), never text;
+    * bucket membership is LSH-sparse. At 100 TB you'd hold only
+    * signatures in hot state and verify against a gram-set side table
+    * keyed by doc_id; the state protocol is identical. The re-delivery
+    * guard makes the operator idempotent under at-least-once replay.
+    */
+  def s8StreamNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    s8StreamNearDup(spark, sfDir, maxFilesPerTrigger = None)
+
+  /** The spec drives this overload with `maxFilesPerTrigger = Some(1)` to
+    * prove pairs are found across micro-batch boundaries (each member in
+    * a different batch), not only within one.
+    */
+  def s8StreamNearDup(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = withStateSizing(spark) {
+    import spark.implicits._
+    val shardDir = corpusShardDir(spark, sfDir)
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
+    val banded = graft.ops.CorpusOps.bandedGramRows(
+        ShardedCorpus.readStream(spark, shardDir, maxFilesPerTrigger))
+      .as[BandedGramRow]
+    val pairs = banded
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[BandedGramRow], state: GroupState[BucketDocs]) =>
+          var stored = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = List.newBuilder[RawPair]
+          rows.foreach { r =>
+            if (!stored.exists(_.docId == r.doc_id)) { // at-least-once replay guard
+              val gset = r.grams.toSet
+              stored.foreach { s =>
+                val inter = s.grams.count(gset.contains)
+                // |A∪B| = |A| + |B| - |A∩B|; grams are distinct per doc, so
+                // this is exactly the oracle's list_distinct(a || b) size
+                val j = inter.toDouble / (r.grams.length + s.grams.length - inter)
+                if (j >= 0.6) {
+                  val (a, b) = if (s.docId < r.doc_id) (s.docId, r.doc_id)
+                    else (r.doc_id, s.docId)
+                  out += RawPair(a, b, j)
+                }
+              }
+              stored = StoredDoc(r.doc_id, r.grams) :: stored
+            }
+          }
+          state.update(BucketDocs(stored))
+          out.result().iterator
+      }
+    val q = pairs.toDF()
+      .dropDuplicates(Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jaccard"))
+      .writeStream
+      .outputMode("append")
       .format("memory")
       .queryName(mem)
       .option("checkpointLocation", ckpt)

@@ -484,4 +484,14 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       .agg(countDistinct(col("event_id")).as("n_distinct"))
     assert(s2.exceptAll(b2).isEmpty && b2.exceptAll(s2).isEmpty)
   }
+
+  test("incremental near-dup finds every pair ACROSS micro-batches (1-file triggers)") {
+    // one shard file per micro-batch: a near-dup pair routed to different
+    // shards has its members arrive in different batches, so every such
+    // pair can only be found against bucket STATE, not within a batch
+    val streamed = StreamingQueries.s8StreamNearDup(spark, sf001, maxFilesPerTrigger = Some(1))
+    val batch = graft.ops.CorpusOps.d2MinhashLsh(spark, sf001)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
