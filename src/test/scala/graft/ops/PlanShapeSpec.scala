@@ -118,6 +118,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p.sliding("Exchange hashpartitioning".length).count(_ == "Exchange hashpartitioning") should be <= 1
   }
 
+  test("GLOBAL: no batch query plans a cartesian product; BNLJ only with a bounded build side") {
+    // d6 broadcasts the bounded query set by design (SURVEY §8); nothing
+    // else may nested-loop. Streaming queries (s*) execute on call and are
+    // covered by their own gate rows + StreamingSpec.
+    val allowedBnlj = Set("d6_ann_brute")
+    SparkEntry.queries.keys.filterNot(_.startsWith("s")).toSeq.sorted.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
+      if (!allowedBnlj(q))
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n$p")
+    }
+  }
+
   test("q_top_orders_per_cust is a single shuffle with in-shuffle group limit") {
     val p = plan("q_top_orders_per_cust")
     assert(p.contains("WindowGroupLimit"), p)
