@@ -128,7 +128,7 @@ object SparkEntry {
     "d2_minhash_lsh" ->
       "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS shingles FROM w WHERE len(ws) >= 3), p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(list_distinct(a.shingles || b.shingles)) AS j FROM sh a JOIN sh b ON a.doc_id < b.doc_id) SELECT a_id, b_id, round(j, 6) AS jaccard FROM p WHERE j >= 0.6",
     "d3_text_stats" ->
-      "SELECT lang, source, count(*) AS n_docs, CAST(sum(len(string_split(lower(trim(text)), ' '))) AS BIGINT) AS total_tokens, CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_subtokens, CAST(sum(n_chars) AS BIGINT) AS total_chars, round(CAST(sum(len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('the', 'a', 'of')))) AS DOUBLE) / sum(len(string_split(lower(trim(text)), ' '))), 6) AS stop_ratio FROM documents GROUP BY lang, source",
+      "SELECT lang, source, count(*) AS n_docs, CAST(sum(len(string_split(lower(trim(text)), ' '))) AS BIGINT) AS total_tokens, CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_subtokens, CAST(sum(n_chars) AS BIGINT) AS total_chars, ((1000000 * CAST(sum(len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('the', 'a', 'of')))) AS BIGINT)) // CAST(sum(len(string_split(lower(trim(text)), ' '))) AS BIGINT)) / 1000000.0 AS stop_ratio FROM documents GROUP BY lang, source",
     "d4_langid" ->
       "WITH s AS (SELECT lang, len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('the', 'a', 'of'))) AS s_en, len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('der', 'die', 'und'))) AS s_de, len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('le', 'la', 'et'))) AS s_fr, len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('el', 'los', 'y'))) AS s_es FROM documents) SELECT lang, CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en' WHEN s_de >= greatest(s_fr, s_es) THEN 'de' WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang, count(*) AS n FROM s GROUP BY lang, pred_lang",
     "d5_simhash" ->
@@ -140,7 +140,7 @@ object SparkEntry {
     "d12_simhash_neardup" ->
       "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS shingles FROM w WHERE len(ws) >= 3), h AS (SELECT doc_id, [CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) for s in shingles] AS hs FROM sh), f AS (SELECT doc_id, CAST(list_sum([CASE WHEN 2 * len(list_filter(hs, x -> (x >> j) % 2 = 1)) >= len(hs) THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(0, 48)]) AS BIGINT) AS sh FROM h) SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hd FROM f a JOIN f b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sh, b.sh)) <= 3",
     "d11_quality" ->
-      "WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), c AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS n_tok, CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) AS DOUBLE) AS n_stop, CAST(list_sum([len(w) for w in ws]) AS DOUBLE) AS sum_len FROM t) SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, round(least(1.0, n_tok / 100.0) * 0.4 + (1.0 - n_stop / n_tok) * 0.3 + least(1.0, (sum_len / n_tok) / 8.0) * 0.3, 6) AS quality FROM c",
+      "WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n, CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) AS BIGINT) AS s, CAST(list_sum([len(w) for w in ws]) AS BIGINT) AS l FROM t) SELECT doc_id, n AS n_tokens, ((1000000 * (8 * n * least(n, 100) + 600 * (n - s) + 75 * least(8 * n, l))) // (2000 * n)) / 1000000.0 AS quality FROM c",
     "d19_split_assign" ->
       "WITH h AS (SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15)) AS BIGINT) % 100 AS bucket FROM documents) SELECT doc_id, bucket, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM h",
     "d20_contamination" ->
@@ -155,7 +155,7 @@ object SparkEntry {
     // quality gate -> exact-dup canonicals (d1) -> near-dup loser removal
     // (d2 pairs) -> per-(lang, pred_lang) survival stats
     "d18_corpus_prep" ->
-      "WITH t AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws FROM documents), ann AS (SELECT doc_id, lang, CASE WHEN len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) >= greatest(len(list_filter(ws, w -> w IN ('der', 'die', 'und'))), len(list_filter(ws, w -> w IN ('le', 'la', 'et'))), len(list_filter(ws, w -> w IN ('el', 'los', 'y')))) THEN 'en' WHEN len(list_filter(ws, w -> w IN ('der', 'die', 'und'))) >= greatest(len(list_filter(ws, w -> w IN ('le', 'la', 'et'))), len(list_filter(ws, w -> w IN ('el', 'los', 'y')))) THEN 'de' WHEN len(list_filter(ws, w -> w IN ('le', 'la', 'et'))) >= len(list_filter(ws, w -> w IN ('el', 'los', 'y'))) THEN 'fr' ELSE 'es' END AS pred_lang, round(least(1.0, CAST(len(ws) AS DOUBLE) / 100.0) * 0.4 + (1.0 - CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) * 0.3 + least(1.0, (CAST(list_sum([len(w) for w in ws]) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) / 8.0) * 0.3, 6) AS quality, CAST(len(ws) AS BIGINT) AS n_tokens FROM t), fp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp FROM documents), canon AS (SELECT f.doc_id FROM fp f JOIN (SELECT fp, min(doc_id) AS m FROM fp GROUP BY fp) g ON f.fp = g.fp WHERE f.doc_id = g.m), sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS shingles FROM t WHERE len(ws) >= 3), losers AS (SELECT DISTINCT b.doc_id AS b_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(list_distinct(a.shingles || b.shingles)) >= 0.6) SELECT lang, pred_lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, min(quality) AS min_quality, max(quality) AS max_quality FROM ann WHERE quality >= 0.5 AND doc_id IN (SELECT doc_id FROM canon) AND doc_id NOT IN (SELECT b_id FROM losers) GROUP BY lang, pred_lang",
+      "WITH t AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws FROM documents), ann AS (SELECT doc_id, lang, CASE WHEN len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) >= greatest(len(list_filter(ws, w -> w IN ('der', 'die', 'und'))), len(list_filter(ws, w -> w IN ('le', 'la', 'et'))), len(list_filter(ws, w -> w IN ('el', 'los', 'y')))) THEN 'en' WHEN len(list_filter(ws, w -> w IN ('der', 'die', 'und'))) >= greatest(len(list_filter(ws, w -> w IN ('le', 'la', 'et'))), len(list_filter(ws, w -> w IN ('el', 'los', 'y')))) THEN 'de' WHEN len(list_filter(ws, w -> w IN ('le', 'la', 'et'))) >= len(list_filter(ws, w -> w IN ('el', 'los', 'y'))) THEN 'fr' ELSE 'es' END AS pred_lang, ((1000000 * (8 * CAST(len(ws) AS BIGINT) * least(CAST(len(ws) AS BIGINT), 100) + 600 * (CAST(len(ws) AS BIGINT) - CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) AS BIGINT)) + 75 * least(8 * CAST(len(ws) AS BIGINT), CAST(list_sum([len(w) for w in ws]) AS BIGINT)))) // (2000 * CAST(len(ws) AS BIGINT))) / 1000000.0 AS quality, CAST(len(ws) AS BIGINT) AS n_tokens FROM t), fp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp FROM documents), canon AS (SELECT f.doc_id FROM fp f JOIN (SELECT fp, min(doc_id) AS m FROM fp GROUP BY fp) g ON f.fp = g.fp WHERE f.doc_id = g.m), sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS shingles FROM t WHERE len(ws) >= 3), losers AS (SELECT DISTINCT b.doc_id AS b_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(list_distinct(a.shingles || b.shingles)) >= 0.6) SELECT lang, pred_lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, min(quality) AS min_quality, max(quality) AS max_quality FROM ann WHERE quality >= 0.5 AND doc_id IN (SELECT doc_id FROM canon) AND doc_id NOT IN (SELECT b_id FROM losers) GROUP BY lang, pred_lang",
     "d6_ann_brute" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20), s AS (SELECT q.q_id, e.vec_id AS n_id, list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) / (sqrt(list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)])) * sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]))) AS sim FROM q, e WHERE e.vec_id <> q.q_id), r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s) SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10",
     "d21_ann_ivf_kmedians" ->

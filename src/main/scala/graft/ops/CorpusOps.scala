@@ -28,6 +28,13 @@ object CorpusOps {
   /** Lower-cased whitespace tokens of the normalized text. */
   private def words(text: Column): Column = split(lower(trim(text)), " ")
 
+  /** The exact-dedup canonical fingerprint (d1's identity): md5 of the
+    * sorted distinct word set. ONE definition — d1, d18's canonical stage
+    * and the streaming ingest dedup (s7) must agree byte for byte.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
+
   /** 3-word shingles (distinct) — the near-dup unit. */
   private val ShingleSql =
     "array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"
@@ -43,7 +50,7 @@ object CorpusOps {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        md5(concat_ws(" ", array_sort(array_distinct(words(col("text")))))).as("fp"))
+        fingerprint(col("text")).as("fp"))
       .select(col("doc_id"),
         min(col("doc_id")).over(w).as("canonical_id"),
         count(lit(1)).over(w).as("dup_count"))
@@ -275,7 +282,10 @@ object CorpusOps {
         sum(col("n_tokens")).as("total_tokens"),
         sum(col("n_subtokens")).as("total_subtokens"),
         sum(col("n_chars")).as("total_chars"),
-        round(sum(col("n_stop")).cast("double") / sum(col("n_tokens")), 6).as("stop_ratio"))
+        // exact-ppm ratio, not round(double, 6): the rounded rational sits
+        // on 6 dp half-boundaries where engine rounding rules diverge
+        // (the d11 lesson — see QualityPpmSql)
+        (expr("(1000000 * sum(n_stop)) div sum(n_tokens)") / lit(1000000.0)).as("stop_ratio"))
 
   /** Language-ID n-gram/marker heuristic: score each document against
     * per-language marker-word sets and take the arg-max (deterministic
@@ -323,20 +333,32 @@ object CorpusOps {
     * bounded score. Every input is an exact integer count divided once,
     * so the score is deterministic under any execution order.
     */
-  def d11Quality(spark: SparkSession, sfDir: String): DataFrame = {
-    val ws = words(col("text"))
-    val nTok = size(ws).cast("double")
-    val nStop = size(filter(ws, w => w.isin("the", "a", "of"))).cast("double")
-    val sumLen = expr("aggregate(transform(split(lower(trim(text)), ' '), w -> length(w)), 0, (acc, x) -> acc + x)").cast("double")
-    val score =
-      least(lit(1.0), nTok / 100.0) * 0.4 +
-        (lit(1.0) - nStop / nTok) * 0.3 +
-        least(lit(1.0), (sumLen / nTok) / 8.0) * 0.3
+  /** The d11/d18 quality score at 6 dp, computed ENTIRELY in exact int64
+    * arithmetic: q = 0.4·min(1, n/100) + 0.3·(1 − stop/n) +
+    * 0.3·min(1, len/(8n)) over common denominator 2000n gives
+    * ppm = 10^6·(8n·min(n,100) + 600(n−stop) + 75·min(8n,len)) div 2000n,
+    * then quality = ppm/10^6 (one division of identical operands — the
+    * same double in every engine). The earlier float formulation rounded
+    * a double whose RATIONAL value (denominator 2000n) systematically
+    * terminates near 6 dp half-boundaries, where Spark's BigDecimal
+    * HALF_UP and DuckDB's multiply-path rounding disagree — an observed
+    * 1/500 gate flip at sf0.001.
+    */
+  private val QNTok = "cast(size(split(lower(trim(text)), ' ')) as bigint)"
+  private val QNStop = "cast(size(filter(split(lower(trim(text)), ' '), w -> w in ('the', 'a', 'of'))) as bigint)"
+  private val QSumLen = "cast(aggregate(transform(split(lower(trim(text)), ' '), w -> length(w)), 0, (acc, x) -> acc + x) as bigint)"
+  private val QualityPpmSql =
+    s"(1000000 * (8 * $QNTok * least($QNTok, 100) + 600 * ($QNTok - $QNStop) + " +
+      s"75 * least(8 * $QNTok, $QSumLen))) div (2000 * $QNTok)"
+
+  /** quality at 6 dp as an exact double: integer ppm / 10^6. */
+  private def qualityCol: Column = expr(QualityPpmSql) / lit(1000000.0)
+
+  def d11Quality(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        size(ws).cast("long").as("n_tokens"),
-        round(score, 6).as("quality"))
-  }
+        size(words(col("text"))).cast("long").as("n_tokens"),
+        qualityCol.as("quality"))
 
   /** End-to-end corpus PREPARATION pipeline — the actual 100 TB use case
     * the individual d-operators exist for, composed into one declarative
@@ -357,13 +379,7 @@ object CorpusOps {
     val ws = words(col("text"))
     def score(markers: String*): Column =
       size(filter(ws, w => w.isin(markers: _*))).cast("long")
-    val nTok = size(ws).cast("double")
-    val nStop = size(filter(ws, w => w.isin("the", "a", "of"))).cast("double")
-    val sumLen = expr("aggregate(transform(split(lower(trim(text)), ' '), w -> length(w)), 0, (acc, x) -> acc + x)").cast("double")
-    val quality = round(
-      least(lit(1.0), nTok / 100.0) * 0.4 +
-        (lit(1.0) - nStop / nTok) * 0.3 +
-        least(lit(1.0), (sumLen / nTok) / 8.0) * 0.3, 6)
+    val quality = qualityCol // d11's exact-ppm score (see QualityPpmSql)
     val annotated = docs.select(
       col("doc_id"), col("lang"),
       when(score("the", "a", "of") >= greatest(score("der", "die", "und"),
@@ -376,7 +392,7 @@ object CorpusOps {
       size(ws).cast("long").as("n_tokens"))
     val fpw = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     val canon = docs.select(col("doc_id"),
-        md5(concat_ws(" ", array_sort(array_distinct(words(col("text")))))).as("fp"))
+        fingerprint(col("text")).as("fp"))
       .withColumn("canonical_id", min(col("doc_id")).over(fpw))
       .filter(col("doc_id") === col("canonical_id"))
       .select(col("doc_id"))
@@ -537,23 +553,29 @@ object CorpusOps {
     * guaranteed, exact-integer ratios are. Rank preserves the idf
     * ordering monotonically.
     *
-    * SCALE: one explode of the token stream feeds BOTH aggregations
-    * (tf by (lang, w), df by w via distinct doc — partial aggregation
-    * map-side on each); they rejoin on the term key, vocabulary-sized,
-    * and the top-k per language is a WindowGroupLimit over the scored
-    * vocabulary, never the token stream.
+    * SCALE: tf (by lang, w) and df (by w, distinct doc) are separate
+    * aggregations over the token explode, each with map-side partial
+    * aggregation — the source is tokenized twice (different group keys
+    * cannot share one shuffle; at 100 TB persist the exploded tokens or
+    * accept two scans — two scans beat shuffling the token stream). They
+    * rejoin on the term key, vocabulary-sized, and the top-k per language
+    * is a WindowGroupLimit over the scored vocabulary, never the token
+    * stream. N arrives via a broadcast single-row count aggregate, so the
+    * whole query stays one lazy plan (no eager driver count()), and tf is
+    * widened to double BEFORE the multiply: tf·N stays exact under 2^53
+    * and cannot hit int64 ANSI overflow at corpus scale.
     */
   def d23TfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val nDocs = docs.count()
+    val n = docs.agg(count(lit(1)).as("n_docs"))
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(words(col("text"))).as("w"))
     val tf = toks.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("tf"))
     val df = toks.groupBy(col("w")).agg(count_distinct(col("doc_id")).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("score").desc, col("w").asc)
-    tf.join(df, "w")
-      .withColumn("score", round(col("tf") * lit(nDocs) / col("df"), 6))
+    tf.join(df, "w").crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf").cast("double") * col("n_docs") / col("df"), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("lang"), col("w").as("term"), col("score"), col("rank"))

@@ -29,15 +29,9 @@ object ShardedCorpus {
     * events by partition key; within a shard, file order = doc_id order.
     */
   def materialize(spark: SparkSession, sfDir: String, outDir: String): Unit =
-    Tables.documents(spark, sfDir)
-      .withColumn("shard", pmod(col("doc_id"), lit(NumShards)).cast("int"))
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("doc_id"))
+    ShardedEvents.routed(Tables.documents(spark, sfDir), col("doc_id"), col("doc_id"), NumShards)
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
-  def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val r = spark.readStream.schema(schema)
-    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    r.parquet(dir)
-  }
+  def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    ShardedEvents.openStream(spark, dir, schema, maxFilesPerTrigger)
 }

@@ -60,18 +60,33 @@ object ShardedEvents {
   // within each shard partition so file order = sequence order and
   // downstream consumers observe per-key arrival order
   private def route(events: DataFrame, numShards: Int): DataFrame =
-    events
-      .withColumn("shard", pmod(col("user_id"), lit(numShards)).cast("int"))
+    routed(events, col("user_id"), col("event_id"), numShards)
+
+  /** Route ANY relation into the ordered shard-partitioned layout —
+    * shared by the event stream here and [[ShardedCorpus]], so the
+    * Kinesis-shaped contract (hash routing, in-shard order) has one
+    * definition.
+    */
+  private[streaming] def routed(df: DataFrame, key: org.apache.spark.sql.Column,
+      order: org.apache.spark.sql.Column, numShards: Int): DataFrame =
+    df.withColumn("shard", pmod(key, lit(numShards)).cast("int"))
       .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("event_id"))
+      .sortWithinPartitions(col("shard"), order)
 
   /** Open the sharded directory as a stream. `maxFilesPerTrigger` is the
     * record-intake admission control (O9) and the `throttle` analog (C7):
     * it bounds work per micro-batch the way the reference's size-0 queue
     * bounds the KCL thread.
     */
-  def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val r = spark.readStream.schema(schema)
+  def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    openStream(spark, dir, schema, maxFilesPerTrigger)
+
+  /** The one file-stream opener behind every sharded source (events +
+    * corpus): schema'd parquet tail with optional admission control.
+    */
+  private[streaming] def openStream(spark: SparkSession, dir: String,
+      streamSchema: StructType, maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val r = spark.readStream.schema(streamSchema)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
     r.parquet(dir)
   }

@@ -297,10 +297,8 @@ object StreamingQueries {
     val shardDir = corpusShardDir(spark, sfDir)
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
     val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
-    val ws = split(lower(trim(col("text"))), " ")
     val q = ShardedCorpus.readStream(spark, shardDir)
-      .select(col("lang"),
-        md5(concat_ws(" ", array_sort(array_distinct(ws)))).as("fp"))
+      .select(col("lang"), graft.ops.CorpusOps.fingerprint(col("text")).as("fp"))
       .dropDuplicates(Seq("lang", "fp"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_unique"))
