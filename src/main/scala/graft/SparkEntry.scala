@@ -47,6 +47,8 @@ object SparkEntry {
     "d19_split_assign" -> (ops.CorpusOps.d19SplitAssign _),
     "d20_contamination" -> (ops.CorpusOps.d20Contamination _),
     "d22_stratified_sample" -> (ops.CorpusOps.d22StratifiedSample _),
+    "d25_dedup_clusters" -> (ops.CorpusOps.d25DedupClusters _),
+    "d26_repetition" -> (ops.CorpusOps.d26Repetition _),
     "d23_tfidf_topterms" -> (ops.CorpusOps.d23TfidfTopTerms _),
     "d6_ann_brute" -> (ops.VectorOps.d6AnnBrute _),
     "d7_ann_ivf" -> (ops.VectorOps.d7AnnIvf _),
@@ -147,6 +149,13 @@ object SparkEntry {
       "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS shingles FROM w WHERE len(ws) >= 3), g AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS gh FROM sh, LATERAL unnest(shingles) AS t(s)), ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0) SELECT doc_id, count(*) AS n_shared FROM g JOIN ev USING (gh) WHERE doc_id % 97 <> 0 GROUP BY doc_id",
     "d22_stratified_sample" ->
       "WITH h AS (SELECT doc_id, lang, source, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 15)) AS BIGINT) AS h FROM documents), r AS (SELECT doc_id, lang, source, row_number() OVER (PARTITION BY lang, source ORDER BY h, doc_id) AS rank FROM h) SELECT doc_id, lang, source, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 8",
+    // transitive closure of the brute-force near-dup pair graph via a
+    // recursive CTE; Spark reaches the same fixpoint by min-label
+    // propagation over the LSH pair graph
+    "d25_dedup_clusters" ->
+      "WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS shingles FROM w WHERE len(ws) >= 3), p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(list_distinct(a.shingles || b.shingles)) >= 0.6), e AS (SELECT a_id AS src, b_id AS dst FROM p UNION ALL SELECT b_id, a_id FROM p), reach(src, dst) AS (SELECT src, dst FROM e UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src), lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src) SELECT doc_id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size FROM lab",
+    "d26_repetition" ->
+      "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), w3 AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 3), g AS (SELECT doc_id, 2 AS glen, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g FROM w3 UNION ALL SELECT doc_id, 3 AS glen, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS g FROM w3), c AS (SELECT doc_id, glen, g, count(*) AS cnt FROM g GROUP BY doc_id, glen, g), a AS (SELECT doc_id, glen, max(cnt) AS top, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY doc_id, glen), p AS (SELECT doc_id, max(CASE WHEN glen = 2 THEN top END) AS top2, max(CASE WHEN glen = 2 THEN n END) AS n2, max(CASE WHEN glen = 3 THEN top END) AS top3, max(CASE WHEN glen = 3 THEN n END) AS n3 FROM a GROUP BY doc_id), t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct FROM w3) SELECT t.doc_id AS doc_id, n_tokens, ((1000000 * n_distinct) // n_tokens) / 1000000.0 AS ttr, ((1000000 * top2) // n2) / 1000000.0 AS bigram_rep, ((1000000 * top3) // n3) / 1000000.0 AS trigram_rep FROM t JOIN p ON t.doc_id = p.doc_id",
     "d24_embed_quantize" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), s AS (SELECT vec_id, v, list_max([abs(x) for x in v]) / 127.0 AS scale FROM e), q AS (SELECT vec_id, v, scale, CASE WHEN scale = 0 THEN [0.0 for x in v] ELSE [greatest(-127.0, least(127.0, floor(x / scale + 0.5))) for x in v] END AS qv FROM s) SELECT vec_id, round(scale, 6) AS scale, CAST(len(v) AS BIGINT) AS n_dims, round(list_max([abs(v[i] - qv[i] * scale) for i in range(1, len(v) + 1)]), 6) AS max_err, CAST(len(list_filter(qv, x -> abs(x) = 127.0)) AS BIGINT) AS n_saturated FROM q",
     "d23_tfidf_topterms" ->

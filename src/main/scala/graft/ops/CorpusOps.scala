@@ -607,4 +607,70 @@ object CorpusOps {
       .filter(col("rank") <= StratumN)
       .select(col("doc_id"), col("lang"), col("source"), col("rank").cast("long").as("rank"))
   }
+
+  /** Near-dup CLUSTERS: connected components over the d2 pair graph.
+    * Pair lists are not directly actionable for dedup — if A~B and B~C,
+    * dropping "the second member of each pair" removes B and C even
+    * though A~C may not hold. The transitive closure gives one
+    * cluster_id (smallest member doc_id) per document, from which the
+    * survivor set is `doc_id = cluster_id`.
+    *
+    * SCALE: the pair graph is LSH-sized (O(true near-dups), not O(N²) —
+    * see [[nearDupPairs]]) and [[GraphOps.connectedComponents]] is a
+    * join-per-round propagation over exactly that edge list, so the
+    * clustering step touches only documents that have at least one
+    * near-dup. The DuckDB oracle recomputes the closure with a recursive
+    * CTE over the brute-force pair set.
+    */
+  def d25DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = nearDupPairs(Tables.documents(spark, sfDir))
+      .select(col("a_id"), col("b_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    GraphOps.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        count(lit(1)).over(w).cast("long").as("cluster_size"))
+  }
+
+  /** Repetition + lexical-diversity quality filter (the Gopher-style
+    * "fraction of the text inside the most repeated n-gram" signals):
+    * per document, the top bigram and trigram frequency as a fraction of
+    * all bigrams/trigrams, plus the type-token ratio. All three ratios
+    * are exact ppm integer arithmetic (see [[QualityPpmSql]] for why
+    * round(double, 6) cannot gate an oracle).
+    *
+    * SCALE: the gram streams explode once each and collapse map-side —
+    * a document's grams live in one partition, so the (doc_id, gram)
+    * partial hash aggregation reduces each doc to its distinct grams
+    * before anything shuffles; the second aggregation and the final
+    * doc_id join move only per-doc scalars.
+    */
+  def d26Repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+    def grams(n: Int): DataFrame = {
+      val parts = (0 until n).map(j => if (j == 0) "ws[i]" else s"ws[i+$j]").mkString(", ")
+      base.select(col("doc_id"), lit(n).as("glen"),
+        explode(expr(s"transform(sequence(0, size(ws) - $n), i -> concat_ws(' ', $parts))")).as("g"))
+    }
+    val byLen = grams(2).union(grams(3))
+      .groupBy(col("doc_id"), col("glen"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("glen"))
+      .agg(max(col("cnt")).as("top"), sum(col("cnt")).as("n"))
+    val wide = byLen.groupBy(col("doc_id")).agg(
+      max(when(col("glen") === 2, col("top"))).as("top2"),
+      max(when(col("glen") === 2, col("n"))).as("n2"),
+      max(when(col("glen") === 3, col("top"))).as("top3"),
+      max(when(col("glen") === 3, col("n"))).as("n3"))
+    base.select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"))
+      .join(wide, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        (expr("(1000000 * n_distinct) div n_tokens") / lit(1000000.0)).as("ttr"),
+        (expr("(1000000 * top2) div n2") / lit(1000000.0)).as("bigram_rep"),
+        (expr("(1000000 * top3) div n3") / lit(1000000.0)).as("trigram_rep"))
+  }
 }

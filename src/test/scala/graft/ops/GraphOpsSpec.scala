@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class GraphOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("a 6-node chain needs multiple propagation rounds and still labels everyone with the min") {
+    // diameter 5: strictly more rounds than a star, exercises the loop
+    val labels = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)))
+    labels shouldBe (1L to 6L).map(_ -> 1L).toMap
+  }
+
+  test("disjoint components keep distinct minimum labels; cycles terminate") {
+    val labels = cc(Seq(
+      (10L, 11L), (11L, 12L), (12L, 10L), // triangle (cycle)
+      (7L, 20L),                          // pair bridging id ranges
+      (30L, 31L)))
+    labels shouldBe Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      7L -> 7L, 20L -> 7L,
+      30L -> 30L, 31L -> 30L)
+  }
+
+  test("duplicate and reversed edges do not change the fixpoint") {
+    val labels = cc(Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (2L, 3L)))
+    labels shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+  }
+
+  test("empty edge list yields an empty labeling") {
+    cc(Seq.empty) shouldBe Map.empty
+  }
+}
