@@ -608,6 +608,64 @@ object CorpusOps {
       .select(col("doc_id"), col("lang"), col("source"), col("rank").cast("long").as("rank"))
   }
 
+  /** Tokens per packed training chunk for [[d27PackChunks]]. */
+  private val PackCapacity = 256L
+
+  /** Prefix-sum buckets for [[d27PackChunks]] — the parallelism of the
+    * packing order within each language.
+    */
+  private val PackBuckets = 8
+
+  /** Sequence packing: the pretraining "concatenate the corpus, chunk
+    * into fixed token windows" step. Documents are laid out per language
+    * in deterministic salted-hash order; each doc occupies token span
+    * [tok_start, tok_end) of its language's stream and is assigned every
+    * [[PackCapacity]]-token chunk it overlaps, with its offsets inside
+    * the chunk. Output: (lang, doc_id, chunk_id, begin_off, end_off) —
+    * all exact int64.
+    *
+    * SCALE: a naive global running sum is a single-partition window per
+    * language — the classic scale-killer. This computes the SAME numbers
+    * hierarchically: the layout order is (bucket, h, doc_id) where
+    * bucket = h mod [[PackBuckets]], so each (lang, bucket) partition
+    * cumsums independently in parallel, bucket totals (langs × buckets
+    * rows) prefix-sum on a single tiny partition, and a broadcast join
+    * adds the offsets back. One shuffle for the bucketed window, one
+    * map-side aggregate, zero shuffles after — the chunk explode is a
+    * pipelined Generate. The DuckDB oracle computes the straightforward
+    * global window over the identical order and matches bit for bit,
+    * proving the two-level decomposition exact.
+    */
+  def d27PackChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":pack"))), 1, 15), 16, 10).cast("long")
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(words(col("text"))).cast("long").as("n_tokens"), h.as("h"))
+      .withColumn("b", pmod(col("h"), lit(PackBuckets.toLong)))
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("b")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val local = base.withColumn("local_before",
+      coalesce(sum(col("n_tokens")).over(localW), lit(0L)))
+    val prefW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val prefix = base.groupBy(col("lang"), col("b"))
+      .agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("prefix", coalesce(sum(col("btot")).over(prefW), lit(0L)))
+      .select(col("lang"), col("b"), col("prefix"))
+    local.join(broadcast(prefix), Seq("lang", "b"))
+      .withColumn("tok_start", col("prefix") + col("local_before"))
+      .withColumn("tok_end", col("tok_start") + col("n_tokens"))
+      .withColumn("chunk_id",
+        explode(expr(s"sequence(tok_start div $PackCapacity, (tok_end - 1) div $PackCapacity)")))
+      .select(col("lang"), col("doc_id"), col("chunk_id"),
+        greatest(col("tok_start") - col("chunk_id") * PackCapacity, lit(0L)).as("begin_off"),
+        (least(col("tok_end"), (col("chunk_id") + 1) * PackCapacity)
+          - col("chunk_id") * PackCapacity).as("end_off"))
+  }
+
   /** Near-dup CLUSTERS: connected components over the d2 pair graph.
     * Pair lists are not directly actionable for dedup — if A~B and B~C,
     * dropping "the second member of each pair" removes B and C even
