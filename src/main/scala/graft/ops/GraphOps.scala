@@ -58,11 +58,18 @@ object GraphOps {
       var converged = false
       var round = 0
       while (!converged && round < maxIter) {
-        val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        // localCheckpoint (not just persist): each round's plan references
+        // the previous round's several times, so without truncation the
+        // LOGICAL plan grows geometrically with the round count and
+        // planning itself becomes the bottleneck long before execution
+        // does. Checkpointing each round keeps the plan O(1) per round —
+        // the standard iterative-graph pattern (a multi-executor cluster
+        // uses reliable checkpoints to a shared dir for fault tolerance).
+        val next = sym.join(labels, sym("dst") === labels("id"))
           .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-        val next = labels.join(nbrMin, labels("id") === nbrMin("src"))
+          .join(labels, col("src") === labels("id"))
           .select(col("id"), least(col("label"), col("nbr_min")).as("label"))
-          .persist()
+          .localCheckpoint()
         val cur = checksum(next)
         converged = cur.compareTo(prev) == 0
         prev = cur
@@ -76,5 +83,100 @@ object GraphOps {
     }
     sym.unpersist()
     labels
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14): the
+    * O(log n)-round escalation of [[connectedComponents]] for graphs
+    * whose diameter is NOT small — long chains, lattices, social graphs.
+    * Each round contracts the edge set toward per-component stars whose
+    * center is the component minimum, independent of diameter:
+    *
+    *  - large-star: every node points its LARGER neighbors at the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node points its smaller neighbors (and
+    *    itself) at that minimum.
+    *
+    * Output contract is identical to [[connectedComponents]]:
+    * (id, label) with label = smallest node id in the component
+    * (GraphOpsSpec pins equality on chains, cycles, and random graphs).
+    *
+    * SCALE: each half-round is one map-side-partial min aggregation +
+    * one equi-join on node id — the same co-partitionable shape as
+    * propagation — but the ROUND COUNT is O(log n) in the worst case
+    * instead of O(diameter), and the edge set shrinks monotonically
+    * toward one edge per non-root node. Convergence = the canonical
+    * edge set reaches a fixpoint, detected with an exact DECIMAL(38,0)
+    * potential (sum of endpoint ids): large-star and small-star can
+    * only REPLACE an edge endpoint by a strictly smaller label, so the
+    * potential strictly decreases until fixpoint — same no-second-join
+    * trick as [[connectedComponents]], and collision-free because the
+    * potential is an exact sum, not a hash.
+    */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 40): DataFrame = {
+    val e0 = edges.toDF("x", "y").filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    // nodes of the ORIGINAL graph: star contraction drops isolated-star
+    // members from intermediate edge sets' src side, so labels are
+    // resolved against this list at the end
+    val nodes = e0.select(col("a").as("id")).union(e0.select(col("b").as("id")))
+      .distinct().persist()
+
+    // large-star: for u with closed-neighborhood min m, emit (m, v) for
+    // every neighbor v > u. Output stays canonical: m <= u < v.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+
+    // small-star: for u = b over its smaller neighbors N (canonical
+    // edges already orient a < b), m = min(N); emit (m, v) for
+    // v in N \ {m} and (m, u). Output canonical: m < v and m < u.
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("b")).agg(min(col("a")).as("m"))
+      val nbr = e.join(m, "b").filter(col("a") =!= col("m"))
+        .select(col("m").as("a"), col("a").as("b"))
+      val self = m.select(col("m").as("a"), col("b"))
+      nbr.union(self).distinct()
+    }
+
+    def potential(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum((col("a") + col("b")).cast("decimal(38,0)"))).head().getDecimal(0)
+
+    var cur = e0.persist()
+    var prev = potential(cur)
+    if (prev != null) { // null = no edges: every node labels itself below
+      var converged = false
+      var round = 0
+      while (!converged && round < maxIter) {
+        // localCheckpoint: large-star + small-star reference the previous
+        // round's edge set ~6 times between them, so an untruncated
+        // logical plan grows ~6^rounds — planning would dwarf execution
+        // by round 8. See the matching note in [[connectedComponents]].
+        val next = smallStar(largeStar(cur)).localCheckpoint()
+        val p = potential(next)
+        converged = p.compareTo(prev) == 0
+        prev = p
+        cur.unpersist()
+        cur = next
+        round += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponentsStar did not converge in $maxIter rounds")
+    }
+    // fixpoint edge set is a star per component: (root, member). Roots
+    // and isolated nodes label themselves.
+    val lab = nodes.join(cur.groupBy(col("b")).agg(min(col("a")).as("root")),
+        nodes("id") === col("b"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("label"))
+    nodes.unpersist()
+    lab
   }
 }

@@ -37,4 +37,42 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
   test("empty edge list yields an empty labeling") {
     cc(Seq.empty) shouldBe Map.empty
   }
+
+  private def ccStar(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.connectedComponentsStar(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("large-star/small-star agrees with propagation on a long chain (its worst case)") {
+    // diameter 19: propagation needs ~19 rounds, star contraction O(log n)
+    val chain = (1L until 20L).map(i => (i, i + 1))
+    ccStar(chain) shouldBe cc(chain)
+    ccStar(chain) shouldBe (1L to 20L).map(_ -> 1L).toMap
+  }
+
+  test("large-star/small-star agrees with propagation on cycles, bridges and duplicates") {
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 10L), // triangle
+      (7L, 20L), (20L, 7L), (7L, 20L),    // duplicated + reversed pair
+      (30L, 31L), (31L, 32L), (32L, 33L), // path
+      (0L, 40L))                          // min-id zero endpoint
+    ccStar(edges) shouldBe cc(edges)
+  }
+
+  test("large-star/small-star agrees with propagation on a pseudo-random graph") {
+    // deterministic LCG edge set: multiple mid-size components with
+    // nontrivial structure (no fixture dependence, no RNG nondeterminism)
+    var x = 12345L
+    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) >>> 1; x }
+    val edges = (1 to 120).map { _ =>
+      val a = next() % 60; val b = next() % 60
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    ccStar(edges) shouldBe cc(edges)
+  }
+
+  test("star contraction on the empty graph is empty") {
+    ccStar(Seq.empty) shouldBe Map.empty
+  }
 }
