@@ -50,6 +50,7 @@ object SparkEntry {
     "d25_dedup_clusters" -> (ops.CorpusOps.d25DedupClusters _),
     "d26_repetition" -> (ops.CorpusOps.d26Repetition _),
     "d27_pack_chunks" -> (ops.CorpusOps.d27PackChunks _),
+    "d28_dup_spans" -> (ops.CorpusOps.d28DupSpans _),
     "d23_tfidf_topterms" -> (ops.CorpusOps.d23TfidfTopTerms _),
     "d6_ann_brute" -> (ops.VectorOps.d6AnnBrute _),
     "d7_ann_ivf" -> (ops.VectorOps.d7AnnIvf _),
@@ -76,6 +77,8 @@ object SparkEntry {
     "s6_stream_stream_join" -> (streaming.StreamingQueries.s6StreamStreamJoin _),
     "s7_stream_corpus_dedup" -> (streaming.StreamingQueries.s7StreamCorpusDedup _),
     "s8_stream_neardup" -> (streaming.StreamingQueries.s8StreamNearDup _),
+    "s9_stream_session" -> (streaming.StreamingQueries.s9StreamSession _),
+    "s10_stream_contamination" -> (streaming.StreamingQueries.s10StreamContamination _),
     // relational coverage (SURVEY.md §2D → Spark built-ins)
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_revenue_by_nation" -> (ops.RelationalOps.qRevenueByNation _),
@@ -162,6 +165,10 @@ object SparkEntry {
       "WITH d AS (SELECT doc_id, lang, CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 15)) AS BIGINT) AS h FROM documents), s AS (SELECT doc_id, lang, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h % 8, h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start FROM d), g AS (SELECT lang, doc_id, tok_start, tok_start + n_tokens AS tok_end, unnest(range(tok_start // 256, ((tok_start + n_tokens - 1) // 256) + 1)) AS chunk_id FROM s) SELECT lang, doc_id, chunk_id, greatest(tok_start - chunk_id * 256, 0) AS begin_off, least(tok_end, (chunk_id + 1) * 256) - chunk_id * 256 AS end_off FROM g",
     "d26_repetition" ->
       "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), w3 AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 3), g AS (SELECT doc_id, 2 AS glen, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g FROM w3 UNION ALL SELECT doc_id, 3 AS glen, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS g FROM w3), c AS (SELECT doc_id, glen, g, count(*) AS cnt FROM g GROUP BY doc_id, glen, g), a AS (SELECT doc_id, glen, max(cnt) AS top, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY doc_id, glen), p AS (SELECT doc_id, max(CASE WHEN glen = 2 THEN top END) AS top2, max(CASE WHEN glen = 2 THEN n END) AS n2, max(CASE WHEN glen = 3 THEN top END) AS top3, max(CASE WHEN glen = 3 THEN n END) AS n3 FROM a GROUP BY doc_id), t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct FROM w3) SELECT t.doc_id AS doc_id, n_tokens, ((1000000 * n_distinct) // n_tokens) / 1000000.0 AS ttr, ((1000000 * top2) // n2) / 1000000.0 AS bigram_rep, ((1000000 * top3) // n3) / 1000000.0 AS trigram_rep FROM t JOIN p ON t.doc_id = p.doc_id",
+    // duplicate-substring spans: both engines hash the same 8-word
+    // windows to 60-bit md5 prefixes, so parity is exact by construction
+    "d28_dup_spans" ->
+      "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), g0 AS (SELECT doc_id, unnest([{'p': CAST(i - 1 AS BIGINT), 's': array_to_string(ws[i:i+7], ' ')} for i in range(1, len(ws) - 6)]) AS u FROM w WHERE len(ws) >= 8), g AS (SELECT doc_id, u.p AS pos, CAST(('0x' || substr(md5(u.s), 1, 15)) AS BIGINT) AS gh FROM g0), d AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2), m AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gh)), s AS (SELECT doc_id, pos, CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 THEN 0 ELSE 1 END AS step FROM m), i AS (SELECT doc_id, pos, sum(step) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM s) SELECT doc_id, min(pos) AS span_begin, max(pos) + 8 AS span_end, count(*) AS n_grams FROM i GROUP BY doc_id, island",
     "d24_embed_quantize" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), s AS (SELECT vec_id, v, list_max([abs(x) for x in v]) / 127.0 AS scale FROM e), q AS (SELECT vec_id, v, scale, CASE WHEN scale = 0 THEN [0.0 for x in v] ELSE [greatest(-127.0, least(127.0, floor(x / scale + 0.5))) for x in v] END AS qv FROM s) SELECT vec_id, round(scale, 6) AS scale, CAST(len(v) AS BIGINT) AS n_dims, round(list_max([abs(v[i] - qv[i] * scale) for i in range(1, len(v) + 1)]), 6) AS max_err, CAST(len(list_filter(qv, x -> abs(x) = 127.0)) AS BIGINT) AS n_saturated FROM q",
     "d23_tfidf_topterms" ->
@@ -231,6 +238,13 @@ object SparkEntry {
     // incremental LSH near-dup at ingest == the batch d2 answer
     "s8_stream_neardup" ->
       "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS shingles FROM w WHERE len(ws) >= 3), p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(list_distinct(a.shingles || b.shingles)) AS j FROM sh a JOIN sh b ON a.doc_id < b.doc_id) SELECT a_id, b_id, round(j, 6) AS jaccard FROM p WHERE j >= 0.6",
+    // at-ingest contamination probe (stream-static broadcast join) ==
+    // the batch d20 answer
+    "s10_stream_contamination" ->
+      "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS shingles FROM w WHERE len(ws) >= 3), g AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS gh FROM sh, LATERAL unnest(shingles) AS t(s)), ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0) SELECT doc_id, count(*) AS n_shared FROM g JOIN ev USING (gh) WHERE doc_id % 97 <> 0 GROUP BY doc_id",
+    // streaming session_window == the batch gaps-and-islands sessions
+    "s9_stream_session" ->
+      "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_sess FROM events), s AS (SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g) SELECT user_id, min(ts) AS session_start, count(*) AS n_events FROM s GROUP BY user_id, sid",
     "q_pricing_summary" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, round(avg(l_quantity), 4) AS avg_qty, count(*) AS n FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus",
     "q_revenue_by_nation" ->

@@ -508,15 +508,22 @@ object CorpusOps {
     * shared-gram count.
     */
   def d20Contamination(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = shingleSets(Tables.documents(spark, sfDir))
-      .select(col("doc_id"),
-        explode(graft.functions.Md5Prefix64.md5Prefix64(col("shingles"))).as("gh"))
+    val grams = gramHashRows(Tables.documents(spark, sfDir))
     val evalGrams = grams.filter(col("doc_id") % 97 === 0).select(col("gh")).distinct()
     grams.filter(col("doc_id") % 97 =!= 0)
       .join(broadcast(evalGrams), "gh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Exploded distinct 60-bit shingle-hash rows `(doc_id, gh)` for any
+    * `(doc_id, text)` relation — per-row projection + explode only, so
+    * the same code binds to a batch table (d20) or a `readStream` ingest
+    * source (s10's at-ingest contamination probe).
+    */
+  def gramHashRows(docs: DataFrame): DataFrame =
+    shingleSets(docs).select(col("doc_id"),
+      explode(graft.functions.Md5Prefix64.md5Prefix64(col("shingles"))).as("gh"))
 
   /** `(band_key, doc_id, grams)` rows for any `(doc_id, text)` relation —
     * batch or STREAMING (every step is a per-row projection + explode, so
@@ -730,5 +737,64 @@ object CorpusOps {
         (expr("(1000000 * n_distinct) div n_tokens") / lit(1000000.0)).as("ttr"),
         (expr("(1000000 * top2) div n2") / lit(1000000.0)).as("bigram_rep"),
         (expr("(1000000 * top3) div n3") / lit(1000000.0)).as("trigram_rep"))
+  }
+
+  /** Window width (words) of the duplicate-substring unit for
+    * [[d28DupSpans]].
+    */
+  private val SpanW = 8
+
+  /** Duplicate-SUBSTRING span detection (the span-level dedup of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better" —
+    * doc-level near-dup d2/d14 is blind to a boilerplate paragraph pasted
+    * into thousands of otherwise-unique documents): any [[SpanW]]-word
+    * window whose text occurs more than once in the corpus marks its
+    * token range, and overlapping/adjacent marked ranges merge into
+    * maximal spans. Output: (doc_id, span_begin, span_end, n_grams) —
+    * token offsets [begin, end) a span-cut pass would remove, n_grams =
+    * duplicated windows merged into the span.
+    *
+    * SCALE: the exact suffix-array formulation of the paper is replaced
+    * by its standard distributed approximation — fixed-width window
+    * hashing. Only 8-byte window hashes shuffle (never window text):
+    * once for the global occurrence count (partial map-side agg), once
+    * for the hash equi-join marking duplicated positions, once
+    * partitioned by doc_id for the merge. The merge itself is
+    * gaps-and-islands: spans sorted by position within a doc start a new
+    * island exactly when they clear the previous window (`pos > prev +
+    * W`), so one lag + one running sum + one grouped agg — and the
+    * groupBy(doc_id, island) reuses the window's hash-partitioning on
+    * doc_id (no fourth shuffle). The oracle recomputes everything from
+    * the same md5-prefix hashes, so parity is exact even under a
+    * (negligible, 2^-60) hash collision.
+    */
+  def d28DupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    dupSpans(Tables.documents(spark, sfDir))
+
+  /** [[d28DupSpans]] over any `(doc_id, text)` relation. */
+  def dupSpans(docs: DataFrame): DataFrame = {
+    val slices = s"transform(sequence(0, size(ws) - $SpanW), " +
+      s"i -> concat_ws(' ', slice(ws, i + 1, $SpanW)))"
+    val grams = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= SpanW)
+      .select(col("doc_id"),
+        posexplode(graft.functions.Md5Prefix64.md5Prefix64(expr(slices))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gh"))
+    val dup = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("gh"))
+    val marked = grams.join(dup, "gh").select(col("doc_id"), col("pos"))
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      // null lag (first row of a doc) falls through to otherwise(1): a new island
+      .withColumn("step",
+        when(col("pos") <= lag(col("pos"), 1).over(byPos) + SpanW, lit(0L)).otherwise(lit(1L)))
+      .withColumn("island", sum(col("step")).over(byPos))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_begin"),
+        (max(col("pos")) + SpanW).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_begin"), col("span_end"), col("n_grams"))
   }
 }

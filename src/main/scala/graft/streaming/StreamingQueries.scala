@@ -394,4 +394,75 @@ object StreamingQueries {
     q.awaitTermination()
     spark.table(mem)
   }
+
+  /** At-INGEST benchmark-contamination probe: d20's n-gram collision
+    * check as a STREAM-STATIC join — the held-out eval slice is a static
+    * broadcast table of 60-bit shingle hashes, and arriving documents
+    * probe it as they stream in, so contaminated training documents are
+    * flagged before they ever land in the corpus. Demonstrates the
+    * stream-static broadcast equi-join primitive (s6 is stream-stream;
+    * this is the other join shape Structured Streaming offers).
+    *
+    * SCALE: the static side is benchmark-sized and broadcast once; the
+    * streaming side never shuffles its exploded grams before the probe
+    * (same plan shape as batch d20). State = the running per-doc counts.
+    * Oracle = d20's batch SQL: streaming == batch, shard-order
+    * independent because the probe is per-gram and counts are
+    * commutative.
+    */
+  def s10StreamContamination(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
+    val shardDir = corpusShardDir(spark, sfDir)
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
+    val evalGrams = graft.ops.CorpusOps.gramHashRows(
+        graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 97 === 0))
+      .select(col("gh")).distinct()
+    val q = graft.ops.CorpusOps.gramHashRows(
+        ShardedCorpus.readStream(spark, shardDir).filter(col("doc_id") % 97 =!= 0))
+      .join(broadcast(evalGrams), "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
+
+  /** Streaming event-time SESSIONIZATION: the native `session_window`
+    * operator (q_session_window's batch twin) run as a streaming
+    * aggregation — the MERGING-window state operator, qualitatively
+    * different from s1's tumbling windows (a late event can fuse two
+    * open sessions into one, so state is per-session ranges, not
+    * per-fixed-bucket counters). Oracle = the batch gaps-and-islands
+    * answer: streaming == batch is exactly the reference's delivery
+    * oracle, applied to the hardest stateful operator in the suite.
+    *
+    * SCALE: state is one (start, end, count) range per OPEN session per
+    * user; with the 1-hour watermark closed sessions age out of the
+    * store. Complete mode here is a memory-sink artifact (the gate
+    * compares a full table); production emits closed sessions in append
+    * mode with the same plan and watermark-bounded state.
+    */
+  def s9StreamSession(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
+    val (shardDir, ckpt, mem) = freshDirs(spark, sfDir)
+    val q = ShardedEvents.readStream(spark, shardDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
 }

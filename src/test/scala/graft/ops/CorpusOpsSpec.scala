@@ -162,4 +162,51 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
       assert(n >= 1 && n <= shingleCounts(id), s"doc $id shares $n of ${shingleCounts(id)} shingles")
     }
   }
+
+  test("d28 dup-span merge: shared runs mark exact token ranges, islands merge, unique text is silent") {
+    import spark.implicits._
+    // w0..w19 are 20 distinct words; doc 1 and doc 2 share words 4..15
+    // (a 12-word run = five 8-windows at positions 4..8 of doc 1), and
+    // doc 3 repeats doc 1's words 0..7 (one window at position 0). Doc 1
+    // therefore has TWO duplicated regions that merge into islands
+    // [0,8) and [4,16) -> one island [0,16); doc 4 is fully unique.
+    val w = (0 until 40).map(i => s"w$i")
+    def doc(ws: Seq[String]) = ws.mkString(" ")
+    val docs = Seq(
+      (1L, doc(w.slice(0, 20))),                       // w0..w19
+      (2L, doc(Seq("x0", "x1") ++ w.slice(4, 16) ++ Seq("x2", "x3"))), // shares w4..w15
+      (3L, doc(w.slice(0, 8) ++ Seq("y0", "y1"))),     // shares w0..w7
+      (4L, doc((20 until 40).map(i => s"u$i")))        // unique
+    ).toDF("doc_id", "text")
+    val spans = CorpusOps.dupSpans(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), (r.getAs[Long]("span_begin"), r.getAs[Long]("span_end"), r.getAs[Long]("n_grams"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toList).toMap
+    // doc 1: window [0,8) (shared with doc 3) and windows 4..8 (shared
+    // with doc 2, covering [4,16)) overlap -> single merged span [0,16)
+    spans(1L) shouldBe List((0L, 16L, 6L))
+    // doc 2: its shared run w4..w15 sits at offsets 2..13 -> windows 2..6
+    spans(2L) shouldBe List((2L, 14L, 5L))
+    // doc 3: exactly the one shared window at position 0
+    spans(3L) shouldBe List((0L, 8L, 1L))
+    spans.get(4L) shouldBe None
+  }
+
+  test("d28 spans at sf0.001 are well-formed, disjoint and window-consistent") {
+    val rows = CorpusOps.d28DupSpans(spark, sf001).collect()
+    assert(rows.nonEmpty) // planted dups guarantee shared 8-word runs
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val spans = rs.map(r => (r.getAs[Long]("span_begin"), r.getAs[Long]("span_end"), r.getAs[Long]("n_grams"))).sortBy(_._1)
+      spans.foreach { case (b, e, n) =>
+        assert(b >= 0 && e - b >= 8, s"doc $id span [$b,$e) narrower than one window")
+        assert(n >= 1 && n <= e - b - 7, s"doc $id span [$b,$e) claims $n windows")
+      }
+      spans.sliding(2).foreach {
+        case Array((_, e1, _), (b2, _, _)) =>
+          // islands merge any window starting at or before the previous
+          // end, so surviving neighbors must start strictly after it
+          assert(b2 > e1, s"doc $id spans ending $e1 / starting $b2 should have merged")
+        case _ =>
+      }
+    }
+  }
 }
