@@ -739,6 +739,42 @@ object CorpusOps {
         (expr("(1000000 * top3) div n3") / lit(1000000.0)).as("trigram_rep"))
   }
 
+  /** Language-MIXTURE rebalancing — the "data mixing" step of a
+    * pretraining pipeline: downsample every language to (approximately)
+    * the size of the smallest one by a deterministic per-document hash
+    * gate. Each language keeps documents whose hash bucket (md5 top-60
+    * bits mod 1e6, salt `:mix`) falls under its keep rate
+    * `rate_ppm = floor(1e6 * n_min / n_lang)` — reproducible under
+    * retries/speculation where `rand()` is not, and tunable to ANY
+    * target mixture by swapping the rate table. Output:
+    * (doc_id, lang, rate_ppm) for kept documents.
+    *
+    * SCALE: this is the RATE form, not the exact-N form — the corpus
+    * side never shuffles and never ranks. The per-lang counts are one
+    * partial+final aggregate over (lang) — a few dozen rows — the global
+    * min is a one-row aggregate of THAT, and the rate table broadcasts
+    * back for a per-row predicate. An exact-N variant needs a per-lang
+    * total order (see d22's WindowGroupLimit for the bounded-N case or
+    * d27's two-level prefix sum for the unbounded one); at corpus scale
+    * mixture weights are rates, and the hash gate keeps them exact-ppm
+    * deterministic so the DuckDB oracle reproduces the selection
+    * bit for bit.
+    */
+  def d29LangMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val nmin = counts.agg(min(col("n")).as("nmin"))
+    val rates = counts.crossJoin(nmin) // both sides are lang-cardinality tiny
+      .select(col("lang"), expr("(1000000 * nmin) div n").as("rate_ppm"))
+    val hb = pmod(conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 15), 16, 10).cast("long"),
+      lit(1000000L))
+    docs.select(col("doc_id"), col("lang"), hb.as("hb"))
+      .join(broadcast(rates), "lang")
+      .filter(col("hb") < col("rate_ppm"))
+      .select(col("doc_id"), col("lang"), col("rate_ppm"))
+  }
+
   /** Window width (words) of the duplicate-substring unit for
     * [[d28DupSpans]].
     */

@@ -121,6 +121,28 @@ object RelationalOps {
         round(element_at(col("ps"), 2), 4).as("p90"),
         col("n"))
 
+  /** The 100 TB form of [[qPercentiles]] + [[qDistinctSuppliers]] in one
+    * pass: `approx_percentile` (mergeable quantile sketch with a fixed
+    * accuracy knob — bounded memory per group where exact percentile
+    * state is O(distinct values)) and `approx_count_distinct` (HLL++,
+    * ~kilobytes per group at 2% rsd where exact distinct forces a
+    * two-phase shuffle of every distinct pair). Sketch bits depend on
+    * merge order, so there is NO value-exact SQL oracle (driver records
+    * a rows-only check); ApproxStatsSpec pins the error bounds against
+    * the exact answers instead — the contract a sketch actually makes.
+    */
+  def qApproxStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").as("ps"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("n_supp_approx"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p50_approx"),
+        round(element_at(col("ps"), 2), 4).as("p90_approx"),
+        col("n_supp_approx"), col("n"))
+
   /** Pivot: per-customer order counts by priority — conditional
     * aggregation with a FIXED pivot-value list (never an implicit
     * distinct-scan of the pivot column, which at scale is a separate
