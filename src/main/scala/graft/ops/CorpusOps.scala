@@ -739,6 +739,31 @@ object CorpusOps {
         (expr("(1000000 * top3) div n3") / lit(1000000.0)).as("trigram_rep"))
   }
 
+  /** Tokenizer-induction primitive: the corpus-wide adjacent-token-pair
+    * frequency count that drives one BPE merge step (the top pair is the
+    * next merge; training iterates this, re-tokenizing between rounds —
+    * demonstrated here as the single-iteration primitive, which is where
+    * all the data volume is). Output: the 20 most frequent adjacent
+    * pairs with exact counts, ties broken by pair text so both engines
+    * pick the same boundary set.
+    *
+    * SCALE: pairs collapse MAP-SIDE (partial hash agg on the exploded
+    * pair stream reduces each partition to its distinct pairs) before
+    * one shuffle of (pair, partial count); the top-k is
+    * TakeOrderedAndProject over the aggregated vocabulary — no global
+    * sort of the pair stream, no second shuffle.
+    */
+  def d30BpePairs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(
+        expr("transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', ws[i], ws[i+1]))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+
   /** Language-MIXTURE rebalancing — the "data mixing" step of a
     * pretraining pipeline: downsample every language to (approximately)
     * the size of the smallest one by a deterministic per-document hash

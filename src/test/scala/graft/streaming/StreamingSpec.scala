@@ -389,6 +389,69 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       s"state grew to ${stateRows.max} — unbounded (an unwatermarked join would hold $totalPc)")
   }
 
+  test("streaming session_window APPEND mode: closed sessions emit exactly once; open-session state is bounded") {
+    // the production form of s9's complete-mode sessionization
+    // (StreamingQueries.scala): in append mode a session emits exactly
+    // once, when the watermark passes its close, and its state row is
+    // evicted — state is O(open sessions), not O(all sessions ever)
+    val base = newBase()
+    val dir = s"$base/shards"
+    val events = graft.Tables.events(spark, sf001)
+    val tsCuts = events
+      .selectExpr("percentile(cast(ts as double), array(0.3333, 0.6667)) as c")
+      .head().getSeq[Double](0)
+    def tranche(lo: Option[Double], hi: Option[Double]) = {
+      val t = events
+      val lof = lo.map(v => t.filter(col("ts").cast("double") > v)).getOrElse(t)
+      hi.map(v => lof.filter(col("ts").cast("double") <= v)).getOrElse(lof)
+    }
+    val tranches = Seq(
+      tranche(None, Some(tsCuts(0))),
+      tranche(Some(tsCuts(0)), Some(tsCuts(1))),
+      tranche(Some(tsCuts(1)), None))
+
+    ShardedEvents.appendTranche(tranches.head, dir, 4)
+    val got = mutable.Buffer.empty[(Long, java.sql.Timestamp, Long)]
+    val q = ShardedEvents.readStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    tranches.tail.foreach { t =>
+      ShardedEvents.appendTranche(t, dir, 4)
+      q.processAllAvailable()
+    }
+    val stateRows = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal)
+    StreamControl.stopGracefully(q)
+
+    // batch truth: the same session_window aggregation over everything
+    val batchSessions = events
+      .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+
+    val g = got.synchronized(got.toVector)
+    assert(g.nonEmpty, "the advancing watermark must close and emit early sessions")
+    g.size shouldBe g.toSet.size // each closed session emitted exactly once
+    assert(g.toSet.subsetOf(batchSessions),
+      "every emitted session must match the batch aggregation exactly")
+    // sessions still open at the end never emitted — and were never state-resident together
+    assert(stateRows.max < batchSessions.size,
+      s"state grew to ${stateRows.max} — unbounded (all-sessions would hold ${batchSessions.size})")
+  }
+
   test("seek latest: only records appended after the stream opens are delivered") {
     // ConsumerConfig.scala:115-139 `latest`: subscribe at the current end
     // of every shard; pre-existing records are never delivered, records
