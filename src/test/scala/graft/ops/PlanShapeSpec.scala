@@ -118,6 +118,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     p.sliding("Exchange hashpartitioning".length).count(_ == "Exchange hashpartitioning") should be <= 1
   }
 
+  test("d28_dup_spans: island merge reuses the doc_id window partitioning — no extra exchange") {
+    val p = plan("d28_dup_spans")
+    // exactly: gram-count shuffle, dup-set side (broadcast or shuffle),
+    // doc_id window shuffle. The final groupBy(doc_id, island) must ride
+    // the window's hashpartitioning(doc_id), never re-shuffle.
+    p.sliding("Exchange hashpartitioning".length).count(_ == "Exchange hashpartitioning") should be <= 3
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d30_bpe_pairs: map-side pair collapse + top-k without a global sort") {
+    val p = plan("d30_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not globally sort:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort leaked into top-k:\n$p")
+    // one shuffle: the (pair, partial count) aggregate
+    p.sliding("Exchange hashpartitioning".length).count(_ == "Exchange hashpartitioning") should be <= 1
+  }
+
+  test("d29_lang_mixture: corpus side joins the broadcast rate table and never shuffles") {
+    val p = plan("d29_lang_mixture")
+    assert(p.contains("BroadcastHashJoin"), s"rate table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus side must not shuffle for the rate join:\n$p")
+  }
+
   test("GLOBAL: no batch query plans a cartesian product; BNLJ only with a bounded build side") {
     // d6 broadcasts the bounded query set by design (SURVEY §8); d23 and
     // d29 cross-join a broadcast SINGLE-ROW aggregate (the corpus-size /
