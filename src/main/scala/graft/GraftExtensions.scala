@@ -112,6 +112,10 @@ object GraftExtensions {
         longsArg("wordshingle_minhash", "seedsA")(args(2)),
         longsArg("wordshingle_minhash", "seedsB")(args(3)),
         longArg("wordshingle_minhash", "p")(args(4)))
+    },
+    fn("word_window_md5", classOf[WordWindowMd5]) { args =>
+      arity("word_window_md5", args, 2)
+      WordWindowMd5(args(0), intArg("word_window_md5", "w")(args(1)))
     })
 
   /** Programmatic registration into an already-running session (the

@@ -832,15 +832,19 @@ object CorpusOps {
   def d28DupSpans(spark: SparkSession, sfDir: String): DataFrame =
     dupSpans(Tables.documents(spark, sfDir))
 
-  /** [[d28DupSpans]] over any `(doc_id, text)` relation. */
+  /** [[d28DupSpans]] over any `(doc_id, text)` relation. The window
+    * hashes come from the fused [[graft.functions.WordWindowMd5]] kernel
+    * (one digest per byte RANGE of the normalized text — the composed
+    * transform/slice/concat_ws form allocates one window string per
+    * token through interpreted lambdas; WordWindowMd5Spec pins them
+    * bit-identical).
+    */
   def dupSpans(docs: DataFrame): DataFrame = {
-    val slices = s"transform(sequence(0, size(ws) - $SpanW), " +
-      s"i -> concat_ws(' ', slice(ws, i + 1, $SpanW)))"
     val grams = docs
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= SpanW)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .filter(size(split(col("t"), " ")) >= SpanW)
       .select(col("doc_id"),
-        posexplode(graft.functions.Md5Prefix64.md5Prefix64(expr(slices))))
+        posexplode(graft.functions.WordWindowMd5.wordWindowMd5(col("t"), SpanW)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gh"))
     val dup = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("gh"))
