@@ -67,6 +67,7 @@ object SparkEntry {
     "d15_frame_sample" -> (ops.MultimodalOps.d15FrameSample _),
     "d17_resize" -> (ops.MultimodalOps.d17Resize _),
     "d9_embed_neardup" -> (ops.VectorOps.d9EmbedNeardup _),
+    "d31_ann_filtered" -> (ops.VectorOps.d31AnnFiltered _),
     "d16_srp_neardup" -> (ops.VectorOps.d16SrpNeardup _),
     // end-to-end Structured Streaming (sharded file source, checkpoint,
     // watermark, memory sink) run synchronously via Trigger.AvailableNow
@@ -216,6 +217,9 @@ object SparkEntry {
         "SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10"),
     "d7_ann_ivf" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e WHERE vec_id < 20), s AS (SELECT q.q_id, e.vec_id AS n_id, list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) / (sqrt(list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)])) * sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]))) AS sim FROM q JOIN e ON e.label = q.q_label AND e.vec_id <> q.q_id), r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s) SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10",
+    // hybrid search: metadata predicate prunes BEFORE the distance math
+    "d31_ann_filtered" ->
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), en AS (SELECT e.vec_id, e.v FROM e JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'en'), q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20), s AS (SELECT q.q_id, en.vec_id AS n_id, list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) / (sqrt(list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)])) * sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]))) AS sim FROM q, en WHERE en.vec_id <> q.q_id), r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s) SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10",
     "d8_multimodal_decode" ->
       "WITH j AS (SELECT d.doc_id, d.lang, d.text, CAST(e.embedding AS DOUBLE[]) AS v FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id), h AS (SELECT doc_id, lang, octet_length(CAST(text AS BLOB)) AS byte_len, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h, v FROM j) SELECT doc_id, lang, byte_len, h % 640 + 1 AS width, h % 480 + 1 AS height, ['png', 'jpg', 'webp'][CAST(h % 3 AS INT) + 1] AS format, len(v) AS emb_dim, round(sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)])), 6) AS emb_norm FROM h",
     "d15_frame_sample" ->

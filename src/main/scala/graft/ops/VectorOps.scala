@@ -64,6 +64,33 @@ object VectorOps {
     topK(scored)
   }
 
+  /** FILTERED ANN — the "hybrid search" every production vector store
+    * needs: top-k cosine neighbors restricted by a METADATA predicate
+    * (here: the document's language, via the documents↔embeddings PK
+    * join). The predicate applies BEFORE any distance math — filter-
+    * then-search, not search-then-filter, which at selective predicates
+    * both wastes distance compute and under-fills k.
+    *
+    * SCALE: the metadata predicate is pushed to the documents scan
+    * (column-pruned to (doc_id, lang)); the PK equi-join prunes the
+    * vector side before the broadcast-query scoring pass, which then
+    * runs exactly like [[d6AnnBrute]] on the survivors — no shuffle of
+    * the vector side beyond the PK join, per-query top-k in one window
+    * pass over group-limited rows.
+    */
+  def d31AnnFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    val enIds = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.join(enIds, "vec_id")
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("qv"), col("v")).as("sim"))
+    topK(scored)
+  }
+
   /** Block edge length for the d9 blocked self-join. Per-task memory is
     * O(2·B·dim); B is small here so the fixture corpora exercise several
     * block pairs — at 100 TB you size B so one block pair (~2·B·dim·8

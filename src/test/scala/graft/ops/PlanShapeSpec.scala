@@ -144,12 +144,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
   }
 
   test("GLOBAL: no batch query plans a cartesian product; BNLJ only with a bounded build side") {
-    // d6 broadcasts the bounded query set by design (SURVEY §8); d23 and
-    // d29 cross-join a broadcast SINGLE-ROW aggregate (the corpus-size /
-    // min-lang-count scalar). Nothing else may nested-loop. Streaming
-    // queries (s*) execute on call and are covered by their own gate
-    // rows + StreamingSpec.
-    val allowedBnlj = Set("d6_ann_brute", "d23_tfidf_topterms", "d29_lang_mixture")
+    // d6/d31 broadcast the bounded query set by design (SURVEY §8); d23
+    // and d29 cross-join a broadcast SINGLE-ROW aggregate (the
+    // corpus-size / min-lang-count scalar). Nothing else may nested-loop.
+    // Streaming queries (s*) execute on call and are covered by their own
+    // gate rows + StreamingSpec.
+    val allowedBnlj =
+      Set("d6_ann_brute", "d31_ann_filtered", "d23_tfidf_topterms", "d29_lang_mixture")
     SparkEntry.queries.keys.filterNot(_.startsWith("s")).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
