@@ -82,6 +82,7 @@ object SparkEntry {
     "s8_stream_neardup" -> (streaming.StreamingQueries.s8StreamNearDup _),
     "s9_stream_session" -> (streaming.StreamingQueries.s9StreamSession _),
     "s10_stream_contamination" -> (streaming.StreamingQueries.s10StreamContamination _),
+    "s11_stream_dup_positions" -> (streaming.StreamingQueries.s11StreamDupPositions _),
     // relational coverage (SURVEY.md §2D → Spark built-ins)
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_revenue_by_nation" -> (ops.RelationalOps.qRevenueByNation _),
@@ -258,6 +259,10 @@ object SparkEntry {
     // the batch d20 answer
     "s10_stream_contamination" ->
       "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS shingles FROM w WHERE len(ws) >= 3), g AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS gh FROM sh, LATERAL unnest(shingles) AS t(s)), ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0) SELECT doc_id, count(*) AS n_shared FROM g JOIN ev USING (gh) WHERE doc_id % 97 <> 0 GROUP BY doc_id",
+    // incremental dup-span marking at ingest == batch d28's marked
+    // positions (the pre-island-merge set), shard-order independent
+    "s11_stream_dup_positions" ->
+      "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), g0 AS (SELECT doc_id, unnest([{'p': CAST(i - 1 AS BIGINT), 's': array_to_string(ws[i:i+7], ' ')} for i in range(1, len(ws) - 6)]) AS u FROM w WHERE len(ws) >= 8), g AS (SELECT doc_id, u.p AS pos, CAST(('0x' || substr(md5(u.s), 1, 15)) AS BIGINT) AS gh FROM g0), d AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2) SELECT g.doc_id, g.pos FROM g JOIN d USING (gh)",
     // streaming session_window == the batch gaps-and-islands sessions
     "s9_stream_session" ->
       "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_sess FROM events), s AS (SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g) SELECT user_id, min(ts) AS session_start, count(*) AS n_events FROM s GROUP BY user_id, sid",

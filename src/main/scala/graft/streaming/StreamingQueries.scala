@@ -395,6 +395,88 @@ object StreamingQueries {
     spark.table(mem)
   }
 
+  /** One w-word window occurrence of the document ingest stream (see
+    * [[s11StreamDupPositions]]). */
+  case class GramOccurrence(gh: Long, doc_id: Long, pos: Long)
+  /** Per-gram dup-detection state: the first occurrence seen, and
+    * whether a second DISTINCT occurrence has already surfaced it. */
+  case class GramFirst(docId: Long, pos: Long, multi: Boolean)
+  /** A marked duplicate position. */
+  case class MarkedPos(doc_id: Long, pos: Long)
+
+  /** INCREMENTAL duplicate-substring detection — d28's marked positions
+    * at INGEST, completing the dedup-at-ingest family (s7 = exact doc,
+    * s8 = near-dup doc, s11 = duplicated span): every arriving document
+    * explodes into its 8-word window hashes (the fused WordWindowMd5
+    * kernel — per-row, streamable), and `flatMapGroupsWithState` keyed
+    * by window hash emits a position the moment its window is seen a
+    * SECOND time anywhere in the stream — including retroactively
+    * emitting the stored first occurrence. Chained append-mode dedup on
+    * (doc_id, pos) collapses at-least-once replays (same pattern as
+    * s8); a replayed occurrence identical to the stored first is
+    * recognized by (doc_id, pos) equality and never counts as a second
+    * sighting, so the output is exactly batch d28's marked-position set
+    * regardless of shard interleaving — which is what the oracle
+    * asserts. (The island merge that turns positions into maximal spans
+    * is d28's per-doc batch post-pass; the streaming value is the
+    * marking itself.)
+    *
+    * SCALE note: state holds one (doc_id, pos) per DISTINCT window hash
+    * — the honest cost of exact one-pass dup detection; at corpus scale
+    * the standard trade is a two-pass layout (batch d28) or an
+    * approximate pre-filter (Bloom cascade) in front of this exact
+    * tracker. State rows are 24 bytes each and TTL-able by watermark in
+    * a production deployment.
+    */
+  def s11StreamDupPositions(spark: SparkSession, sfDir: String): DataFrame =
+    s11StreamDupPositions(spark, sfDir, maxFilesPerTrigger = None)
+
+  /** The spec drives this overload with `maxFilesPerTrigger = Some(1)` to
+    * force the first/second sighting of a window into DIFFERENT
+    * micro-batches — the cross-batch retroactive emission path.
+    */
+  def s11StreamDupPositions(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = withStateSizing(spark) {
+    import spark.implicits._
+    val shardDir = corpusShardDir(spark, sfDir)
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
+    val occurrences = ShardedCorpus.readStream(spark, shardDir, maxFilesPerTrigger)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .filter(size(split(col("t"), " ")) >= 8)
+      .select(col("doc_id"),
+        posexplode(graft.functions.WordWindowMd5.wordWindowMd5(col("t"), 8)))
+      .select(col("col").as("gh"), col("doc_id"), col("pos").cast("long").as("pos"))
+      .as[GramOccurrence]
+    val marked = occurrences
+      .groupByKey(_.gh)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[GramOccurrence], state: GroupState[GramFirst]) =>
+          var st = state.getOption.orNull
+          val out = List.newBuilder[MarkedPos]
+          rows.foreach { o =>
+            if (st == null) st = GramFirst(o.doc_id, o.pos, multi = false)
+            else if (o.doc_id != st.docId || o.pos != st.pos) { // replay of the first is not a second sighting
+              if (!st.multi) { out += MarkedPos(st.docId, st.pos); st = st.copy(multi = true) }
+              out += MarkedPos(o.doc_id, o.pos)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+    val q = marked.toDF()
+      .dropDuplicates(Seq("doc_id", "pos"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
+
   /** At-INGEST benchmark-contamination probe: d20's n-gram collision
     * check as a STREAM-STATIC join — the held-out eval slice is a static
     * broadcast table of 60-bit shingle hashes, and arriving documents

@@ -557,4 +557,25 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("incremental dup-span marking emits the first occurrence RETROACTIVELY across micro-batches") {
+    // 1-file triggers: a window shared by docs in different shards has
+    // its first sighting stored in state for whole batches before the
+    // second arrives and surfaces both — the marked-position set must
+    // still equal batch d28's, independent of interleaving
+    import org.apache.spark.sql.functions.{size => asize}
+    val streamed = StreamingQueries
+      .s11StreamDupPositions(spark, sf001, maxFilesPerTrigger = Some(1))
+      .select(col("doc_id"), col("pos"))
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .filter(asize(split(col("t"), " ")) >= 8)
+      .select(col("doc_id"),
+        posexplode(graft.functions.WordWindowMd5.wordWindowMd5(col("t"), 8)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gh"))
+    val dup = docs.groupBy(col("gh")).count().filter(col("count") >= 2).select("gh")
+    val batchMarked = docs.join(dup, "gh").select(col("doc_id"), col("pos"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batchMarked).isEmpty && batchMarked.exceptAll(streamed).isEmpty)
+  }
 }
