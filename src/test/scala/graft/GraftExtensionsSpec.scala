@@ -61,6 +61,16 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec with Matchers {
         """SELECT doc_id, simhash_bits(array(xxhash64(text)), 16) fp FROM docs LIMIT 5""")
         .collect()
       sh.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 16)))
+
+      val ww = spark.sql(
+        """SELECT doc_id, word_window_md5(lower(trim(text)), 8) ws FROM docs
+          |WHERE size(split(lower(trim(text)), ' ')) >= 8""".stripMargin)
+      val wwCol = spark.table("docs")
+        .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+        .filter(expr("size(split(t, ' ')) >= 8"))
+        .select(col("doc_id"),
+          graft.functions.WordWindowMd5.wordWindowMd5(col("t"), 8).as("ws"))
+      ww.exceptAll(wwCol).count() shouldBe 0L
     }
   }
 
