@@ -840,11 +840,13 @@ object CorpusOps {
     * bit-identical).
     */
   def dupSpans(docs: DataFrame): DataFrame = {
+    // no length pre-filter: the kernel returns an empty array for
+    // sub-window documents and posexplode drops it — a size(split(...))
+    // filter would re-tokenize every document just to decide nothing
     val grams = docs
-      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
-      .filter(size(split(col("t"), " ")) >= SpanW)
       .select(col("doc_id"),
-        posexplode(graft.functions.WordWindowMd5.wordWindowMd5(col("t"), SpanW)))
+        posexplode(graft.functions.WordWindowMd5.wordWindowMd5(
+          lower(trim(col("text"))), SpanW)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gh"))
     val dup = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("gh"))

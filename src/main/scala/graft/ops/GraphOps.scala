@@ -13,6 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Plan truncation with a DETERMINISTIC block lifecycle for the
+    * iterative loops below: re-rooting the Dataset on its computed RDD
+    * keeps the logical plan O(1) per round — each round's plan references
+    * the previous round's several times, so an untruncated plan grows
+    * geometrically and PLANNING dwarfs execution within ~8 rounds —
+    * while leaving persist()/unpersist() in full control of the cached
+    * blocks. (`localCheckpoint` also truncates, but its blocks are freed
+    * only when the GC collects the old RDD — unpersist() and
+    * spark.catalog.clearCache() can't touch them, so a long loop would
+    * accumulate every round's blocks.) A multi-executor deployment
+    * additionally swaps in periodic RELIABLE checkpoints so executor
+    * loss doesn't trigger a full-lineage recompute.
+    */
+  private def truncated(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   /** Min-label propagation: every node starts labeled with its own id;
     * each round every node takes the min of its own and its neighbors'
     * labels. Fixpoint = every node holds its component's minimum id.
@@ -28,16 +44,14 @@ object GraphOps {
     * to the driver except the one-row convergence checksum. Round count =
     * graph diameter; near-dup graphs are overwhelmingly tiny star/clique
     * components (diameter 1-2), so propagation converges in ~3 rounds.
-    * For adversarial long-chain graphs the known fix is alternating
-    * large-star/small-star contraction (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", SoCC'14) with O(log n) rounds —
-    * same join-per-round shape, so this implementation is the building
-    * block either way.
+    * For adversarial long-chain graphs use [[connectedComponentsStar]]
+    * (O(log n) rounds independent of diameter).
     *
     * Convergence check: labels only ever decrease, so the label sum
-    * (exact DECIMAL(38,0) — no int64 overflow at any corpus size, no
-    * float drift) is strictly decreasing until fixpoint; one single-row
-    * aggregate per round detects it without a second join.
+    * (per-value cast to DECIMAL(38,0) BEFORE summing — no int64 overflow
+    * at any id range, no float drift) is strictly decreasing until
+    * fixpoint; one single-row aggregate per round detects it without a
+    * second join.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val e = edges.toDF("a", "b")
@@ -58,19 +72,13 @@ object GraphOps {
       var converged = false
       var round = 0
       while (!converged && round < maxIter) {
-        // localCheckpoint (not just persist): each round's plan references
-        // the previous round's several times, so without truncation the
-        // LOGICAL plan grows geometrically with the round count and
-        // planning itself becomes the bottleneck long before execution
-        // does. Checkpointing each round keeps the plan O(1) per round —
-        // the standard iterative-graph pattern (a multi-executor cluster
-        // uses reliable checkpoints to a shared dir for fault tolerance).
-        val next = sym.join(labels, sym("dst") === labels("id"))
-          .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-          .join(labels, col("src") === labels("id"))
-          .select(col("id"), least(col("label"), col("nbr_min")).as("label"))
-          .localCheckpoint()
-        val cur = checksum(next)
+        val next = truncated(
+          sym.join(labels, sym("dst") === labels("id"))
+            .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+            .join(labels, col("src") === labels("id"))
+            .select(col("id"), least(col("label"), col("nbr_min")).as("label")))
+          .persist()
+        val cur = checksum(next) // materializes next's blocks
         converged = cur.compareTo(prev) == 0
         prev = cur
         labels.unpersist()
@@ -98,8 +106,10 @@ object GraphOps {
     *    itself) at that minimum.
     *
     * Output contract is identical to [[connectedComponents]]:
-    * (id, label) with label = smallest node id in the component
-    * (GraphOpsSpec pins equality on chains, cycles, and random graphs).
+    * (id, label) — one row per node of the edge list, self-loop-only
+    * nodes included — with label = smallest node id in the component
+    * (GraphOpsSpec pins equality on chains, cycles, self-loops and
+    * random graphs).
     *
     * SCALE: each half-round is one map-side-partial min aggregation +
     * one equi-join on node id — the same co-partitionable shape as
@@ -107,21 +117,24 @@ object GraphOps {
     * instead of O(diameter), and the edge set shrinks monotonically
     * toward one edge per non-root node. Convergence = the canonical
     * edge set reaches a fixpoint, detected with an exact DECIMAL(38,0)
-    * potential (sum of endpoint ids): large-star and small-star can
-    * only REPLACE an edge endpoint by a strictly smaller label, so the
-    * potential strictly decreases until fixpoint — same no-second-join
-    * trick as [[connectedComponents]], and collision-free because the
-    * potential is an exact sum, not a hash.
+    * potential (sum of endpoint ids, each cast to decimal BEFORE the
+    * add so no id range can wrap int64): both stars only ever REPLACE
+    * an edge endpoint by a strictly smaller label, so the potential
+    * strictly decreases until fixpoint — same no-second-join trick as
+    * [[connectedComponents]], and collision-free for the non-negative
+    * ids this engine uses because dedup can only remove positive terms.
     */
   def connectedComponentsStar(edges: DataFrame, maxIter: Int = 40): DataFrame = {
-    val e0 = edges.toDF("x", "y").filter(col("x") =!= col("y"))
+    val raw = edges.toDF("x", "y")
+    val e0 = raw.filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .distinct()
-    // nodes of the ORIGINAL graph: star contraction drops isolated-star
-    // members from intermediate edge sets' src side, so labels are
-    // resolved against this list at the end
-    val nodes = e0.select(col("a").as("id")).union(e0.select(col("b").as("id")))
-      .distinct().persist()
+    // nodes of the ORIGINAL edge list (self-loops included — the
+    // contraction drops them, the contract keeps them): star contraction
+    // also drops isolated-star members from intermediate edge sets, so
+    // labels are resolved against this list at the end
+    val nodes = raw.select(col("x").as("id")).union(raw.select(col("y").as("id")))
+      .distinct()
 
     // large-star: for u with closed-neighborhood min m, emit (m, v) for
     // every neighbor v > u. Output stays canonical: m <= u < v.
@@ -147,20 +160,17 @@ object GraphOps {
     }
 
     def potential(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum((col("a") + col("b")).cast("decimal(38,0)"))).head().getDecimal(0)
+      df.agg(sum(col("a").cast("decimal(38,0)") + col("b").cast("decimal(38,0)")))
+        .head().getDecimal(0)
 
     var cur = e0.persist()
     var prev = potential(cur)
-    if (prev != null) { // null = no edges: every node labels itself below
+    if (prev != null) { // null = no edges survive: every node labels itself below
       var converged = false
       var round = 0
       while (!converged && round < maxIter) {
-        // localCheckpoint: large-star + small-star reference the previous
-        // round's edge set ~6 times between them, so an untruncated
-        // logical plan grows ~6^rounds — planning would dwarf execution
-        // by round 8. See the matching note in [[connectedComponents]].
-        val next = smallStar(largeStar(cur)).localCheckpoint()
-        val p = potential(next)
+        val next = truncated(smallStar(largeStar(cur))).persist()
+        val p = potential(next) // materializes next's blocks
         converged = p.compareTo(prev) == 0
         prev = p
         cur.unpersist()
@@ -171,12 +181,10 @@ object GraphOps {
         throw new IllegalStateException(
           s"connectedComponentsStar did not converge in $maxIter rounds")
     }
-    // fixpoint edge set is a star per component: (root, member). Roots
-    // and isolated nodes label themselves.
-    val lab = nodes.join(cur.groupBy(col("b")).agg(min(col("a")).as("root")),
+    // fixpoint edge set is a star per component: (root, member). Roots,
+    // isolated and self-loop-only nodes label themselves.
+    nodes.join(cur.groupBy(col("b")).agg(min(col("a")).as("root")),
         nodes("id") === col("b"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("label"))
-    nodes.unpersist()
-    lab
   }
 }

@@ -441,11 +441,11 @@ object StreamingQueries {
     val shardDir = corpusShardDir(spark, sfDir)
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
     val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
+    // no length pre-filter — see the matching note in CorpusOps.dupSpans
     val occurrences = ShardedCorpus.readStream(spark, shardDir, maxFilesPerTrigger)
-      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
-      .filter(size(split(col("t"), " ")) >= 8)
       .select(col("doc_id"),
-        posexplode(graft.functions.WordWindowMd5.wordWindowMd5(col("t"), 8)))
+        posexplode(graft.functions.WordWindowMd5.wordWindowMd5(
+          lower(trim(col("text"))), 8)))
       .select(col("col").as("gh"), col("doc_id"), col("pos").cast("long").as("pos"))
       .as[GramOccurrence]
     val marked = occurrences

@@ -60,6 +60,13 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     ccStar(edges) shouldBe cc(edges)
   }
 
+  test("self-loop-only nodes keep a row in both implementations") {
+    val edges = Seq((5L, 5L), (1L, 2L))
+    val expected = Map(5L -> 5L, 1L -> 1L, 2L -> 1L)
+    cc(edges) shouldBe expected
+    ccStar(edges) shouldBe expected
+  }
+
   test("large-star/small-star agrees with propagation on a pseudo-random graph") {
     // deterministic LCG edge set: multiple mid-size components with
     // nontrivial structure (no fixture dependence, no RNG nondeterminism)
