@@ -128,6 +128,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     df.schema.fieldNames shouldBe Array("event_id", "n")
   }
 
+  test("checkpoint state is inspectable OFFLINE via the state-store reader") {
+    // the batch-side analog of the reference's checkpoint observability
+    // (ShardCheckpointTracker state was only visible through logs): a
+    // stopped query's aggregation state reads back as a batch DataFrame
+    // from the checkpoint alone — no query restart — and must agree with
+    // the batch ground truth
+    val base = newBase()
+    val dir = shardDir(base)
+    val ckpt = s"$base/ckpt"
+    val q = ShardedEvents.readStream(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(s"state_inspect_${System.nanoTime()}")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // schema: key struct(grouping cols), value struct(agg buffer), partition_id
+    val got = spark.read.format("statestore").load(ckpt)
+      .select(col("key.event_type"), col("value.count").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = graft.Tables.events(spark, sf001)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe expected
+  }
+
   test("listener stats mirror ConsumerStats hooks: init, per-batch rows, shutdown") {
     val base = newBase()
     val shards = shardDir(base)
