@@ -53,6 +53,7 @@ object SparkEntry {
     "d28_dup_spans" -> (ops.CorpusOps.d28DupSpans _),
     "d29_lang_mixture" -> (ops.CorpusOps.d29LangMixture _),
     "d30_bpe_pairs" -> (ops.CorpusOps.d30BpePairs _),
+    "d32_quality_deciles" -> (ops.CorpusOps.d32QualityDeciles _),
     "d23_tfidf_topterms" -> (ops.CorpusOps.d23TfidfTopTerms _),
     "d6_ann_brute" -> (ops.VectorOps.d6AnnBrute _),
     "d7_ann_ivf" -> (ops.VectorOps.d7AnnIvf _),
@@ -172,6 +173,10 @@ object SparkEntry {
       "WITH d AS (SELECT doc_id, lang, CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 15)) AS BIGINT) AS h FROM documents), s AS (SELECT doc_id, lang, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h % 8, h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start FROM d), g AS (SELECT lang, doc_id, tok_start, tok_start + n_tokens AS tok_end, unnest(range(tok_start // 256, ((tok_start + n_tokens - 1) // 256) + 1)) AS chunk_id FROM s) SELECT lang, doc_id, chunk_id, greatest(tok_start - chunk_id * 256, 0) AS begin_off, least(tok_end, (chunk_id + 1) * 256) - chunk_id * 256 AS end_off FROM g",
     "d26_repetition" ->
       "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), w3 AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 3), g AS (SELECT doc_id, 2 AS glen, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g FROM w3 UNION ALL SELECT doc_id, 3 AS glen, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS g FROM w3), c AS (SELECT doc_id, glen, g, count(*) AS cnt FROM g GROUP BY doc_id, glen, g), a AS (SELECT doc_id, glen, max(cnt) AS top, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY doc_id, glen), p AS (SELECT doc_id, max(CASE WHEN glen = 2 THEN top END) AS top2, max(CASE WHEN glen = 2 THEN n END) AS n2, max(CASE WHEN glen = 3 THEN top END) AS top3, max(CASE WHEN glen = 3 THEN n END) AS n3 FROM a GROUP BY doc_id), t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct FROM w3) SELECT t.doc_id AS doc_id, n_tokens, ((1000000 * n_distinct) // n_tokens) / 1000000.0 AS ttr, ((1000000 * top2) // n2) / 1000000.0 AS bigram_rep, ((1000000 * top3) // n3) / 1000000.0 AS trigram_rep FROM t JOIN p ON t.doc_id = p.doc_id",
+    // exact-ppm scores have no float ties; doc_id breaks exact ties, so
+    // ntile is deterministic in both engines
+    "d32_quality_deciles" ->
+      "WITH t AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws FROM documents), c AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n, CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) AS BIGINT) AS s, CAST(list_sum([len(w) for w in ws]) AS BIGINT) AS l FROM t), q AS (SELECT doc_id, lang, (1000000 * (8 * n * least(n, 100) + 600 * (n - s) + 75 * least(8 * n, l))) // (2000 * n) AS q_ppm FROM c) SELECT doc_id, lang, q_ppm / 1000000.0 AS quality, CAST(ntile(10) OVER (PARTITION BY lang ORDER BY q_ppm, doc_id) AS BIGINT) AS decile FROM q",
     // top-k boundary ties broken by pair text on both engines
     "d30_bpe_pairs" ->
       "WITH w AS (SELECT string_split(lower(trim(text)), ' ') AS ws FROM documents), p AS (SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS pair FROM w WHERE len(ws) >= 2) SELECT pair, count(*) AS cnt FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20",

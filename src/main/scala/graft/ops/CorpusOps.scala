@@ -360,6 +360,31 @@ object CorpusOps {
         size(words(col("text"))).cast("long").as("n_tokens"),
         qualityCol.as("quality"))
 
+  /** Curriculum / difficulty bucketing: per-language quality DECILES
+    * over the exact-ppm d11 score — the assignment step of
+    * quality-ordered training (curriculum schedules, decile ablations,
+    * bucket-weighted sampling). `ntile` over (q_ppm, doc_id) is fully
+    * deterministic — the int64 score has no float ties and doc_id
+    * breaks exact-score ties identically in both engines.
+    *
+    * SCALE: a per-language ntile is a per-language total order — fine
+    * while languages are few and partitions hold (the d27 discussion),
+    * but at 100 TB the curriculum form is approximate CUTOFFS: the
+    * q_approx_stats percentile sketch per language broadcasts ~9 cutoff
+    * scalars and bucket assignment becomes a zero-shuffle per-row
+    * comparison, trading exact decile edges for O(1) memory. This exact
+    * form is what the sketch is audited against.
+    */
+  def d32QualityDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("q_ppm"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), expr(QualityPpmSql).as("q_ppm"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .select(col("doc_id"), col("lang"),
+        (col("q_ppm") / lit(1000000.0)).as("quality"), col("decile"))
+  }
+
   /** End-to-end corpus PREPARATION pipeline — the actual 100 TB use case
     * the individual d-operators exist for, composed into one declarative
     * plan: per-doc language-ID (d4's scorer) and quality score (d11's
