@@ -54,6 +54,10 @@ object SparkEntry {
     "d29_lang_mixture" -> (ops.CorpusOps.d29LangMixture _),
     "d30_bpe_pairs" -> (ops.CorpusOps.d30BpePairs _),
     "d32_quality_deciles" -> (ops.CorpusOps.d32QualityDeciles _),
+    // no oracleSql (sketch-chosen cutoffs are engine-discretionary, same
+    // status as q_approx_stats): rows-only; disagreement with the exact
+    // ntile form bounded by rank error in DecileCutoffSpec
+    "d32_deciles_cutoff" -> (ops.CorpusOps.d32QualityDecilesCutoff _),
     "d23_tfidf_topterms" -> (ops.CorpusOps.d23TfidfTopTerms _),
     "d6_ann_brute" -> (ops.VectorOps.d6AnnBrute _),
     "d7_ann_ivf" -> (ops.VectorOps.d7AnnIvf _),

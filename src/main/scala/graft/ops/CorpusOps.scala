@@ -385,6 +385,42 @@ object CorpusOps {
         (col("q_ppm") / lit(1000000.0)).as("quality"), col("decile"))
   }
 
+  /** The 100 TB decile form promised by [[d32QualityDeciles]]'s SCALE note,
+    * now a gate query of its own: per-language approximate decile CUTOFFS
+    * (one mergeable quantile sketch per language — `approx_percentile`
+    * partials combine map-side, so the only shuffle is ~KB of sketch per
+    * language) broadcast back against the corpus, where bucket assignment
+    * is a zero-shuffle per-row comparison against 9 scalars. No
+    * per-language total order, no `Window` over document rows anywhere in
+    * the plan (pinned Window-free + BroadcastHashJoin by PlanShapeSpec).
+    * Rows-only in the gate — sketch-chosen cutoff elements are
+    * engine-discretionary, the same status as `q_approx_stats` — while
+    * DecileCutoffSpec bounds its disagreement with the exact ntile form by
+    * the sketch's published rank-error guarantee (relative rank error
+    * <= 1/accuracy).
+    */
+  def d32QualityDecilesCutoff(spark: SparkSession, sfDir: String): DataFrame =
+    qualityDecilesCutoff(Tables.documents(spark, sfDir), accuracy = 10000)
+
+  /** Parameterized core of [[d32QualityDecilesCutoff]]; DecileCutoffSpec
+    * drives `accuracy` low to make the sketch error observable.
+    */
+  def qualityDecilesCutoff(docs: DataFrame, accuracy: Int): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), col("lang"), expr(QualityPpmSql).as("q_ppm"))
+    val ps = (1 to 9).map(_ / 10.0).mkString(", ")
+    val cuts = scored.groupBy(col("lang"))
+      .agg(expr(s"approx_percentile(q_ppm, array($ps), $accuracy)").as("cuts"))
+    // decile = 1 + #cutoffs strictly below this row's score: ties on a
+    // cutoff value all land in the same bucket (value-based semantics, vs
+    // ntile's rank-splitting of ties — the documented trade).
+    scored.join(broadcast(cuts), Seq("lang"))
+      .withColumn("decile",
+        (size(expr("filter(cuts, c -> q_ppm > c)")) + lit(1)).cast("long"))
+      .select(col("doc_id"), col("lang"),
+        (col("q_ppm") / lit(1000000.0)).as("quality"), col("decile"))
+  }
+
   /** End-to-end corpus PREPARATION pipeline — the actual 100 TB use case
     * the individual d-operators exist for, composed into one declarative
     * plan: per-doc language-ID (d4's scorer) and quality score (d11's

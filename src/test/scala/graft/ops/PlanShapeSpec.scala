@@ -159,6 +159,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("d32_deciles_cutoff assigns buckets Window-free via a broadcast cutoff join") {
+    val p = plan("d32_deciles_cutoff")
+    assert(p.contains("BroadcastHashJoin"), s"the 9 cutoffs/lang must broadcast:\n$p")
+    // the whole point vs exact d32: no per-language total order anywhere
+    assert(!p.contains("Window"), s"the cutoff form must not total-order a language:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"no sort may leak in:\n$p")
+  }
+
   test("q_top_orders_per_cust is a single shuffle with in-shuffle group limit") {
     val p = plan("q_top_orders_per_cust")
     assert(p.contains("WindowGroupLimit"), p)
