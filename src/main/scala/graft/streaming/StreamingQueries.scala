@@ -422,11 +422,16 @@ object StreamingQueries {
     * marking itself.)
     *
     * SCALE note: state holds one (doc_id, pos) per DISTINCT window hash
-    * — the honest cost of exact one-pass dup detection; at corpus scale
-    * the standard trade is a two-pass layout (batch d28) or an
-    * approximate pre-filter (Bloom cascade) in front of this exact
-    * tracker. State rows are 24 bytes each and TTL-able by watermark in
-    * a production deployment.
+    * — the honest cost of exact one-pass dup detection — and the chained
+    * dropDuplicates holds a second store with one row per MARKED position
+    * forever (both unbounded here, where the oracle needs the full
+    * retrospective answer). At corpus scale the standard trade is a
+    * two-pass layout (batch d28), an approximate pre-filter (Bloom
+    * cascade) in front of this exact tracker, or the event-time-bounded
+    * production form shipped as [[boundedDupPositions]]: TTL on the
+    * per-gram store + dropDuplicatesWithinWatermark on the marked
+    * positions, state = O(horizon) with the plateau pinned by
+    * StreamingSpec.
     */
   def s11StreamDupPositions(spark: SparkSession, sfDir: String): DataFrame =
     s11StreamDupPositions(spark, sfDir, maxFilesPerTrigger = None)
@@ -475,6 +480,83 @@ object StreamingQueries {
       .start()
     q.awaitTermination()
     spark.table(mem)
+  }
+
+  /** [[GramOccurrence]] carrying its ingest event time. */
+  case class GramOccurrenceTs(gh: Long, doc_id: Long, pos: Long, ts: java.sql.Timestamp)
+  /** A marked duplicate position stamped with the SECOND sighting's event
+    * time — the retroactively-emitted first occurrence is stamped with
+    * the second sighting's ts too, so the emission is never late against
+    * the downstream watermark dedup. */
+  case class MarkedPosTs(doc_id: Long, pos: Long, ts: java.sql.Timestamp)
+
+  /** BOUNDED-state production form of [[s11StreamDupPositions]] — the
+    * same one-pass dup-span tracker with BOTH of its state stores scoped
+    * to an event-time horizon, so state is O(windows inside the horizon),
+    * not O(distinct windows ever seen):
+    *
+    *  - the per-gram first-occurrence store carries an `EventTimeTimeout`
+    *    of `ttlMs` past its newest sighting; when the watermark passes it
+    *    the entry is evicted (a later re-occurrence restarts as a fresh
+    *    first);
+    *  - the replay-collapse dedup becomes `dropDuplicatesWithinWatermark`
+    *    over the marked positions (s2's bounded pattern), evicted on the
+    *    same watermark.
+    *
+    * The semantic trade is explicit and standard (the
+    * dropDuplicatesWithinWatermark family): only window pairs whose
+    * sightings fall within the horizon of each other are guaranteed
+    * marked — the near-history dedup an ingest pipeline actually runs
+    * continuously, with the full retrospective answer left to batch d28.
+    * StreamingSpec drives time-ordered tranches through this and pins
+    * (a) no false marks vs the batch answer, (b) complete marking within
+    * a tranche, (c) the state PLATEAU: max state rows < distinct windows
+    * ever seen, with evictions observed.
+    *
+    * Takes any streaming `(doc_id, text, ts)` relation; the caller owns
+    * source, sink and trigger.
+    */
+  def boundedDupPositions(docs: DataFrame, watermarkDelay: String, ttlMs: Long): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val occurrences = docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"),
+        posexplode(graft.functions.WordWindowMd5.wordWindowMd5(
+          lower(trim(col("text"))), 8)))
+      .select(col("col").as("gh"), col("doc_id"),
+        col("pos").cast("long").as("pos"), col("ts"))
+      .as[GramOccurrenceTs]
+    val marked = occurrences
+      .groupByKey(_.gh)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[GramOccurrenceTs], state: GroupState[GramFirst]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.orNull
+            var lastSeenMs = Long.MinValue
+            val out = List.newBuilder[MarkedPosTs]
+            rows.foreach { o =>
+              lastSeenMs = math.max(lastSeenMs, o.ts.getTime)
+              if (st == null) st = GramFirst(o.doc_id, o.pos, multi = false)
+              else if (o.doc_id != st.docId || o.pos != st.pos) {
+                if (!st.multi) { out += MarkedPosTs(st.docId, st.pos, o.ts); st = st.copy(multi = true) }
+                out += MarkedPosTs(o.doc_id, o.pos, o.ts)
+              }
+            }
+            state.update(st)
+            // evict ttl past the newest sighting — clamped ahead of the
+            // current watermark (Spark rejects a timeout the watermark
+            // has already passed)
+            state.setTimeoutTimestamp(
+              math.max(lastSeenMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+    marked.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("doc_id", "pos")
+      .select(col("doc_id"), col("pos"))
   }
 
   /** At-INGEST benchmark-contamination probe: d20's n-gram collision

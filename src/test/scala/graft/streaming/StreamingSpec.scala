@@ -120,6 +120,71 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     ids.sorted shouldBe batchEventIds.sorted
   }
 
+  test("degraded checkpoint store: completes under injected latency; a failed commit recovers by replay") {
+    // the reference proves the stream completes against a 1-RPS-throttled
+    // DynamoDB checkpoint table (KinesisSourceTest.scala:230-258). Spark's
+    // checkpoint-degradation analog has two regimes, both demonstrated
+    // here on a flaky:// checkpoint path (FlakyCheckpointFs — source and
+    // sink stay healthy): DELAYED metadata writes are absorbed in-flight
+    // (commits lag, the query completes), and a FAILED commit write
+    // aborts the epoch — recovery is restart-and-replay from the WAL,
+    // lossless under at-least-once delivery.
+    val base = newBase()
+    val shards = shardDir(base)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flaky.impl", classOf[FlakyCheckpointFs].getName)
+    val got = mutable.Buffer.empty[Long]
+
+    def start(ckpt: String) = ShardedEvents.readStream(spark, shards, maxFilesPerTrigger = Some(1))
+      .select("event_id")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.collect().map(_.getLong(0))
+        got.synchronized { got ++= ids }
+        ()
+      }
+      .start()
+
+    FlakyCheckpointFs.delayedOps.set(0)
+    FlakyCheckpointFs.latencyMs = 15
+    FlakyCheckpointFs.failNextCommit = false
+    try {
+      // regime 1: every checkpoint op delayed — completes in one run
+      val q1 = start(s"flaky://$base/ckpt-slow")
+      q1.awaitTermination()
+      assert(q1.exception.isEmpty, s"latency alone must not fail the query: ${q1.exception}")
+      assert(FlakyCheckpointFs.delayedOps.get >= 5,
+        s"expected >=5 degraded checkpoint ops, saw ${FlakyCheckpointFs.delayedOps.get}")
+      got.synchronized(got.toVector).sorted shouldBe batchEventIds.sorted
+
+      // regime 2: the next commit-log write FAILS outright mid-stream
+      got.clear()
+      FlakyCheckpointFs.failNextCommit = true
+      val q2 = start(s"flaky://$base/ckpt-fail")
+      intercept[Exception] { q2.awaitTermination() }
+      assert(q2.exception.isDefined, "a failed commit write must surface through query.exception")
+      // the epoch stayed uncommitted: offset intent written, commit absent
+      assert(StreamControl.checkpointOffsets(s"$base/ckpt-fail") ==
+        StreamControl.checkpointCommits(s"$base/ckpt-fail") + 1)
+
+      // restart against the SAME degraded-store checkpoint: replays the
+      // uncommitted epoch and completes
+      val q3 = start(s"flaky://$base/ckpt-fail")
+      q3.awaitTermination()
+      assert(q3.exception.isEmpty)
+      assert(StreamControl.checkpointOffsets(s"$base/ckpt-fail") ==
+        StreamControl.checkpointCommits(s"$base/ckpt-fail"))
+      val all = got.synchronized(got.toVector)
+      assert(all.size > all.distinct.size, "the uncommitted epoch must have been redelivered")
+      all.distinct.sorted shouldBe batchEventIds.sorted
+    } finally {
+      FlakyCheckpointFs.latencyMs = 0
+      FlakyCheckpointFs.failNextCommit = false
+    }
+  }
+
   test("idempotent sink: zero committed batches reads as empty, not an error") {
     val out = Files.createTempDirectory("graft-empty-sink-").toString
     val schema = org.apache.spark.sql.types.StructType.fromDDL("event_id BIGINT, n BIGINT")
@@ -261,6 +326,70 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     arrivals.size shouldBe batchEventIds.size
   }
 
+  test("takeover: consumer B resumes from killed consumer A's checkpoint — no gap, bounded overlap") {
+    // the reference kills one of two live consumers mid-stream and proves
+    // the survivor takes over its shards with completeness intact
+    // (KinesisSourceTest.scala:129-180). Spark's lease-takeover analog:
+    // the checkpoint IS the lease — a successor consumer (fresh query
+    // instance) started on the dead consumer's checkpointLocation resumes
+    // at its first uncommitted epoch. A is killed ABRUPTLY while an epoch
+    // is open (held open deterministically by a latch), so the takeover
+    // exercises the uncommitted-epoch path, not a graceful drain.
+    val base = newBase()
+    val shards = shardDir(base)
+    val ckpt = s"$base/ckpt"
+    val deliveries = mutable.Buffer.empty[(String, Long, Seq[Long])]
+    val reachedHeldEpoch = new java.util.concurrent.CountDownLatch(1)
+    val releaseHeldEpoch = new java.util.concurrent.CountDownLatch(1)
+
+    def start(who: String, holdBatch: Long) = ShardedEvents
+      .readStream(spark, shards, maxFilesPerTrigger = Some(1))
+      .select("event_id")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val ids = df.collect().map(_.getLong(0)).toSeq
+        deliveries.synchronized { deliveries += ((who, batchId, ids)) }
+        if (batchId == holdBatch) {
+          reachedHeldEpoch.countDown()
+          // hold the epoch open until A is killed; the kill's interrupt
+          // (or the timeout backstop) releases it
+          try releaseHeldEpoch.await(10, java.util.concurrent.TimeUnit.SECONDS)
+          catch { case _: InterruptedException => }
+        }
+        ()
+      }
+      .start()
+
+    val qA = start("A", holdBatch = 2L)
+    reachedHeldEpoch.await(30, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+    qA.stop() // the kill: abrupt, epoch 2 open
+    releaseHeldEpoch.countDown()
+    qA.awaitTermination()
+    val commitsAtTakeover = StreamControl.checkpointCommits(ckpt)
+    assert(commitsAtTakeover >= 2, "A must have durably committed a prefix before dying")
+
+    val qB = start("B", holdBatch = -1L)
+    qB.awaitTermination()
+    assert(qB.exception.isEmpty)
+    assert(StreamControl.checkpointOffsets(ckpt) == StreamControl.checkpointCommits(ckpt))
+
+    val d = deliveries.synchronized(deliveries.toVector)
+    val aIds = d.filter(_._1 == "A").flatMap(_._3)
+    val bIds = d.filter(_._1 == "B").flatMap(_._3)
+    assert(aIds.nonEmpty, "A must have processed a prefix")
+    assert(bIds.nonEmpty, "B must have taken over the remainder")
+    // B resumes EXACTLY at A's first uncommitted epoch — the lease handoff
+    d.filter(_._1 == "B").map(_._2).min shouldBe commitsAtTakeover
+    // no gap: together they deliver the full stream
+    (aIds ++ bIds).distinct.sorted shouldBe batchEventIds.sorted
+    // bounded overlap: only epochs A left uncommitted may be redelivered
+    val committedByA = d.filter(r => r._1 == "A" && r._2 < commitsAtTakeover).flatMap(_._3).toSet
+    assert(committedByA.intersect(bIds.toSet).isEmpty,
+      "epochs A committed must not be redelivered to B")
+  }
+
   test("two consumers on disjoint shard subsets partition the stream (rebalance analog)") {
     // the reference's rebalance it-tests assert each consumer received a
     // non-empty exclusive set and the union is complete
@@ -343,6 +472,87 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(stateRows.exists(_ > 0), "dedup must keep some state")
     assert(stateRows.max < batchEventIds.size,
       s"state grew to ${stateRows.max} — unbounded (plain dropDuplicates would hold ${batchEventIds.size})")
+  }
+
+  test("bounded dup-span tracker: event-time TTL plateaus state; in-horizon marking stays exact") {
+    // the production form of s11's unbounded-state tracker
+    // (StreamingQueries.boundedDupPositions): per-gram state carries an
+    // event-time TTL, so state is O(horizon), not O(distinct windows ever)
+    val base = newBase()
+    val dir = s"$base/shards"
+    import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+    // synthetic ingest time: one document per second, so doc_id IS the
+    // event-time axis; three time-ordered tranches of ~167 s against a
+    // 60 s horizon — recurrences within a tranche are inside the horizon,
+    // grams idle longer than the TTL get evicted between tranches
+    val docs = graft.Tables.documents(spark, sf001)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val tranches = Seq(
+      docs.filter(col("doc_id") < 167),
+      docs.filter(col("doc_id") >= 167 && col("doc_id") < 334),
+      docs.filter(col("doc_id") >= 334))
+    def appendDocs(t: org.apache.spark.sql.DataFrame): Unit =
+      ShardedEvents.routed(t, col("doc_id"), col("doc_id"), ShardedCorpus.NumShards)
+        .write.mode("append").partitionBy("shard").parquet(dir)
+
+    def gramRel(t: org.apache.spark.sql.DataFrame) = t
+      .select(col("doc_id"), posexplode(graft.functions.WordWindowMd5.wordWindowMd5(
+        lower(trim(col("text"))), 8)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gh"))
+    def markedWithin(t: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val g = gramRel(t)
+      g.join(g.groupBy("gh").count().filter(col("count") >= 2).select("gh"), "gh")
+        .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val allMarked = markedWithin(docs)
+    val distinctGrams = gramRel(docs).select("gh").distinct().count()
+
+    appendDocs(tranches.head)
+    val schemaTs = StructType(ShardedCorpus.schema.fields :+ StructField("ts", TimestampType))
+    val got = mutable.Buffer.empty[(Long, Long)]
+    // Spark's checker pattern-matches fMGWS-before-stateful as a possible
+    // late-row hazard; this tracker provably never emits late rows (every
+    // mark — including the retroactive first occurrence — is stamped with
+    // the CURRENT sighting's ts, which already passed the late filter),
+    // so the documented opt-out is sound here. Scoped: set for this
+    // query's analysis, restored right after start.
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(checkKey, "false")
+    val q = try StreamingQueries.boundedDupPositions(
+        ShardedEvents.openStream(spark, dir, schemaTs, None), "60 seconds", ttlMs = 60000L)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .start()
+    finally spark.conf.unset(checkKey)
+    q.processAllAvailable()
+    tranches.tail.foreach { t => appendDocs(t); q.processAllAvailable() }
+    val trackerState = q.recentProgress.flatMap(_.stateOperators)
+      .filter(_.operatorName.toLowerCase.contains("flatmapgroups"))
+    StreamControl.stopGracefully(q)
+
+    val g = got.synchronized(got.toSet)
+    // sound: never marks a position the full-history batch answer doesn't
+    assert(g.subsetOf(allMarked),
+      s"false marks: ${g.diff(allMarked).take(5)} not in the batch dup set")
+    // complete inside the horizon: a recurrence co-arriving in one
+    // tranche is processed in one micro-batch, before any eviction
+    val inTranche = tranches.map(markedWithin).reduce(_ union _)
+    assert(inTranche.subsetOf(g),
+      s"missed in-horizon marks: ${inTranche.diff(g).take(5)}")
+    // the plateau: TTL eviction ran, and per-gram state never approached
+    // one row per distinct window ever seen (the unbounded form's cost)
+    assert(trackerState.nonEmpty, "tracker progress must be observable")
+    assert(trackerState.map(_.numRowsRemoved).sum > 0, "TTL must evict state rows")
+    val maxState = trackerState.map(_.numRowsTotal).max
+    assert(maxState > 0 && maxState < distinctGrams,
+      s"state grew to $maxState of $distinctGrams distinct windows — unbounded")
   }
 
   test("stream-stream interval join: complete result with BOUNDED join state under an advancing watermark") {
