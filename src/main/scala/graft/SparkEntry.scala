@@ -59,6 +59,7 @@ object SparkEntry {
     // ntile form bounded by rank error in DecileCutoffSpec
     "d32_deciles_cutoff" -> (ops.CorpusOps.d32QualityDecilesCutoff _),
     "d23_tfidf_topterms" -> (ops.CorpusOps.d23TfidfTopTerms _),
+    "d23_tfidf_singlescan" -> (ops.CorpusOps.d23TfidfSingleScan _),
     "d6_ann_brute" -> (ops.VectorOps.d6AnnBrute _),
     "d7_ann_ivf" -> (ops.VectorOps.d7AnnIvf _),
     // no oracleSql (iterative k-means training is not SQL-expressible):
@@ -195,6 +196,9 @@ object SparkEntry {
     "d24_embed_quantize" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), s AS (SELECT vec_id, v, list_max([abs(x) for x in v]) / 127.0 AS scale FROM e), q AS (SELECT vec_id, v, scale, CASE WHEN scale = 0 THEN [0.0 for x in v] ELSE [greatest(-127.0, least(127.0, floor(x / scale + 0.5))) for x in v] END AS qv FROM s) SELECT vec_id, round(scale, 6) AS scale, CAST(len(v) AS BIGINT) AS n_dims, round(list_max([abs(v[i] - qv[i] * scale) for i in range(1, len(v) + 1)]), 6) AS max_err, CAST(len(list_filter(qv, x -> abs(x) = 127.0)) AS BIGINT) AS n_saturated FROM q",
     "d23_tfidf_topterms" ->
+      "WITH n AS (SELECT count(*) AS n_docs FROM documents), t AS (SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents), tf AS (SELECT lang, w, count(*) AS tf FROM t GROUP BY lang, w), df AS (SELECT w, count(DISTINCT doc_id) AS df FROM t GROUP BY w), s AS (SELECT tf.lang, tf.w, round(tf.tf * n.n_docs / df.df, 6) AS score FROM tf JOIN df ON tf.w = df.w CROSS JOIN n), r AS (SELECT lang, w, score, row_number() OVER (PARTITION BY lang ORDER BY score DESC, w) AS rank FROM s) SELECT lang, w AS term, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5",
+    // identical result to d23 by construction; same oracle
+    "d23_tfidf_singlescan" ->
       "WITH n AS (SELECT count(*) AS n_docs FROM documents), t AS (SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents), tf AS (SELECT lang, w, count(*) AS tf FROM t GROUP BY lang, w), df AS (SELECT w, count(DISTINCT doc_id) AS df FROM t GROUP BY w), s AS (SELECT tf.lang, tf.w, round(tf.tf * n.n_docs / df.df, 6) AS score FROM tf JOIN df ON tf.w = df.w CROSS JOIN n), r AS (SELECT lang, w, score, row_number() OVER (PARTITION BY lang ORDER BY score DESC, w) AS rank FROM s) SELECT lang, w AS term, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5",
     // the composed prep pipeline: langid + quality (d4/d11 formulas) ->
     // quality gate -> exact-dup canonicals (d1) -> near-dup loser removal

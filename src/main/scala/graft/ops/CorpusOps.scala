@@ -649,6 +649,44 @@ object CorpusOps {
       .select(col("lang"), col("w").as("term"), col("score"), col("rank"))
   }
 
+  /** Single-scan form of [[d23TfidfTopTerms]] — the trade documented
+    * there ("persist the exploded tokens or accept two scans"), cashed
+    * in without either: tokenize ONCE, collapse the token stream to the
+    * distinct (w, doc_id, lang) level (map-side partial aggregation
+    * collapses each input partition's tokens before anything shuffles),
+    * aggregate once more to (w, lang) carrying BOTH sum-of-counts (tf)
+    * and docs-per-(w, lang) — and recover df(w) as a window SUM over the
+    * vocabulary-level relation, exact because a document has exactly one
+    * language, so distinct docs containing w = sum over langs of
+    * docs-per-(w, lang). No tf-vs-df join, no second tokenize pass: one
+    * corpus scan feeds everything, and every post-collapse shuffle is
+    * vocabulary-sized (the per-w window groups are at most |langs| rows).
+    * PlanShapeSpec pins exactly one token explode in the plan vs d23's
+    * two. At 100 TB re-reading and re-tokenizing the corpus dominates,
+    * so this is the production form; d23 stays in the gate as the
+    * two-scan baseline the bench compares it against.
+    */
+  def d23TfidfSingleScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val perDoc = docs.select(col("doc_id"), col("lang"),
+        explode(words(col("text"))).as("w"))
+      .groupBy(col("w"), col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val byLang = perDoc.groupBy(col("w"), col("lang"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("dl"))
+    val perW = org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score").desc, col("w").asc)
+    byLang
+      .withColumn("df", sum(col("dl")).over(perW))
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf").cast("double") * col("n_docs") / col("df"), 6))
+      .withColumn("rank", row_number().over(rk).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("w").as("term"), col("score"), col("rank"))
+  }
+
   /** Per-stratum sample size for [[d22StratifiedSample]]. */
   private val StratumN = 8
 

@@ -136,6 +136,15 @@ object GraphOps {
     val nodes = raw.select(col("x").as("id")).union(raw.select(col("y").as("id")))
       .distinct()
 
+    // the potential-based convergence check below is monotone only for
+    // non-negative ids; enforce the precondition (one tiny one-row
+    // aggregate) instead of risking a silent premature "convergence"
+    // with wrong labels on a negative-id edge list
+    val minId = nodes.agg(min(col("id")).cast("decimal(38,0)")).head().getDecimal(0)
+    require(minId == null || minId.signum() >= 0,
+      s"connectedComponentsStar requires non-negative node ids (min id = $minId); " +
+        "fold ids through a non-negative mapping first")
+
     // large-star: for u with closed-neighborhood min m, emit (m, v) for
     // every neighbor v > u. Output stays canonical: m <= u < v.
     def largeStar(e: DataFrame): DataFrame = {

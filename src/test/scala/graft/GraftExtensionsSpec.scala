@@ -70,7 +70,9 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec with Matchers {
         .filter(expr("size(split(t, ' ')) >= 8"))
         .select(col("doc_id"),
           graft.functions.WordWindowMd5.wordWindowMd5(col("t"), 8).as("ws"))
+      // symmetric: either direction alone would pass on a strict subset
       ww.exceptAll(wwCol).count() shouldBe 0L
+      wwCol.exceptAll(ww).count() shouldBe 0L
     }
   }
 

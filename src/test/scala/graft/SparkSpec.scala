@@ -25,9 +25,14 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS); see graft.Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // the production deployment hook for the SQL function surface —
-      // specs run under it so GraftExtensionsSpec tests the real path
+      // the production deployment hooks — specs run under them so the
+      // real paths are tested: the SQL function surface
+      // (GraftExtensionsSpec) and config-driven stats registration, the
+      // reflective ConsumerStats.scala:33-42 analog (StreamingSpec).
+      // streamingQueryListeners is a STATIC conf: builder-time only.
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.streaming.streamingQueryListeners",
+        "graft.streaming.GraftStats")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -209,4 +209,10 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
       }
     }
   }
+
+  test("d23 single-scan twin computes exactly the two-scan baseline's answer") {
+    val twoScan = CorpusOps.d23TfidfTopTerms(spark, sf001).collect().toSet
+    val oneScan = CorpusOps.d23TfidfSingleScan(spark, sf001).collect().toSet
+    oneScan shouldBe twoScan
+  }
 }

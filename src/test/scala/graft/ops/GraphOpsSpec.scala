@@ -82,4 +82,12 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
   test("star contraction on the empty graph is empty") {
     ccStar(Seq.empty) shouldBe Map.empty
   }
+
+  test("star contraction rejects negative node ids (convergence-check precondition)") {
+    import spark.implicits._
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.connectedComponentsStar(Seq((-1L, 2L), (2L, 3L)).toDF("x", "y"))
+    }
+    assert(ex.getMessage.contains("non-negative"))
+  }
 }

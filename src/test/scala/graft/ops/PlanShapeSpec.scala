@@ -149,8 +149,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     // corpus-size / min-lang-count scalar). Nothing else may nested-loop.
     // Streaming queries (s*) execute on call and are covered by their own
     // gate rows + StreamingSpec.
-    val allowedBnlj =
-      Set("d6_ann_brute", "d31_ann_filtered", "d23_tfidf_topterms", "d29_lang_mixture")
+    val allowedBnlj = Set("d6_ann_brute", "d31_ann_filtered",
+      "d23_tfidf_topterms", "d23_tfidf_singlescan", "d29_lang_mixture")
     SparkEntry.queries.keys.filterNot(_.startsWith("s")).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
@@ -165,6 +165,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     // the whole point vs exact d32: no per-language total order anywhere
     assert(!p.contains("Window"), s"the cutoff form must not total-order a language:\n$p")
     assert(!p.contains("Exchange rangepartitioning"), s"no sort may leak in:\n$p")
+  }
+
+  test("d23 single-scan twin tokenizes once: exactly one explode vs the baseline's two") {
+    def explodes(q: String) =
+      "Generate explode".r.findAllIn(plan(q)).length
+    assert(explodes("d23_tfidf_singlescan") == 1,
+      "tf and df must both derive from ONE token explode")
+    assert(explodes("d23_tfidf_topterms") == 2, "the baseline trades a second scan+tokenize")
   }
 
   test("q_top_orders_per_cust is a single shuffle with in-shuffle group limit") {

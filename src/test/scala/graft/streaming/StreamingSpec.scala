@@ -252,6 +252,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally spark.streams.removeListener(stats)
   }
 
+  test("config-driven stats: streamingQueryListeners conf instantiates GraftStats reflectively") {
+    // the reference instantiates ConsumerStats reflectively from config by
+    // class name (ConsumerStats.scala:33-42); Spark's exact analog is the
+    // spark.sql.streaming.streamingQueryListeners STATIC conf, read when
+    // the session's StreamingQueryManager is created — set at builder
+    // time in SparkSpec, so the whole suite runs under it (the same
+    // production-hook pattern as spark.sql.extensions). Here: assert the
+    // conf-built instance exists without ever being added
+    // programmatically, and that its hooks observe this test's query.
+    val stats = spark.streams.listListeners().collectFirst { case g: GraftStats => g }
+    assert(stats.isDefined, "the conf-named listener class must be constructed and attached")
+    val g = stats.get
+    val rows0 = g.rows.get()
+    val base = newBase()
+    val shards = shardDir(base)
+    val q = ShardedEvents.readStream(spark, shards)
+      .select("event_id")
+      .writeStream
+      .format("noop")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // listener bus is async; progress events may trail termination.
+    // counters are cumulative across the suite's queries -> delta + >=.
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while ((!g.terminated.get() || g.rows.get() - rows0 < batchEventIds.size) &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    assert(g.started.get())
+    assert(g.terminated.get())
+    assert(g.rows.get() - rows0 >= batchEventIds.size)
+  }
+
   test("graceful stop: ProcessingTime query drains and stops at a batch boundary") {
     val base = newBase()
     val shards = shardDir(base)
