@@ -35,6 +35,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // clear any previous run's persisted result up front: a failed run
+    // must not leave a stale bench_last.json behind to be read as THIS
+    // run's measurement (failures fail loudly, per the scaladoc)
+    val lastJson = java.nio.file.Paths.get("target", "bench_last.json")
+    java.nio.file.Files.deleteIfExists(lastJson)
+
     def runOnce(name: String): Unit =
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -79,9 +85,8 @@ object Bench {
     println(json)
     // Also persist to a file: the driver tails stdout and noisy stderr can
     // push the metric line out of its window (r6's artifact had parsed:null).
-    val out = java.nio.file.Paths.get("target", "bench_last.json")
-    java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    java.nio.file.Files.createDirectories(lastJson.getParent)
+    java.nio.file.Files.write(lastJson, json.getBytes("UTF-8"))
     spark.stop()
   }
 }

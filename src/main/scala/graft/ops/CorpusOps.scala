@@ -393,11 +393,14 @@ object CorpusOps {
     * is a zero-shuffle per-row comparison against 9 scalars. No
     * per-language total order, no `Window` over document rows anywhere in
     * the plan (pinned Window-free + BroadcastHashJoin by PlanShapeSpec).
-    * Rows-only in the gate — sketch-chosen cutoff elements are
-    * engine-discretionary, the same status as `q_approx_stats` — while
-    * DecileCutoffSpec bounds its disagreement with the exact ntile form by
-    * the sketch's published rank-error guarantee (relative rank error
-    * <= 1/accuracy).
+    * Two corpus scans by design (sketch pass, then assignment pass) —
+    * both column-pruned to (doc_id, lang, text); the alternative, a
+    * persisted score relation, trades cluster memory for the re-scan and
+    * is the same call under `.persist()`. Rows-only in the gate —
+    * sketch-chosen cutoff elements are engine-discretionary, the same
+    * status as `q_approx_stats` — while DecileCutoffSpec bounds its
+    * disagreement with the exact ntile form by the sketch's published
+    * rank-error guarantee (relative rank error <= 1/accuracy).
     */
   def d32QualityDecilesCutoff(spark: SparkSession, sfDir: String): DataFrame =
     qualityDecilesCutoff(Tables.documents(spark, sfDir), accuracy = 10000)

@@ -137,10 +137,13 @@ object GraphOps {
       .distinct()
 
     // the potential-based convergence check below is monotone only for
-    // non-negative ids; enforce the precondition (one tiny one-row
-    // aggregate) instead of risking a silent premature "convergence"
-    // with wrong labels on a negative-id edge list
-    val minId = nodes.agg(min(col("id")).cast("decimal(38,0)")).head().getDecimal(0)
+    // non-negative ids; enforce the precondition instead of risking a
+    // silent premature "convergence" with wrong labels on a negative-id
+    // edge list. min over RAW endpoints (map-side partial min, no
+    // distinct shuffle) — the distinct-ed `nodes` relation would pay a
+    // full dedup exchange for the same scalar.
+    val minId = raw.agg(min(least(col("x"), col("y"))).cast("decimal(38,0)"))
+      .head().getDecimal(0)
     require(minId == null || minId.signum() >= 0,
       s"connectedComponentsStar requires non-negative node ids (min id = $minId); " +
         "fold ids through a non-negative mapping first")

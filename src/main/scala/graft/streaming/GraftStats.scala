@@ -24,9 +24,17 @@ final class GraftStats extends StreamingQueryListener {
   val failed = new AtomicBoolean(false)
   val batches = new AtomicLong(0) // checkpointAcked analog: committed epochs
   val rows = new AtomicLong(0)    // trackRecord analog
+  // per-query identity, like the reference's per-consumer stats instance
+  // (reportInitialization/reportShutdown know WHICH consumer): lets a
+  // caller assert a SPECIFIC query was observed, not just that the
+  // cumulative flags are set
+  val startedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
+  val terminatedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
 
-  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = {
     started.set(true)
+    startedIds.add(e.id)
+  }
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     batches.incrementAndGet()
@@ -35,6 +43,7 @@ final class GraftStats extends StreamingQueryListener {
 
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
     terminated.set(true)
+    terminatedIds.add(e.id)
     if (e.exception.isDefined) failed.set(true)
   }
 }

@@ -511,7 +511,23 @@ object StreamingQueries {
     * StreamingSpec drives time-ordered tranches through this and pins
     * (a) no false marks vs the batch answer, (b) complete marking within
     * a tranche, (c) the state PLATEAU: max state rows < distinct windows
-    * ever seen, with evictions observed.
+    * ever seen, with evictions observed — including on a mostly-UNIQUE
+    * stream, the case below.
+    *
+    * DEPLOYMENT CONTRACT: run with
+    * `spark.sql.streaming.multipleWatermarkPolicy=max`. The query has two
+    * watermark nodes (fMGWS output loses column metadata, so the marks
+    * side must re-declare one), and the marks node only observes a row
+    * when a duplicate is FOUND: under the default `min` combine policy a
+    * mostly-unique stream would pin the global watermark at the last
+    * mark, the TTL would never fire, and state would grow O(distinct
+    * windows) — the exact cost this form exists to avoid. `max` (= the
+    * occurrence-side watermark, which always advances with ingest) is
+    * safe here because no emission is ever late against it: every mark —
+    * including the retroactive first occurrence — is stamped with the
+    * CURRENT batch sighting's ts, which itself passed the occurrence
+    * side's late filter. StreamingSpec's rare-duplicate test pins the
+    * eviction liveness this policy buys.
     *
     * Takes any streaming `(doc_id, text, ts)` relation; the caller owns
     * source, sink and trigger.

@@ -276,12 +276,13 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       .start()
     q.awaitTermination()
     // listener bus is async; progress events may trail termination.
-    // counters are cumulative across the suite's queries -> delta + >=.
+    // cumulative flags would be vacuous here (earlier tests already set
+    // them) — assert per-query identity and the rows DELTA instead.
     val deadline = System.nanoTime() + 10_000_000_000L
-    while ((!g.terminated.get() || g.rows.get() - rows0 < batchEventIds.size) &&
+    while ((!g.terminatedIds.contains(q.id) || g.rows.get() - rows0 < batchEventIds.size) &&
       System.nanoTime() < deadline) Thread.sleep(50)
-    assert(g.started.get())
-    assert(g.terminated.get())
+    assert(g.startedIds.contains(q.id), "conf-built listener must observe THIS query's start")
+    assert(g.terminatedIds.contains(q.id), "conf-built listener must observe THIS query's termination")
     assert(g.rows.get() - rows0 >= batchEventIds.size)
   }
 
@@ -386,10 +387,13 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
         deliveries.synchronized { deliveries += ((who, batchId, ids)) }
         if (batchId == holdBatch) {
           reachedHeldEpoch.countDown()
-          // hold the epoch open until A is killed; the kill's interrupt
-          // (or the timeout backstop) releases it
-          try releaseHeldEpoch.await(10, java.util.concurrent.TimeUnit.SECONDS)
-          catch { case _: InterruptedException => }
+          // hold the epoch open until A is killed. The kill's interrupt
+          // MUST propagate — swallowing it would let this epoch commit
+          // after the "kill" and the takeover would vacuously have
+          // nothing to replay. The 10 s backstop only guards a hang; if
+          // it fires, the epoch commits and the == 2 assertion below
+          // fails loudly.
+          releaseHeldEpoch.await(10, java.util.concurrent.TimeUnit.SECONDS)
         }
         ()
       }
@@ -397,11 +401,12 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
 
     val qA = start("A", holdBatch = 2L)
     reachedHeldEpoch.await(30, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
-    qA.stop() // the kill: abrupt, epoch 2 open
+    qA.stop() // the kill: abrupt, epoch 2 open; interrupts the held await
     releaseHeldEpoch.countDown()
-    qA.awaitTermination()
+    try qA.awaitTermination() catch { case _: Exception => () }
     val commitsAtTakeover = StreamControl.checkpointCommits(ckpt)
-    assert(commitsAtTakeover >= 2, "A must have durably committed a prefix before dying")
+    assert(commitsAtTakeover == 2L,
+      s"A must die with epoch 2 OPEN (committed prefix = epochs 0-1), got $commitsAtTakeover")
 
     val qB = start("B", holdBatch = -1L)
     qB.awaitTermination()
@@ -417,7 +422,11 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     d.filter(_._1 == "B").map(_._2).min shouldBe commitsAtTakeover
     // no gap: together they deliver the full stream
     (aIds ++ bIds).distinct.sorted shouldBe batchEventIds.sorted
-    // bounded overlap: only epochs A left uncommitted may be redelivered
+    // bounded overlap: EXACTLY the epoch A died holding is redelivered —
+    // committed epochs never, the open epoch always
+    val heldEpochIds = d.filter(r => r._1 == "A" && r._2 == 2L).flatMap(_._3).toSet
+    assert(heldEpochIds.nonEmpty, "A must have entered the held epoch before dying")
+    aIds.toSet.intersect(bIds.toSet) shouldBe heldEpochIds
     val committedByA = d.filter(r => r._1 == "A" && r._2 < commitsAtTakeover).flatMap(_._3).toSet
     assert(committedByA.intersect(bIds.toSet).isEmpty,
       "epochs A committed must not be redelivered to B")
@@ -507,13 +516,71 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       s"state grew to ${stateRows.max} — unbounded (plain dropDuplicates would hold ${batchEventIds.size})")
   }
 
+  // ---- bounded dup-span tracker (StreamingQueries.boundedDupPositions) ----
+
+  /** Drive one `Trigger.AvailableNow` run of the bounded tracker over
+    * whatever is currently in `dir`, resuming from `ckpt` (state and
+    * watermark restore from the checkpoint, so per-tranche restarts are
+    * fully deterministic — no live-trigger race with tranche appends).
+    * Confs are scoped around start():
+    *  - multipleWatermarkPolicy=max — the tracker's deployment contract
+    *    (see its scaladoc: the marks-side watermark node would pin a
+    *    `min` combine on a mostly-unique stream and stall the TTL);
+    *  - statefulOperator.checkCorrectness disabled — Spark
+    *    pattern-matches fMGWS-before-stateful as a late-row hazard, but
+    *    this tracker provably never emits late rows (every mark is
+    *    stamped with the CURRENT sighting's ts, which already passed the
+    *    occurrence-side late filter).
+    */
+  private def runBoundedDupTranche(dir: String, ckpt: String,
+      got: mutable.Buffer[(Long, Long)],
+      tracker: mutable.Buffer[org.apache.spark.sql.streaming.StateOperatorProgress]): Unit = {
+    import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+    val schemaTs = StructType(ShardedCorpus.schema.fields :+ StructField("ts", TimestampType))
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val wmKey = "spark.sql.streaming.multipleWatermarkPolicy"
+    spark.conf.set(checkKey, "false")
+    spark.conf.set(wmKey, "max")
+    val q = try StreamingQueries.boundedDupPositions(
+        ShardedEvents.openStream(spark, dir, schemaTs, None), "60 seconds", ttlMs = 60000L)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .start()
+    finally { spark.conf.unset(checkKey); spark.conf.unset(wmKey) }
+    q.awaitTermination()
+    assert(q.exception.isEmpty, s"tranche run failed: ${q.exception}")
+    tracker ++= q.recentProgress.flatMap(_.stateOperators)
+      .filter(_.operatorName.toLowerCase.contains("flatmapgroups"))
+  }
+
+  private def appendDocTranche(t: org.apache.spark.sql.DataFrame, dir: String): Unit =
+    ShardedEvents.routed(t, col("doc_id"), col("doc_id"), ShardedCorpus.NumShards)
+      .write.mode("append").partitionBy("shard").parquet(dir)
+
+  private def dupGramRel(t: org.apache.spark.sql.DataFrame) = t
+    .select(col("doc_id"), posexplode(graft.functions.WordWindowMd5.wordWindowMd5(
+      lower(trim(col("text"))), 8)))
+    .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gh"))
+
+  private def dupMarkedWithin(t: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+    val g = dupGramRel(t)
+    g.join(g.groupBy("gh").count().filter(col("count") >= 2).select("gh"), "gh")
+      .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
   test("bounded dup-span tracker: event-time TTL plateaus state; in-horizon marking stays exact") {
-    // the production form of s11's unbounded-state tracker
-    // (StreamingQueries.boundedDupPositions): per-gram state carries an
-    // event-time TTL, so state is O(horizon), not O(distinct windows ever)
+    // the production form of s11's unbounded-state tracker: per-gram
+    // state carries an event-time TTL, so state is O(horizon), not
+    // O(distinct windows ever)
     val base = newBase()
     val dir = s"$base/shards"
-    import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
     // synthetic ingest time: one document per second, so doc_id IS the
     // event-time axis; three time-ordered tranches of ~167 s against a
     // 60 s horizon — recurrences within a tranche are inside the horizon,
@@ -524,68 +591,72 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       docs.filter(col("doc_id") < 167),
       docs.filter(col("doc_id") >= 167 && col("doc_id") < 334),
       docs.filter(col("doc_id") >= 334))
-    def appendDocs(t: org.apache.spark.sql.DataFrame): Unit =
-      ShardedEvents.routed(t, col("doc_id"), col("doc_id"), ShardedCorpus.NumShards)
-        .write.mode("append").partitionBy("shard").parquet(dir)
+    val allMarked = dupMarkedWithin(docs)
+    val distinctGrams = dupGramRel(docs).select("gh").distinct().count()
 
-    def gramRel(t: org.apache.spark.sql.DataFrame) = t
-      .select(col("doc_id"), posexplode(graft.functions.WordWindowMd5.wordWindowMd5(
-        lower(trim(col("text"))), 8)))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gh"))
-    def markedWithin(t: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
-      val g = gramRel(t)
-      g.join(g.groupBy("gh").count().filter(col("count") >= 2).select("gh"), "gh")
-        .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    }
-    val allMarked = markedWithin(docs)
-    val distinctGrams = gramRel(docs).select("gh").distinct().count()
-
-    appendDocs(tranches.head)
-    val schemaTs = StructType(ShardedCorpus.schema.fields :+ StructField("ts", TimestampType))
     val got = mutable.Buffer.empty[(Long, Long)]
-    // Spark's checker pattern-matches fMGWS-before-stateful as a possible
-    // late-row hazard; this tracker provably never emits late rows (every
-    // mark — including the retroactive first occurrence — is stamped with
-    // the CURRENT sighting's ts, which already passed the late filter),
-    // so the documented opt-out is sound here. Scoped: set for this
-    // query's analysis, restored right after start.
-    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    spark.conf.set(checkKey, "false")
-    val q = try StreamingQueries.boundedDupPositions(
-        ShardedEvents.openStream(spark, dir, schemaTs, None), "60 seconds", ttlMs = 60000L)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(Trigger.ProcessingTime("100 milliseconds"))
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
-        got.synchronized { got ++= rows }
-        ()
-      }
-      .start()
-    finally spark.conf.unset(checkKey)
-    q.processAllAvailable()
-    tranches.tail.foreach { t => appendDocs(t); q.processAllAvailable() }
-    val trackerState = q.recentProgress.flatMap(_.stateOperators)
-      .filter(_.operatorName.toLowerCase.contains("flatmapgroups"))
-    StreamControl.stopGracefully(q)
+    val tracker = mutable.Buffer.empty[org.apache.spark.sql.streaming.StateOperatorProgress]
+    tranches.foreach { t =>
+      appendDocTranche(t, dir)
+      runBoundedDupTranche(dir, s"$base/ckpt", got, tracker)
+    }
 
     val g = got.synchronized(got.toSet)
     // sound: never marks a position the full-history batch answer doesn't
     assert(g.subsetOf(allMarked),
       s"false marks: ${g.diff(allMarked).take(5)} not in the batch dup set")
     // complete inside the horizon: a recurrence co-arriving in one
-    // tranche is processed in one micro-batch, before any eviction
-    val inTranche = tranches.map(markedWithin).reduce(_ union _)
+    // tranche is processed in one AvailableNow run whose data batch sees
+    // the whole tranche, before any eviction
+    val inTranche = tranches.map(dupMarkedWithin).reduce(_ union _)
     assert(inTranche.subsetOf(g),
       s"missed in-horizon marks: ${inTranche.diff(g).take(5)}")
     // the plateau: TTL eviction ran, and per-gram state never approached
     // one row per distinct window ever seen (the unbounded form's cost)
-    assert(trackerState.nonEmpty, "tracker progress must be observable")
-    assert(trackerState.map(_.numRowsRemoved).sum > 0, "TTL must evict state rows")
-    val maxState = trackerState.map(_.numRowsTotal).max
+    assert(tracker.nonEmpty, "tracker progress must be observable")
+    assert(tracker.map(_.numRowsRemoved).sum > 0, "TTL must evict state rows")
+    val maxState = tracker.map(_.numRowsTotal).max
     assert(maxState > 0 && maxState < distinctGrams,
       s"state grew to $maxState of $distinctGrams distinct windows — unbounded")
+  }
+
+  test("bounded dup-span tracker: TTL stays LIVE on a mostly-unique stream (max watermark policy)") {
+    // the failure mode this pins: the marks-side watermark node observes
+    // a row only when a duplicate is FOUND, so under the default `min`
+    // combine policy a mostly-unique stream would pin the global
+    // watermark, the TTL would never fire, and the per-gram store would
+    // grow O(distinct windows ever) — the exact cost the bounded form
+    // exists to avoid. Under the contracted `max` policy, eviction is
+    // driven by the always-advancing occurrence watermark: state must
+    // shrink even though NOT ONE duplicate is ever emitted.
+    val base = newBase()
+    val dir = s"$base/shards"
+    import spark.implicits._
+    // 240 docs of globally-unique 10-word texts (3 windows each, all
+    // distinct), one per second; three 80 s tranches vs the 60 s horizon
+    val docs = (0L until 240L).map { i =>
+      (i, (0 until 10).map(w => s"u${i}w$w").mkString(" "), "en", "synthetic", 60L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val tranches = Seq(
+      docs.filter(col("doc_id") < 80),
+      docs.filter(col("doc_id") >= 80 && col("doc_id") < 160),
+      docs.filter(col("doc_id") >= 160))
+    val distinctGrams = dupGramRel(docs).select("gh").distinct().count()
+
+    val got = mutable.Buffer.empty[(Long, Long)]
+    val tracker = mutable.Buffer.empty[org.apache.spark.sql.streaming.StateOperatorProgress]
+    tranches.foreach { t =>
+      appendDocTranche(t, dir)
+      runBoundedDupTranche(dir, s"$base/ckpt", got, tracker)
+    }
+
+    assert(got.synchronized(got.isEmpty), s"unique corpus must mark nothing, got ${got.take(5)}")
+    assert(tracker.map(_.numRowsRemoved).sum > 0,
+      "TTL must evict even when no duplicate ever advances the marks-side watermark")
+    val lastState = tracker.last.numRowsTotal
+    assert(lastState < distinctGrams,
+      s"final state $lastState of $distinctGrams distinct windows — TTL stalled, state unbounded")
   }
 
   test("stream-stream interval join: complete result with BOUNDED join state under an advancing watermark") {
