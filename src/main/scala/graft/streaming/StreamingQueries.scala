@@ -336,8 +336,14 @@ object StreamingQueries {
     * SCALE: state per bucket = gram-hash sets (8 B/gram), never text;
     * bucket membership is LSH-sparse. At 100 TB you'd hold only
     * signatures in hot state and verify against a gram-set side table
-    * keyed by doc_id; the state protocol is identical. The re-delivery
-    * guard makes the operator idempotent under at-least-once replay.
+    * keyed by doc_id; the state protocol is identical. Bucket state here
+    * grows with distinct docs ever seen (the full-retrospective oracle
+    * needs it); a horizon-bounded deployment applies the
+    * [[boundedDupPositions]] pattern unchanged — EventTimeTimeout on the
+    * bucket store under `multipleWatermarkPolicy=max` (the pairs-side
+    * watermark node is exactly as sparse as the marks-side one there).
+    * The re-delivery guard makes the operator idempotent under
+    * at-least-once replay.
     */
   def s8StreamNearDup(spark: SparkSession, sfDir: String): DataFrame =
     s8StreamNearDup(spark, sfDir, maxFilesPerTrigger = None)
