@@ -1,6 +1,8 @@
 package graft
+import java.lang.management.ManagementFactory
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.graftbridge.StateStoreBridge
+import scala.jdk.CollectionConverters._
 
 /** Benchmark main. Per-query timing methodology:
   *  - one warm-up pass over every query first (JIT + code cache + parquet
@@ -19,9 +21,58 @@ import org.apache.spark.sql.graftbridge.StateStoreBridge
   *    accumulate enough heap that GC pressure inflates allocation-heavy
   *    queries (d26/d27) 4-30x — the r6 bench artifact measured the harness,
   *    not the engine.
+  *  - the artifact is SELF-DIAGNOSING: wall-clock alone cannot distinguish
+  *    "the engine regressed" from "the machine was busy" (the r7 driver
+  *    artifact recorded 2-20x inflated times purely from external load).
+  *    Each measured run therefore also records its JVM GC-time delta and
+  *    process-CPU-time delta, plus a single-threaded spin probe run just
+  *    before it: ~15 ms of pure register arithmetic whose wall/cpu ratio
+  *    is ~1 on a quiet machine and grows with external contention (the OS
+  *    descheduling us is workload-independent, unlike Spark's own
+  *    utilization). The JSON carries per-query telemetry and a top-level
+  *    `contended` flag (median spin ratio > 1.5) so an inflated artifact
+  *    flags itself instead of silently reading as a regression.
   */
 object Bench {
+
+  /** Wall/cpu ratio of a fixed single-threaded busy loop (~10-20 ms).
+    * On an uncontended machine a spinning thread is never descheduled, so
+    * the ratio is ~1.0; under external CPU pressure the OS parks the
+    * thread and wall time grows while thread-CPU time does not.
+    */
+  private def spinProbe(): Double = {
+    val tmx = ManagementFactory.getThreadMXBean
+    val w0 = System.nanoTime(); val c0 = tmx.getCurrentThreadCpuTime
+    var x = 0x9E3779B97F4A7C15L; var i = 0
+    while (i < 20000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+    val wall = System.nanoTime() - w0
+    val cpu = tmx.getCurrentThreadCpuTime - c0
+    if (x == 42L) System.err.println("") // defeat dead-code elimination
+    wall.toDouble / math.max(cpu, 1L).toDouble
+  }
+
+  private def gcTimeMs: Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
+
+  private def processCpuNs: Long =
+    ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  /** One measured run's telemetry: wall seconds plus the diagnostics that
+    * tell a reader WHY the wall time is what it is.
+    */
+  private final case class Measure(sec: Double, cpuSec: Double, gcSec: Double, spin: Double)
+
   def main(args: Array[String]): Unit = {
+    // clear any previous run's persisted result FIRST — before anything
+    // that can fail (including SparkSession construction): a failed run
+    // must not leave a stale bench_last.json behind to be read as THIS
+    // run's measurement (failures fail loudly, per the scaladoc)
+    val lastJson = java.nio.file.Paths.get("target", "bench_last.json")
+    java.nio.file.Files.deleteIfExists(lastJson)
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -34,12 +85,6 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    // clear any previous run's persisted result up front: a failed run
-    // must not leave a stale bench_last.json behind to be read as THIS
-    // run's measurement (failures fail loudly, per the scaladoc)
-    val lastJson = java.nio.file.Paths.get("target", "bench_last.json")
-    java.nio.file.Files.deleteIfExists(lastJson)
 
     def runOnce(name: String): Unit =
       try SparkEntry.queries(name)(spark, sfDir)
@@ -69,19 +114,42 @@ object Bench {
     // within their own execution (iterative ops like d25's connected
     // components), so leftover blocks are pure cross-query memory
     // pressure that skews later timings, never a warm-start benefit.
-    def timed(name: String): Double = {
+    def timed(name: String): Measure = {
+      val spin = spinProbe()
+      val gc0 = gcTimeMs; val cpu0 = processCpuNs
       val t0 = System.nanoTime()
       runOnce(name)
       val dt = (System.nanoTime() - t0) / 1e9
+      val m = Measure(dt, (processCpuNs - cpu0) / 1e9, (gcTimeMs - gc0) / 1e3, spin)
       scrub()
-      dt
+      m
     }
-    val results = names.map(name => name -> math.min(timed(name), timed(name)))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = names.map { name =>
+      val a = timed(name); val b = timed(name)
+      name -> (if (a.sec <= b.sec) a else b)
+    }
+    def f(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, m) => s"\"" + k + "\":" + f(m.sec) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val telemetry = results.map { case (k, m) =>
+      s"\"$k\":{\"cpuSec\":${f(m.cpuSec)},\"gcSec\":${f(m.gcSec)},\"spinWallToCpu\":${f(m.spin)}}"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.sec).sum
+    val spins = results.map(_._2.spin).sorted
+    val medianSpin = spins(spins.size / 2)
+    // contention verdict: the spin probe is workload-independent, so a
+    // median ratio well above 1 means the OS was descheduling this JVM
+    // between queries — the wall numbers measure the machine, not the
+    // engine, and the artifact says so itself
+    val contended = medianSpin > 1.5
+    val cores = Runtime.getRuntime.availableProcessors()
+    val totalCpu = results.map(_._2.cpuSec).sum
+    val totalGc = results.map(_._2.gcSec).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        s""","contended":$contended,"contention":{"medianSpinWallToCpu":${f(medianSpin)}""" +
+        s""","maxSpinWallToCpu":${f(spins.last)},"cores":$cores,"procCpuSec":${f(totalCpu)}""" +
+        s""","gcSec":${f(totalGc)}},"telemetry":$telemetry}"""
     println(json)
     // Also persist to a file: the driver tails stdout and noisy stderr can
     // push the metric line out of its window (r6's artifact had parsed:null).

@@ -599,20 +599,34 @@ object CorpusOps {
     * under a 60-bit collision within one candidate pair (~2^-60 · |grams|²
     * — the d12/d20 acceptance).
     */
-  def bandedGramRows(docs: DataFrame): DataFrame = {
+  def bandedGramRows(docs: DataFrame): DataFrame =
+    bandedGramRowsCarrying(docs, Nil)
+
+  /** [[bandedGramRows]] with the ingest event time carried through every
+    * projection — the bounded-state streaming near-dup
+    * (`StreamingQueries.boundedNearDupPairs`) needs each banded row
+    * stamped with its document's `ts` so bucket state can be scoped to an
+    * event-time horizon.
+    */
+  def bandedGramRowsTs(docs: DataFrame): DataFrame =
+    bandedGramRowsCarrying(docs, Seq("ts"))
+
+  private def bandedGramRowsCarrying(docs: DataFrame, carry: Seq[String]): DataFrame = {
     val k = Bands * RowsPerBand
+    val carried = carry.map(col)
     val sig = docs
-      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .select(col("doc_id") +: lower(trim(col("text"))).as("t") +: carried: _*)
       .filter(size(split(col("t"), " ")) >= 3)
-      .select(col("doc_id"), col("t"), split(col("t"), " ").as("ws"))
-      .select(col("doc_id"),
+      .select(col("doc_id") +: col("t") +: split(col("t"), " ").as("ws") +: carried: _*)
+      .select(col("doc_id") +:
         graft.functions.WordShingleMinHash.wordShingleMinhash(
-          col("t"), 3, Seeds.take(k).map(_._1), Seeds.take(k).map(_._2), MinhashP).as("mh"),
-        graft.functions.Md5Prefix64.md5Prefix64(expr(ShingleSql)).as("grams"))
+          col("t"), 3, Seeds.take(k).map(_._1), Seeds.take(k).map(_._2), MinhashP).as("mh") +:
+        graft.functions.Md5Prefix64.md5Prefix64(expr(ShingleSql)).as("grams") +: carried: _*)
     val bandKeys = (0 until Bands).map { b =>
       xxhash64(lit(b) +: (0 until RowsPerBand).map(r => col("mh").getItem(b * RowsPerBand + r)): _*)
     }
-    sig.select(col("doc_id"), col("grams"), explode(array(bandKeys: _*)).as("band_key"))
+    sig.select(col("doc_id") +: col("grams") +:
+      explode(array(bandKeys: _*)).as("band_key") +: carried: _*)
   }
 
   /** Top terms per language by a log-free TF-IDF: score(w, lang) =

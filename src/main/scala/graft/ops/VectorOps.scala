@@ -279,15 +279,24 @@ object VectorOps {
 
   /** Cell-probed exact-rerank ANN over any `(vec_id, v, cid)` cell
     * assignment: each query searches only its own cell, like
-    * [[d7AnnIvf]]. Note `cells` appears on both sides of the join, so a
-    * lazy assignment is evaluated twice per action — cheap here (one
-    * broadcast pass over the corpus) because training already ran eagerly
-    * in [[kmeansCentroids]].
+    * [[d7AnnIvf]]. `cells` appears on BOTH sides of the join, so it is
+    * persisted: without the cache each side would re-evaluate the
+    * assignment — re-scanning the corpus and, worse, CODEGENING the
+    * k×dim literal-centroid argmin of [[nearestCidLit]] twice (the
+    * expression folds every centroid coordinate into one generated
+    * method; compiling it dominated d13's ~11 s cold start). With the
+    * cache both sides read one InMemoryRelation: one scan, one compile.
+    * The cached assignment is (vec_id, v, cid) — corpus-sized but
+    * column-pruned; callers/harnesses clear it with `clearCache()`
+    * between queries (bench `scrub`), and at 100 TB the assignment is
+    * written once to a table rather than cached, as the
+    * [[kmeansAssignSampled]] doc describes.
     */
   def annIvfOverCells(cells: DataFrame): DataFrame = {
-    val q = cells.filter(col("vec_id") < NumQueries)
+    val cached = cells.persist()
+    val q = cached.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cid").as("q_cid"))
-    val scored = cells.join(broadcast(q),
+    val scored = cached.join(broadcast(q),
         col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosine(col("qv"), col("v")).as("sim"))
@@ -326,25 +335,33 @@ object VectorOps {
   private val KMedK = 8
   private val KMedIters = 2
 
-  /** Squared L2 distance of `v` to a LITERAL centroid: a fixed-order
-    * sequential fold, so it is bit-identical to the oracle's list_sum
-    * comprehension.
-    */
-  private def sqDistLit(cv: Seq[Double]): Column =
-    aggregate(zip_with(col("v"), array(cv.map(lit): _*), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
-
   /** Nearest-centroid id as a pure per-row EXPRESSION over literal
     * centroids — no join, no shuffle: the corpus never moves during
     * assignment. `array_min` over `(d, cid)` structs orders by distance
-    * then cid (= the oracle's `ORDER BY d, cid` tie-break) with a
-    * LINEAR-size expression tree — a `when`-chain fold would re-embed the
-    * accumulator at every step and blow up ~3^k.
+    * then cid (= the oracle's `ORDER BY d, cid` tie-break); the inner
+    * distance is a fixed-order sequential fold, bit-identical to the
+    * oracle's list_sum comprehension.
+    *
+    * The k×dim centroid matrix enters as ONE `typedlit` literal (an
+    * array<struct<cid, cv>> value), not a k×dim tree of per-coordinate
+    * `lit` nodes: the earlier per-coordinate form built ~1000 Catalyst
+    * nodes PER TRAINING ITERATION (each with fresh literal values, so
+    * nothing caches across iterations), and driver-side
+    * analysis/optimization of those trees — not executor compute and not
+    * codegen (disabling wholestage codegen leaves the cold time
+    * unchanged) — dominated d13's ~11 s first execution. One literal node
+    * makes the tree size O(k) regardless of dim. Same struct-min
+    * semantics, bit-identical assignments (d21's DuckDB oracle pins this:
+    * it reproduces training through this expression hash-exactly).
     */
-  private def nearestCidLit(centroids: Seq[(Int, Seq[Double])]): Column =
-    array_min(array(centroids.sortBy(_._1).map { case (cid, cv) =>
-      struct(sqDistLit(cv).as("d"), lit(cid).as("cid"))
-    }: _*)).getField("cid")
+  private def nearestCidLit(centroids: Seq[(Int, Seq[Double])]): Column = {
+    val cents = typedlit(centroids.sortBy(_._1).map { case (cid, cv) => (cid, cv) })
+    array_min(transform(cents, c =>
+      struct(
+        aggregate(zip_with(col("v"), c.getField("_2"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d"),
+        c.getField("_1").as("cid")))).getField("cid")
+  }
 
   /** Component-wise MEDIAN centroid update. Median is selection-based —
     * order-INDEPENDENT, unlike avg's float accumulation — which is what

@@ -1,0 +1,180 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.streaming.{ShardedEvents, StreamControl}
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import scala.collection.mutable
+
+/** Pins the packaged `format("graft-shards")` surface — the reference's
+  * `KinesisSource(consumerConfig)` library entry point
+  * (KinesisSource.scala:46-95): options-map validation fails eagerly and
+  * clearly (the `getStreamPosition` config-error analog,
+  * ConsumerConfig.scala:115-139), the three starting positions deliver
+  * the right record sets, admission control passes through, and the
+  * `latest` subscribe point is CHECKPOINT-STABLE across restarts.
+  */
+class GraftShardsProviderSpec extends AnyFunSuite with SparkSpec with Matchers {
+
+  private def newBase(): String = Files.createTempDirectory("graft-src-spec-").toString
+
+  private def shardDir(base: String): String = {
+    val dir = s"$base/shards"
+    ShardedEvents.materialize(spark, sf001, dir)
+    dir
+  }
+
+  private def batchEvents = graft.Tables.events(spark, sf001)
+
+  private def open(dir: String, position: String, extra: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.readStream.format("graft-shards")
+      .option("path", dir)
+      .option("startingPosition", position)
+    extra.foreach { case (k, v) => r.option(k, v) }
+    r.load()
+  }
+
+  private def collectIds(df: DataFrame, ckpt: String): Seq[Long] = {
+    val got = mutable.Buffer.empty[Long]
+    val q = df.select("event_id")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val ids = b.collect().map(_.getLong(0))
+        got.synchronized { got ++= ids }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    got.synchronized(got.toVector)
+  }
+
+  // ---- options validation: config errors fail at load(), clearly ----
+
+  test("options: missing path fails eagerly with a clear message") {
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-shards").load()
+    }
+    e.getMessage should include("path")
+  }
+
+  test("options: invalid startingPosition fails eagerly, naming the valid values") {
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-shards")
+        .option("path", "/tmp/x")
+        .option("startingPosition", "从头") // the reference's unmatched-position config error
+        .load()
+    }
+    e.getMessage should include("startingPosition")
+    e.getMessage should include("trim_horizon")
+    e.getMessage should include("at_timestamp")
+  }
+
+  test("options: malformed at_timestamp value fails eagerly") {
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-shards")
+        .option("path", "/tmp/x")
+        .option("startingPosition", "at_timestamp:yesterday-ish")
+        .load()
+    }
+    e.getMessage should include("timestamp")
+  }
+
+  test("options: non-positive maxFilesPerTrigger fails eagerly") {
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-shards")
+        .option("path", "/tmp/x")
+        .option("startingPosition", "trim_horizon")
+        .option("maxFilesPerTrigger", "0")
+        .load()
+    }
+    e.getMessage should include("maxFilesPerTrigger")
+  }
+
+  test("schema: defaults to the sharded-events record schema") {
+    val df = spark.readStream.format("graft-shards")
+      .option("path", newBase())
+      .option("startingPosition", "trim_horizon")
+      .load()
+    df.schema shouldBe ShardedEvents.schema
+  }
+
+  // ---- starting positions deliver the right record sets ----
+
+  test("trim_horizon: full replay equals the batch table") {
+    val base = newBase()
+    val ids = collectIds(open(shardDir(base), "trim_horizon"), s"$base/ckpt")
+    ids.sorted shouldBe batchEvents.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+  }
+
+  test("at_timestamp: delivery starts at the event-time position") {
+    val base = newBase()
+    val ids = collectIds(open(shardDir(base), "at_timestamp:2024-01-15"), s"$base/ckpt")
+    val expected = batchEvents.filter(col("ts") >= lit("2024-01-15").cast("timestamp"))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(expected.nonEmpty && expected.size < batchEvents.count())
+    ids.sorted shouldBe expected
+  }
+
+  test("maxFilesPerTrigger: admission control reaches the inner file source") {
+    val base = newBase()
+    val dir = shardDir(base)
+    var batches = 0
+    val q = open(dir, "trim_horizon", Map("maxFilesPerTrigger" -> "1"))
+      .select("event_id")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) => batches += 1; b.count(); () }
+      .start()
+    q.awaitTermination()
+    // one shard file per micro-batch: at least one batch per shard
+    assert(batches >= ShardedEvents.NumShards,
+      s"expected >=${ShardedEvents.NumShards} single-file batches, got $batches")
+  }
+
+  test("latest: subscribe point is frozen at first start and survives restart (checkpoint-stable)") {
+    val base = newBase()
+    val dir = s"$base/shards"
+    val ckpt = s"$base/ckpt"
+    val events = batchEvents
+    val ids = events.select("event_id").collect().map(_.getLong(0)).sorted
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+
+    // tranche 1 exists BEFORE the subscribe: must never be delivered
+    ShardedEvents.appendTranche(events.filter(col("event_id") <= c1), dir, 4)
+    val got1 = collectIds(open(dir, "latest"), ckpt)
+    assert(got1.isEmpty, s"latest must skip the pre-subscribe records, got ${got1.take(5)}")
+
+    // tranche 2 appended after the subscribe: delivered on the next run
+    ShardedEvents.appendTranche(
+      events.filter(col("event_id") > c1 && col("event_id") <= c2), dir, 4)
+    val got2 = collectIds(open(dir, "latest"), ckpt)
+    got2.sorted shouldBe ids.filter(i => i > c1 && i <= c2).toSeq
+
+    // tranche 3 + RESTART from the same checkpoint: the snapshot file —
+    // not a re-resolution against the now-advanced stream — defines the
+    // subscribe point, so only records after the ORIGINAL ends arrive;
+    // nothing already delivered is re-delivered (offsets) and nothing
+    // pre-subscribe leaks in (snapshot)
+    ShardedEvents.appendTranche(events.filter(col("event_id") > c2), dir, 4)
+    val got3 = collectIds(open(dir, "latest"), ckpt)
+    got3.sorted shouldBe ids.filter(_ > c2).toSeq
+    assert(StreamControl.checkpointOffsets(ckpt) == StreamControl.checkpointCommits(ckpt))
+  }
+
+  test("format stream checkpoints like any source: WAL offsets commit per epoch") {
+    val base = newBase()
+    val dir = shardDir(base)
+    collectIds(open(dir, "trim_horizon", Map("maxFilesPerTrigger" -> "2")), s"$base/ckpt")
+    assert(StreamControl.checkpointOffsets(s"$base/ckpt") > 0)
+    assert(StreamControl.checkpointOffsets(s"$base/ckpt") ==
+      StreamControl.checkpointCommits(s"$base/ckpt"))
+  }
+}

@@ -286,6 +286,58 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(g.rows.get() - rows0 >= batchEventIds.size)
   }
 
+  test("listener state-depth gauges: stateOperators populate the in-flight/uncheckpointed analogs") {
+    // the last O15 hook: ConsumerStats.recordNrOfInFlightRecords /
+    // recordNrOfProcessedUncheckpointedRecords (ConsumerStats.scala:26-31)
+    // are state-depth gauges; Spark reports them per batch via
+    // progress.stateOperators (numRowsTotal / numRowsUpdated). Run a
+    // stateful query (s2's dedup shape — every event writes one state
+    // row) and assert the conf-registered listener published them.
+    val stats = new GraftStats
+    spark.streams.addListener(stats)
+    val base = newBase()
+    val shards = shardDir(base)
+    try {
+      val q = ShardedEvents.readStream(spark, shards)
+        .dropDuplicates(Seq("event_id"))
+        .groupBy(col("event_type")).count()
+        .writeStream
+        .outputMode("complete")
+        .format("noop")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // listener bus is async; progress events may trail termination
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (stats.stateRowsTotal.get() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      // dedup state holds one row per distinct event_id; the aggregation
+      // adds per-type rows on top — the in-flight gauge must see at least
+      // the dedup store's depth, and the per-epoch updated gauge must
+      // have observed writes
+      assert(stats.stateRowsTotal.get() >= batchEventIds.size,
+        s"in-flight gauge ${stats.stateRowsTotal.get()} < ${batchEventIds.size} dedup state rows")
+      assert(stats.stateRowsUpdated.get() > 0, "uncheckpointed-rows gauge never observed an update")
+    } finally spark.streams.removeListener(stats)
+  }
+
+  test("listener identity sets are bounded: oldest query ids evict at capacity") {
+    // GraftStats is registered session-wide via the streamingQueryListeners
+    // static conf; a long-lived session launches unbounded queries, so the
+    // per-query identity sets must not grow with listener lifetime
+    val s = new GraftStats.BoundedIdSet(GraftStats.IdCapacity)
+    val ids = (0 until GraftStats.IdCapacity + 10).map(_ => java.util.UUID.randomUUID())
+    ids.foreach(s.add)
+    s.size shouldBe GraftStats.IdCapacity
+    ids.take(10).foreach(id => assert(!s.contains(id), "oldest ids must be evicted"))
+    ids.drop(10).foreach(id => assert(s.contains(id), "recent ids must be retained"))
+    // re-adding refreshes recency: the refreshed id survives the next evictions
+    s.add(ids(10))
+    (0 until 5).foreach(_ => s.add(java.util.UUID.randomUUID()))
+    assert(s.contains(ids(10)))
+  }
+
   test("RocksDB changelog checkpointing: per-batch deltas commit, crash-restore replays them") {
     // the checkpoint mode a 100 TB-state deployment actually runs:
     // instead of snapshotting the full RocksDB instance every batch, the
@@ -652,6 +704,86 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     val g = dupGramRel(t)
     g.join(g.groupBy("gh").count().filter(col("count") >= 2).select("gh"), "gh")
       .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  /** [[runBoundedDupTranche]]'s sibling for the bounded NEAR-DUP tracker
+    * (`boundedNearDupPairs`): one `AvailableNow` run over the current
+    * corpus dir, resuming from `ckpt`; same scoped deployment confs.
+    */
+  private def runBoundedNearDupTranche(dir: String, ckpt: String,
+      got: mutable.Buffer[(Long, Long, Double)],
+      tracker: mutable.Buffer[org.apache.spark.sql.streaming.StateOperatorProgress]): Unit = {
+    import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+    val schemaTs = StructType(ShardedCorpus.schema.fields :+ StructField("ts", TimestampType))
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val wmKey = "spark.sql.streaming.multipleWatermarkPolicy"
+    spark.conf.set(checkKey, "false")
+    spark.conf.set(wmKey, "max")
+    val q = try StreamingQueries.boundedNearDupPairs(
+        ShardedEvents.openStream(spark, dir, schemaTs, None), "60 seconds", ttlMs = 60000L)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .start()
+    finally { spark.conf.unset(checkKey); spark.conf.unset(wmKey) }
+    q.awaitTermination()
+    assert(q.exception.isEmpty, s"tranche run failed: ${q.exception}")
+    tracker ++= q.recentProgress.flatMap(_.stateOperators)
+      .filter(_.operatorName.toLowerCase.contains("flatmapgroups"))
+  }
+
+  test("bounded near-dup tracker: per-member TTL plateaus bucket state; in-horizon pairs stay exact") {
+    // the production form of s8's unbounded bucket store: per-member
+    // event-time TTL, so state is O(docs in the horizon) x bands, not
+    // O(docs ever seen)
+    val base = newBase()
+    val dir = s"$base/shards"
+    // same synthetic clock as the dup-span tests: one document per
+    // second, three ~167 s tranches against a 60 s horizon
+    val docs = graft.Tables.documents(spark, sf001)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val tranches = Seq(
+      docs.filter(col("doc_id") < 167),
+      docs.filter(col("doc_id") >= 167 && col("doc_id") < 334),
+      docs.filter(col("doc_id") >= 334))
+    val allPairs = graft.ops.CorpusOps.d2MinhashLsh(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val distinctBuckets = graft.ops.CorpusOps.bandedGramRows(
+        graft.Tables.documents(spark, sf001))
+      .select("band_key").distinct().count()
+
+    val got = mutable.Buffer.empty[(Long, Long, Double)]
+    val tracker = mutable.Buffer.empty[org.apache.spark.sql.streaming.StateOperatorProgress]
+    tranches.foreach { t =>
+      appendDocTranche(t, dir)
+      runBoundedNearDupTranche(dir, s"$base/ckpt", got, tracker)
+    }
+
+    val g = got.synchronized(got.toSet)
+    // sound: never a pair the full-history batch answer doesn't have
+    assert(g.subsetOf(allPairs), s"false pairs: ${g.diff(allPairs).take(5)}")
+    // complete inside the horizon: both members of a within-tranche pair
+    // co-arrive in one AvailableNow run, before any eviction
+    val inTranche = tranches.map { t =>
+      graft.ops.CorpusOps.nearDupPairs(t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }.reduce(_ union _)
+    assert(inTranche.nonEmpty, "fixture must contain within-tranche near-dup pairs")
+    assert(inTranche.subsetOf(g), s"missed in-horizon pairs: ${inTranche.diff(g).take(5)}")
+    // the plateau: TTL eviction ran, and live buckets never approached
+    // the distinct-bucket count of the whole corpus (the unbounded
+    // form's terminal state)
+    assert(tracker.nonEmpty, "tracker progress must be observable")
+    assert(tracker.map(_.numRowsRemoved).sum > 0, "TTL must evict bucket state")
+    val maxState = tracker.map(_.numRowsTotal).max
+    assert(maxState > 0 && maxState < distinctBuckets,
+      s"state grew to $maxState of $distinctBuckets distinct buckets — unbounded")
   }
 
   test("bounded dup-span tracker: event-time TTL plateaus state; in-horizon marking stays exact") {
