@@ -32,6 +32,20 @@ object ShardedCorpus {
     ShardedEvents.routed(Tables.documents(spark, sfDir), col("doc_id"), col("doc_id"), NumShards)
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
-  def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Option[Int] = None): DataFrame =
-    ShardedEvents.openStream(spark, dir, schema, maxFilesPerTrigger)
+  /** Open the corpus stream through the PACKAGED source: the provider's
+    * schema is caller-overridable (`.schema(...)`), so the one registered
+    * `format("graft-shards")` serves both record layouts — events by
+    * default, documents here. `trim_horizon` because corpus ingest always
+    * replays the full retained stream; the seek positions that need
+    * event/sequence columns (`latest`, `at_timestamp`) validate their
+    * required columns against the caller schema and are simply not used
+    * here.
+    */
+  def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.format("graft-shards").schema(schema)
+      .option("path", dir)
+      .option("startingPosition", "trim_horizon")
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.load()
+  }
 }

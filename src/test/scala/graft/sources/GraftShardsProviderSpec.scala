@@ -169,6 +169,43 @@ class GraftShardsProviderSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(StreamControl.checkpointOffsets(ckpt) == StreamControl.checkpointCommits(ckpt))
   }
 
+  test("schema override: a caller schema serves a different record layout (the corpus stream)") {
+    // one registered source, two record layouts: ShardedCorpus.readStream
+    // routes through format("graft-shards") with .schema(documents)
+    val base = newBase()
+    val dir = s"$base/shards"
+    graft.streaming.ShardedCorpus.materialize(spark, sf001, dir)
+    val df = graft.streaming.ShardedCorpus.readStream(spark, dir)
+    df.schema shouldBe graft.streaming.ShardedCorpus.schema
+    val got = mutable.Buffer.empty[Long]
+    val q = df.select("doc_id")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val ids = b.collect().map(_.getLong(0))
+        got.synchronized { got ++= ids }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    got.synchronized(got.toVector).sorted shouldBe graft.Tables.documents(spark, sf001)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+  }
+
+  test("options: a position needing absent columns fails eagerly against a caller schema") {
+    // `latest` seeks by (shard, event_id); the documents schema has no
+    // event_id — the config must say so at load(), not fail mid-query
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-shards")
+        .schema(graft.streaming.ShardedCorpus.schema)
+        .option("path", "/tmp/x")
+        .option("startingPosition", "latest")
+        .load()
+    }
+    e.getMessage should include("event_id")
+  }
+
   test("format stream checkpoints like any source: WAL offsets commit per epoch") {
     val base = newBase()
     val dir = shardDir(base)
