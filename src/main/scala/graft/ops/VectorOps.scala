@@ -287,13 +287,22 @@ object VectorOps {
     * method; compiling it dominated d13's ~11 s cold start). With the
     * cache both sides read one InMemoryRelation: one scan, one compile.
     * The cached assignment is (vec_id, v, cid) — corpus-sized but
-    * column-pruned; callers/harnesses clear it with `clearCache()`
-    * between queries (bench `scrub`), and at 100 TB the assignment is
-    * written once to a table rather than cached, as the
-    * [[kmeansAssignSampled]] doc describes.
+    * column-pruned. The function OWNS the cache lifetime: each call
+    * unpersists the previous call's assignment (the cached plan is
+    * function-local, so no caller could), bounding a session to ONE live
+    * assignment cache no matter how many times it runs; a superseded
+    * call's returned DataFrame stays correct (it recomputes from
+    * lineage, just uncached). [[releaseCellCache]] frees the last one
+    * deterministically. At 100 TB the assignment is written once to a
+    * table rather than cached, as the [[kmeansAssignSampled]] doc
+    * describes.
     */
   def annIvfOverCells(cells: DataFrame): DataFrame = {
     val cached = cells.persist()
+    lastCellCache.synchronized {
+      lastCellCache.get.filter(_ ne cached).foreach(_.unpersist(blocking = false))
+      lastCellCache.set(Some(cached))
+    }
     val q = cached.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cid").as("q_cid"))
     val scored = cached.join(broadcast(q),
@@ -301,6 +310,22 @@ object VectorOps {
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosine(col("qv"), col("v")).as("sim"))
     topK(scored)
+  }
+
+  /** The one live cell-assignment cache [[annIvfOverCells]] maintains —
+    * see its doc. `AtomicReference` only as a mutable cell; mutation is
+    * guarded by `synchronized` so unpersist+replace is atomic.
+    */
+  private val lastCellCache =
+    new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+
+  /** Release the last [[annIvfOverCells]] assignment cache (no-op when
+    * none is live). Harness `scrub`s call `clearCache()` which also
+    * covers it; this is the targeted form for library users.
+    */
+  def releaseCellCache(): Unit = lastCellCache.synchronized {
+    lastCellCache.get.foreach(_.unpersist(blocking = false))
+    lastCellCache.set(None)
   }
 
   /** IVF ANN over TRAINED cells: [[kmeansAssign]] quantizes the corpus,

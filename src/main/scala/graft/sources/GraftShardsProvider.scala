@@ -71,6 +71,13 @@ final class GraftShardsProvider extends StreamSourceProvider with DataSourceRegi
       parameters: Map[String, String]): Source = {
     val cfg = GraftShardsConfig(parameters, schema)
     val spark = sqlContext.sparkSession
+    // subscribe-before-producer: materialize the stream root so neither
+    // the inner file source's listing nor the `latest` end resolution
+    // fails on a not-yet-written stream (the canonical LATEST use case —
+    // records the producer writes later are post-subscribe by
+    // definition). Idempotent when the directory exists.
+    val root = new org.apache.hadoop.fs.Path(cfg.path)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(root)
     val inner = FileSourceBridge.parquetStreamSource(
       spark, metadataPath, cfg.schema, cfg.path,
       cfg.maxFilesPerTrigger.map(n => "maxFilesPerTrigger" -> n.toString).toMap)
@@ -121,15 +128,27 @@ object GraftShardsConfig {
 
     val schema = userSchema.getOrElse(ShardedEvents.schema)
 
-    def requireColumns(cols: Seq[String], why: String): Unit = cols.foreach { c =>
-      if (!schema.fieldNames.contains(c))
-        fail(s"startingPosition '$why' needs column '$c' in the stream schema " +
-          s"(got: ${schema.fieldNames.mkString(", ")})")
+    // presence AND type: a wrong-typed seek column would otherwise pass
+    // load() and crash mid-resolution with a raw ClassCastException,
+    // breaking the eager-clear-error contract this config exists for
+    def requireColumns(cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+        why: String): Unit = cols.foreach { case (c, dt) =>
+      schema.fields.find(_.name == c) match {
+        case None =>
+          fail(s"startingPosition '$why' needs column '$c' in the stream schema " +
+            s"(got: ${schema.fieldNames.mkString(", ")})")
+        case Some(f) if f.dataType != dt =>
+          fail(s"startingPosition '$why' needs column '$c' of type ${dt.simpleString}, " +
+            s"but the stream schema has ${f.dataType.simpleString}")
+        case _ => ()
+      }
     }
 
     val position = params.getOrElse(KeyStartingPosition, PositionLatest) match {
       case PositionLatest =>
-        requireColumns(Seq("shard", "event_id"), PositionLatest)
+        requireColumns(Seq(
+          "shard" -> org.apache.spark.sql.types.IntegerType,
+          "event_id" -> org.apache.spark.sql.types.LongType), PositionLatest)
         Latest
       case PositionTrimHorizon => TrimHorizon
       case s if s.startsWith(PositionAtTimestampPrefix) =>
@@ -138,7 +157,7 @@ object GraftShardsConfig {
           Try(java.time.LocalDate.parse(raw.trim)).isSuccess
         if (!parses) fail(s"startingPosition timestamp '$raw' is not a valid " +
           "'yyyy-MM-dd' or 'yyyy-MM-dd HH:mm:ss' timestamp")
-        requireColumns(Seq("ts"), s)
+        requireColumns(Seq("ts" -> org.apache.spark.sql.types.TimestampType), s)
         AtTimestamp(raw.trim)
       case other =>
         fail(s"invalid startingPosition '$other'; expected one of: " +
@@ -221,9 +240,23 @@ object GraftShardsSource {
 
     if (fs.exists(file)) read()
     else {
-      val ends = spark.read.schema(cfg.schema).parquet(cfg.path)
-        .groupBy(col("shard")).agg(max(col("event_id")).as("start_after"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).toList.sorted
+      // the canonical LATEST use case subscribes BEFORE the producer has
+      // written anything: a not-yet-existing (or empty) stream directory
+      // is an empty snapshot — every shard is new, everything passes
+      // through — not a start-time failure. The empty snapshot is still
+      // persisted so a restart after the producer appears replays the
+      // same (empty) subscribe point.
+      val streamPath = new org.apache.hadoop.fs.Path(cfg.path)
+      val streamFs = streamPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ends =
+        if (!streamFs.exists(streamPath)) Nil
+        else spark.read.schema(cfg.schema).parquet(cfg.path)
+          .groupBy(col("shard")).agg(max(col("event_id")).as("start_after"))
+          .collect()
+          // max() over an all-null shard is null: no frozen end for that
+          // shard, it passes through whole like a post-subscribe shard
+          .filterNot(_.isNullAt(1))
+          .map(r => (r.getInt(0), r.getLong(1))).toList.sorted
       val tmp = new org.apache.hadoop.fs.Path(metadataPath, s".$LatestSnapshotFile.tmp")
       val out = fs.create(tmp, true)
       try out.write(ends.map { case (s, m) => s"$s,$m" }.mkString("\n").getBytes("UTF-8"))

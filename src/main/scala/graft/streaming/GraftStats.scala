@@ -23,8 +23,13 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * `progress.stateOperators` — `numRowsTotal` is the state a restart
   * would restore (in-flight), `numRowsUpdated` the rows this epoch wrote
   * before its commit. Both are summed across the query's stateful
-  * operators and published as last-observed gauges, the same overwrite
-  * semantics as the reference's `recordNrOf*` hooks.
+  * operators and published PER QUERY ([[stateRows]], keyed by query id) —
+  * the reference's `recordNrOf*` hooks live on a per-consumer stats
+  * instance, so a session-wide listener must keep per-query resolution
+  * or two concurrent queries' depths would overwrite each other. The
+  * unkeyed [[stateRowsTotal]]/[[stateRowsUpdated]] convenience gauges
+  * keep the last-observed-any-query overwrite semantics and are only
+  * meaningful in single-query sessions.
   *
   * Registered session-wide via the `streamingQueryListeners` static conf
   * (the reflective `ConsumerStats` config hook), so nothing here may grow
@@ -44,9 +49,14 @@ final class GraftStats extends StreamingQueryListener {
   val failed = new AtomicBoolean(false)
   val batches = new AtomicLong(0) // checkpointAcked analog: committed epochs
   val rows = new AtomicLong(0)    // trackRecord analog
-  // state-depth gauges (last observed; 0 until a stateful batch reports)
+  // state-depth gauges (last observed; 0 until a stateful batch reports).
+  // Unkeyed pair = last stateful progress from ANY query (single-query
+  // convenience); the per-query map is the ConsumerStats-parity surface.
   val stateRowsTotal = new AtomicLong(0)   // recordNrOfInFlightRecords analog
   val stateRowsUpdated = new AtomicLong(0) // recordNrOfProcessedUncheckpointedRecords analog
+  // query id -> (in-flight state rows, rows updated this epoch); bounded
+  // like the identity sets (newest IdCapacity queries retained)
+  val stateRows = new BoundedIdMap[(Long, Long)](IdCapacity)
   // per-query identity, like the reference's per-consumer stats instance
   // (reportInitialization/reportShutdown know WHICH consumer): lets a
   // caller assert a SPECIFIC query was observed, not just that the
@@ -64,8 +74,11 @@ final class GraftStats extends StreamingQueryListener {
     rows.addAndGet(e.progress.numInputRows)
     val ops = e.progress.stateOperators
     if (ops != null && ops.nonEmpty) {
-      stateRowsTotal.set(ops.map(_.numRowsTotal).sum)
-      stateRowsUpdated.set(ops.map(_.numRowsUpdated).sum)
+      val total = ops.map(_.numRowsTotal).sum
+      val updated = ops.map(_.numRowsUpdated).sum
+      stateRowsTotal.set(total)
+      stateRowsUpdated.set(updated)
+      stateRows.put(e.progress.id, (total, updated))
     }
   }
 
@@ -96,5 +109,21 @@ object GraftStats {
     }
     def contains(id: java.util.UUID): Boolean = synchronized(set.contains(id))
     def size: Int = synchronized(set.size)
+  }
+
+  /** Insertion-ordered query-id map capped at `max` entries — oldest
+    * evicted first (updating an id refreshes its position). Same bound
+    * discipline as [[BoundedIdSet]]: the listener is session-lived, so
+    * nothing here may grow with queries-ever-started.
+    */
+  final class BoundedIdMap[V](max: Int) {
+    private val m = new java.util.LinkedHashMap[java.util.UUID, V]()
+    def put(id: java.util.UUID, v: V): Unit = synchronized {
+      m.remove(id)
+      m.put(id, v)
+      if (m.size > max) { val it = m.keySet().iterator(); it.next(); it.remove() }
+    }
+    def get(id: java.util.UUID): Option[V] = synchronized(Option(m.get(id)))
+    def size: Int = synchronized(m.size)
   }
 }

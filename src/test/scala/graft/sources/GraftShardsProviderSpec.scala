@@ -193,6 +193,42 @@ class GraftShardsProviderSpec extends AnyFunSuite with SparkSpec with Matchers {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
   }
 
+  test("latest: subscribing BEFORE the stream directory exists starts clean, later records flow") {
+    // the canonical Kinesis LATEST shape: the consumer subscribes before
+    // the producer has written anything — start() must not fail on the
+    // missing path, and everything the producer writes afterwards is
+    // post-subscribe and delivered whole
+    val base = newBase()
+    val dir = s"$base/not-yet-written"
+    val ckpt = s"$base/ckpt"
+    val got1 = collectIds(open(dir, "latest"), ckpt)
+    assert(got1.isEmpty, s"empty subscribe must deliver nothing, got ${got1.take(5)}")
+
+    val events = batchEvents
+    ShardedEvents.appendTranche(events, dir, 4)
+    val got2 = collectIds(open(dir, "latest"), ckpt)
+    got2.sorted shouldBe events.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+  }
+
+  test("options: a wrong-typed seek column fails eagerly at load(), naming the expected type") {
+    // presence-only validation would pass this schema and crash at
+    // start() with a raw ClassCastException inside the latest-ends
+    // resolution; the config must reject it at load()
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val swapped = StructType(Seq(
+      StructField("shard", LongType),     // must be int
+      StructField("event_id", IntegerType))) // must be bigint
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-shards")
+        .schema(swapped)
+        .option("path", "/tmp/x")
+        .option("startingPosition", "latest")
+        .load()
+    }
+    e.getMessage should include("type")
+    e.getMessage should (include("int") and include("shard"))
+  }
+
   test("options: a position needing absent columns fails eagerly against a caller schema") {
     // `latest` seeks by (shard, event_id); the documents schema has no
     // event_id — the config must say so at load(), not fail mid-query

@@ -319,6 +319,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
       assert(stats.stateRowsTotal.get() >= batchEventIds.size,
         s"in-flight gauge ${stats.stateRowsTotal.get()} < ${batchEventIds.size} dedup state rows")
       assert(stats.stateRowsUpdated.get() > 0, "uncheckpointed-rows gauge never observed an update")
+      // per-query resolution (the reference's stats are per-consumer):
+      // the gauge pair must be retrievable by THIS query's id...
+      val firstDepth = stats.stateRows.get(q.id)
+      assert(firstDepth.exists(_._1 >= batchEventIds.size),
+        s"per-query gauge for ${q.id} missing or shallow: $firstDepth")
+      // ...and must survive a SECOND stateful query reporting a much
+      // smaller depth (the unkeyed gauges, by contract, get overwritten)
+      val q2 = ShardedEvents.readStream(spark, shards)
+        .groupBy(col("event_type")).count()
+        .writeStream
+        .outputMode("complete")
+        .format("noop")
+        .option("checkpointLocation", s"$base/ckpt2")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+      val deadline2 = System.nanoTime() + 10_000_000_000L
+      while (stats.stateRows.get(q2.id).isEmpty && System.nanoTime() < deadline2)
+        Thread.sleep(50)
+      val secondDepth = stats.stateRows.get(q2.id)
+      assert(secondDepth.exists(d => d._1 > 0 && d._1 < batchEventIds.size),
+        s"second query's own gauge wrong: $secondDepth")
+      assert(stats.stateRows.get(q.id) == firstDepth,
+        "a concurrent query's progress must not clobber another query's gauge")
     } finally spark.streams.removeListener(stats)
   }
 
@@ -649,51 +673,23 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   // ---- bounded dup-span tracker (StreamingQueries.boundedDupPositions) ----
 
-  /** Drive one `Trigger.AvailableNow` run of the bounded tracker over
-    * whatever is currently in `dir`, resuming from `ckpt` (state and
-    * watermark restore from the checkpoint, so per-tranche restarts are
-    * fully deterministic — no live-trigger race with tranche appends).
-    * Confs are scoped around start():
-    *  - multipleWatermarkPolicy=max — the tracker's deployment contract
-    *    (see its scaladoc: the marks-side watermark node would pin a
-    *    `min` combine on a mostly-unique stream and stall the TTL);
-    *  - statefulOperator.checkCorrectness disabled — Spark
-    *    pattern-matches fMGWS-before-stateful as a late-row hazard, but
-    *    this tracker provably never emits late rows (every mark is
-    *    stamped with the CURRENT sighting's ts, which already passed the
-    *    occurrence-side late filter).
+  /** Drive one `Trigger.AvailableNow` run of the bounded dup-span
+    * tracker over whatever is currently in `dir`, resuming from `ckpt`
+    * (state and watermark restore from the checkpoint, so per-tranche
+    * restarts are fully deterministic — no live-trigger race with
+    * tranche appends). The scoped deployment-contract confs and the
+    * runner itself live in [[BoundedTrackerHarness]] (shared with the
+    * property specs).
     */
   private def runBoundedDupTranche(dir: String, ckpt: String,
       got: mutable.Buffer[(Long, Long)],
-      tracker: mutable.Buffer[org.apache.spark.sql.streaming.StateOperatorProgress]): Unit = {
-    import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
-    val schemaTs = StructType(ShardedCorpus.schema.fields :+ StructField("ts", TimestampType))
-    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    val wmKey = "spark.sql.streaming.multipleWatermarkPolicy"
-    spark.conf.set(checkKey, "false")
-    spark.conf.set(wmKey, "max")
-    val q = try StreamingQueries.boundedDupPositions(
-        ShardedEvents.openStream(spark, dir, schemaTs, None), "60 seconds", ttlMs = 60000L)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
-        got.synchronized { got ++= rows }
-        ()
-      }
-      .start()
-    finally { spark.conf.unset(checkKey); spark.conf.unset(wmKey) }
-    q.awaitTermination()
-    assert(q.exception.isEmpty, s"tranche run failed: ${q.exception}")
-    tracker ++= q.recentProgress.flatMap(_.stateOperators)
-      .filter(_.operatorName.toLowerCase.contains("flatmapgroups"))
-  }
+      tracker: mutable.Buffer[org.apache.spark.sql.streaming.StateOperatorProgress]): Unit =
+    BoundedTrackerHarness.runTranche(spark, dir, ckpt,
+      StreamingQueries.boundedDupPositions(_, "60 seconds", ttlMs = 60000L),
+      r => (r.getLong(0), r.getLong(1)), got, tracker)
 
   private def appendDocTranche(t: org.apache.spark.sql.DataFrame, dir: String): Unit =
-    ShardedEvents.routed(t, col("doc_id"), col("doc_id"), ShardedCorpus.NumShards)
-      .write.mode("append").partitionBy("shard").parquet(dir)
+    BoundedTrackerHarness.appendTranche(t, dir)
 
   private def dupGramRel(t: org.apache.spark.sql.DataFrame) = t
     .select(col("doc_id"), posexplode(graft.functions.WordWindowMd5.wordWindowMd5(
@@ -707,36 +703,14 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
   }
 
   /** [[runBoundedDupTranche]]'s sibling for the bounded NEAR-DUP tracker
-    * (`boundedNearDupPairs`): one `AvailableNow` run over the current
-    * corpus dir, resuming from `ckpt`; same scoped deployment confs.
+    * (`boundedNearDupPairs`) — same shared harness runner.
     */
   private def runBoundedNearDupTranche(dir: String, ckpt: String,
       got: mutable.Buffer[(Long, Long, Double)],
-      tracker: mutable.Buffer[org.apache.spark.sql.streaming.StateOperatorProgress]): Unit = {
-    import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
-    val schemaTs = StructType(ShardedCorpus.schema.fields :+ StructField("ts", TimestampType))
-    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    val wmKey = "spark.sql.streaming.multipleWatermarkPolicy"
-    spark.conf.set(checkKey, "false")
-    spark.conf.set(wmKey, "max")
-    val q = try StreamingQueries.boundedNearDupPairs(
-        ShardedEvents.openStream(spark, dir, schemaTs, None), "60 seconds", ttlMs = 60000L)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        got.synchronized { got ++= rows }
-        ()
-      }
-      .start()
-    finally { spark.conf.unset(checkKey); spark.conf.unset(wmKey) }
-    q.awaitTermination()
-    assert(q.exception.isEmpty, s"tranche run failed: ${q.exception}")
-    tracker ++= q.recentProgress.flatMap(_.stateOperators)
-      .filter(_.operatorName.toLowerCase.contains("flatmapgroups"))
-  }
+      tracker: mutable.Buffer[org.apache.spark.sql.streaming.StateOperatorProgress]): Unit =
+    BoundedTrackerHarness.runTranche(spark, dir, ckpt,
+      StreamingQueries.boundedNearDupPairs(_, "60 seconds", ttlMs = 60000L),
+      r => (r.getLong(0), r.getLong(1), r.getDouble(2)), got, tracker)
 
   test("bounded near-dup tracker: per-member TTL plateaus bucket state; in-horizon pairs stay exact") {
     // the production form of s8's unbounded bucket store: per-member
