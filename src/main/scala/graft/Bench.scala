@@ -24,23 +24,38 @@ import scala.jdk.CollectionConverters._
   *  - the artifact is SELF-DIAGNOSING: wall-clock alone cannot distinguish
   *    "the engine regressed" from "the machine was busy" (the r7 driver
   *    artifact recorded 2-20x inflated times purely from external load).
-  *    Each measured run therefore also records its JVM GC-time delta and
-  *    process-CPU-time delta, plus a single-threaded spin probe run just
-  *    before it: ~15 ms of pure register arithmetic whose wall/cpu ratio
-  *    is ~1 on a quiet machine and grows with external contention (the OS
-  *    descheduling us is workload-independent, unlike Spark's own
-  *    utilization). The JSON carries per-query telemetry and a top-level
-  *    `contended` flag (median spin ratio > 1.5) so an inflated artifact
-  *    flags itself instead of silently reading as a regression.
+  *    Each measured run therefore also records its JVM GC-time delta,
+  *    process-CPU-time delta and /proc/stat hypervisor-steal delta, plus
+  *    a single-threaded spin probe run just before it (~15 ms of pure
+  *    register arithmetic — workload-independent, unlike Spark's own
+  *    utilization). Three contention modes, three signals: guest-OS
+  *    descheduling inflates the probe's wall/cpu RATIO; host vCPU steal
+  *    and frequency throttling inflate thread-cpu along with wall (ratio
+  *    blind) but slow the probe's ABSOLUTE wallMs against the run's own
+  *    minimum, and show up directly in the steal counter where the
+  *    kernel exposes it. The JSON carries per-query telemetry and a
+  *    top-level `contended` flag (any signal trips it) so an inflated
+  *    artifact flags itself instead of silently reading as a regression.
   */
 object Bench {
 
-  /** Wall/cpu ratio of a fixed single-threaded busy loop (~10-20 ms).
-    * On an uncontended machine a spinning thread is never descheduled, so
-    * the ratio is ~1.0; under external CPU pressure the OS parks the
-    * thread and wall time grows while thread-CPU time does not.
+  /** Fixed single-threaded busy loop (~10-20 ms of pure register
+    * arithmetic). Two readings, catching two distinct contention modes:
+    *
+    *  - `ratio` (wall/thread-cpu): on an uncontended machine a spinning
+    *    thread is never descheduled, so ~1.0; under GUEST-visible CPU
+    *    pressure the OS parks the thread and wall grows while thread-CPU
+    *    does not.
+    *  - `wallMs` (absolute time for the fixed work): host-level vCPU
+    *    steal and frequency throttling inflate wall AND thread-cpu
+    *    together — the ratio stays ~1.0 and is blind to them — but the
+    *    fixed work takes visibly longer. Comparing each query's wallMs
+    *    against the run's own minimum exposes intermittent slowdown
+    *    without any machine-specific calibration constant.
     */
-  private def spinProbe(): Double = {
+  private final case class Spin(ratio: Double, wallMs: Double)
+
+  private def spinProbe(): Spin = {
     val tmx = ManagementFactory.getThreadMXBean
     val w0 = System.nanoTime(); val c0 = tmx.getCurrentThreadCpuTime
     var x = 0x9E3779B97F4A7C15L; var i = 0
@@ -48,8 +63,22 @@ object Bench {
     val wall = System.nanoTime() - w0
     val cpu = tmx.getCurrentThreadCpuTime - c0
     if (x == 42L) System.err.println("") // defeat dead-code elimination
-    wall.toDouble / math.max(cpu, 1L).toDouble
+    Spin(wall.toDouble / math.max(cpu, 1L).toDouble, wall / 1e6)
   }
+
+  /** Cumulative hypervisor steal seconds from /proc/stat (field 8) — the
+    * host descheduling our vCPUs, which neither the spin ratio nor any
+    * JVM counter can see. -1 when unavailable (non-Linux, no paravirt
+    * steal accounting).
+    */
+  private def stealSec(): Double =
+    try {
+      val first = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = first.trim.split("\\s+")
+      if (f.length > 8) f(8).toDouble / userHz else -1.0
+    } catch { case _: Throwable => -1.0 }
+
+  private val userHz = 100.0 // USER_HZ: jiffies per second, 100 on Linux
 
   private def gcTimeMs: Long =
     ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
@@ -63,7 +92,8 @@ object Bench {
   /** One measured run's telemetry: wall seconds plus the diagnostics that
     * tell a reader WHY the wall time is what it is.
     */
-  private final case class Measure(sec: Double, cpuSec: Double, gcSec: Double, spin: Double)
+  private final case class Measure(sec: Double, cpuSec: Double, gcSec: Double,
+      spin: Spin, stealSec: Double)
 
   def main(args: Array[String]): Unit = {
     // clear any previous run's persisted result FIRST — before anything
@@ -74,7 +104,13 @@ object Bench {
     java.nio.file.Files.deleteIfExists(lastJson)
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default = the deployment's canonical local[32] (32 executor
+    // threads, shuffle.partitions=32). The scaffold's old default of 4
+    // silently measured a different engine config: at sf0.1 a local[4]
+    // run walls ~35% higher than local[32], which against a local[32]
+    // baseline reads as a phantom regression. SPARK_GRAFT_CPUS overrides
+    // for constrained boxes, and the JSON records which was used.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -116,11 +152,13 @@ object Bench {
     // pressure that skews later timings, never a warm-start benefit.
     def timed(name: String): Measure = {
       val spin = spinProbe()
-      val gc0 = gcTimeMs; val cpu0 = processCpuNs
+      val gc0 = gcTimeMs; val cpu0 = processCpuNs; val st0 = stealSec()
       val t0 = System.nanoTime()
       runOnce(name)
       val dt = (System.nanoTime() - t0) / 1e9
-      val m = Measure(dt, (processCpuNs - cpu0) / 1e9, (gcTimeMs - gc0) / 1e3, spin)
+      val st1 = stealSec()
+      val steal = if (st0 >= 0 && st1 >= 0) st1 - st0 else -1.0
+      val m = Measure(dt, (processCpuNs - cpu0) / 1e9, (gcTimeMs - gc0) / 1e3, spin, steal)
       scrub()
       m
     }
@@ -132,23 +170,40 @@ object Bench {
     val qs = results.map { case (k, m) => s"\"" + k + "\":" + f(m.sec) }
       .mkString("{", ",", "}")
     val telemetry = results.map { case (k, m) =>
-      s"\"$k\":{\"cpuSec\":${f(m.cpuSec)},\"gcSec\":${f(m.gcSec)},\"spinWallToCpu\":${f(m.spin)}}"
+      s"\"$k\":{\"cpuSec\":${f(m.cpuSec)},\"gcSec\":${f(m.gcSec)}" +
+        s",\"spinWallToCpu\":${f(m.spin.ratio)},\"spinMs\":${f(m.spin.wallMs)}" +
+        s",\"stealSec\":${f(m.stealSec)}}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum
-    val spins = results.map(_._2.spin).sorted
+    val spins = results.map(_._2.spin.ratio).sorted
     val medianSpin = spins(spins.size / 2)
-    // contention verdict: the spin probe is workload-independent, so a
-    // median ratio well above 1 means the OS was descheduling this JVM
-    // between queries — the wall numbers measure the machine, not the
-    // engine, and the artifact says so itself
-    val contended = medianSpin > 1.5
+    val spinWalls = results.map(_._2.spin.wallMs).sorted
+    val (minSpinMs, medianSpinMs) = (spinWalls.head, spinWalls(spinWalls.size / 2))
+    val totalSteal = { val s = results.map(_._2.stealSec).filter(_ >= 0); if (s.isEmpty) -1.0 else s.sum }
+    // contention verdict, three workload-independent signals: (1) spin
+    // RATIO ≫ 1 = the guest OS descheduled this JVM (external same-host
+    // load); (2) median spin WALL ≫ the run's own best = the fixed probe
+    // work itself ran slow for part of the run (host vCPU steal or
+    // frequency throttling — invisible to the ratio because thread-cpu
+    // inflates too); (3) hypervisor steal time ≫ 0 (direct host-
+    // contention counter where /proc/stat exposes it). Any one means the
+    // wall numbers measure the machine, not the engine, and the artifact
+    // says so itself.
+    val contended = medianSpin > 1.5 || medianSpinMs > 1.5 * minSpinMs ||
+      (totalSteal >= 0 && totalSteal > 0.1 * total)
+    // record the SESSION parallelism, not just machine cores: wall times
+    // from a local[4] run read as a ~40% regression against a local[32]
+    // baseline unless the artifact says which config it measured
     val cores = Runtime.getRuntime.availableProcessors()
     val totalCpu = results.map(_._2.cpuSec).sum
     val totalGc = results.map(_._2.gcSec).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-        s""","contended":$contended,"contention":{"medianSpinWallToCpu":${f(medianSpin)}""" +
-        s""","maxSpinWallToCpu":${f(spins.last)},"cores":$cores,"procCpuSec":${f(totalCpu)}""" +
+        s""","parallelism":$cpus,"contended":$contended""" +
+        s""","contention":{"medianSpinWallToCpu":${f(medianSpin)}""" +
+        s""","maxSpinWallToCpu":${f(spins.last)},"minSpinMs":${f(minSpinMs)}""" +
+        s""","medianSpinMs":${f(medianSpinMs)},"maxSpinMs":${f(spinWalls.last)}""" +
+        s""","stealSec":${f(totalSteal)},"cores":$cores,"procCpuSec":${f(totalCpu)}""" +
         s""","gcSec":${f(totalGc)}},"telemetry":$telemetry}"""
     println(json)
     // Also persist to a file: the driver tails stdout and noisy stderr can
