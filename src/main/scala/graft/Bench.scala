@@ -72,13 +72,35 @@ object Bench {
     * steal accounting).
     */
   private def stealSec(): Double =
-    try {
-      val first = scala.io.Source.fromFile("/proc/stat").getLines().next()
-      val f = first.trim.split("\\s+")
-      if (f.length > 8) f(8).toDouble / userHz else -1.0
-    } catch { case _: Throwable => -1.0 }
+    try parseStealSec(scala.io.Source.fromFile("/proc/stat").getLines().next())
+    catch { case _: Throwable => -1.0 }
+
+  /** Parse the aggregate-cpu line of /proc/stat to steal seconds.
+    * Fields: cpu user nice system idle iowait irq softirq STEAL ...
+    */
+  private[graft] def parseStealSec(cpuLine: String): Double = {
+    val f = cpuLine.trim.split("\\s+")
+    if (f.length > 8 && f(0) == "cpu") f(8).toDouble / userHz else -1.0
+  }
 
   private val userHz = 100.0 // USER_HZ: jiffies per second, 100 on Linux
+
+  /** The three-signal contention verdict (see class doc): any of
+    *  (1) median spin RATIO > 1.5 (guest-OS descheduling),
+    *  (2) median spin WALL > 1.5x the run's own best (the fixed probe
+    *      work itself ran slow — host steal / frequency throttling),
+    *  (3) steal > 10% of measured wall (direct hypervisor counter;
+    *      -1 = counter unavailable, signal abstains)
+    * means the wall numbers measured the machine, not the engine.
+    */
+  private[graft] def contentionVerdict(spinRatios: Seq[Double], spinWallsMs: Seq[Double],
+      totalStealSec: Double, totalWallSec: Double): Boolean = {
+    val ratios = spinRatios.sorted
+    val walls = spinWallsMs.sorted
+    ratios(ratios.size / 2) > 1.5 ||
+      walls(walls.size / 2) > 1.5 * walls.head ||
+      (totalStealSec >= 0 && totalStealSec > 0.1 * totalWallSec)
+  }
 
   private def gcTimeMs: Long =
     ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
@@ -180,17 +202,8 @@ object Bench {
     val spinWalls = results.map(_._2.spin.wallMs).sorted
     val (minSpinMs, medianSpinMs) = (spinWalls.head, spinWalls(spinWalls.size / 2))
     val totalSteal = { val s = results.map(_._2.stealSec).filter(_ >= 0); if (s.isEmpty) -1.0 else s.sum }
-    // contention verdict, three workload-independent signals: (1) spin
-    // RATIO ≫ 1 = the guest OS descheduled this JVM (external same-host
-    // load); (2) median spin WALL ≫ the run's own best = the fixed probe
-    // work itself ran slow for part of the run (host vCPU steal or
-    // frequency throttling — invisible to the ratio because thread-cpu
-    // inflates too); (3) hypervisor steal time ≫ 0 (direct host-
-    // contention counter where /proc/stat exposes it). Any one means the
-    // wall numbers measure the machine, not the engine, and the artifact
-    // says so itself.
-    val contended = medianSpin > 1.5 || medianSpinMs > 1.5 * minSpinMs ||
-      (totalSteal >= 0 && totalSteal > 0.1 * total)
+    val contended = contentionVerdict(results.map(_._2.spin.ratio),
+      results.map(_._2.spin.wallMs), totalSteal, total)
     // record the SESSION parallelism, not just machine cores: wall times
     // from a local[4] run read as a ~40% regression against a local[32]
     // baseline unless the artifact says which config it measured
