@@ -242,6 +242,29 @@ class GraftShardsProviderSpec extends AnyFunSuite with SparkSpec with Matchers {
     e.getMessage should include("event_id")
   }
 
+  test("at_timestamp seek is PUSHED into the micro-batch parquet scan (scale pin)") {
+    // the seek filter must reach the per-batch FileSourceScan's
+    // PushedFilters — evaluated above the scan it would re-read every
+    // retained record each batch, which at 100 TB is the difference
+    // between a seek and a full-stream rescan
+    val base = newBase()
+    val dir = shardDir(base)
+    var lastPlan = ""
+    val q = open(dir, "at_timestamp:2024-01-15")
+      .select("event_id")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) => b.count(); () }
+      .start()
+    q.awaitTermination()
+    lastPlan = org.apache.spark.sql.graftbridge.StreamPlanBridge.lastExecutedPlan(q)
+    assert(lastPlan.nonEmpty, "no executed micro-batch plan captured")
+    assert(lastPlan.contains("PushedFilters: [") &&
+      lastPlan.contains("GreaterThanOrEqual(ts"),
+      s"seek filter not pushed into the batch scan:\n$lastPlan")
+  }
+
   test("format stream checkpoints like any source: WAL offsets commit per epoch") {
     val base = newBase()
     val dir = shardDir(base)
