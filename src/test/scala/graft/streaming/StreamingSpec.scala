@@ -346,6 +346,71 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally spark.streams.removeListener(stats)
   }
 
+  test("two consumers run CONCURRENTLY on one session: both exact, stats stay per-query") {
+    // the reference's multi-consumer app shape (one KCL app, many
+    // consumers): two streaming queries over different shard dirs run
+    // simultaneously on one session — results must each match their
+    // batch ground truth, and the session-wide listener must keep the
+    // two queries' lifecycle + state-depth observations apart
+    val stats = new GraftStats
+    spark.streams.addListener(stats)
+    val base = newBase()
+    val eventShards = shardDir(base)
+    val docShards = s"$base/docshards"
+    ShardedCorpus.materialize(spark, sf001, docShards)
+    try {
+      // q1: per-type event counts after exact dedup (s2's shape);
+      // q2: per-lang distinct-fingerprint corpus dedup (s7's shape);
+      // 1-file triggers force many batches so the executions interleave
+      val q1 = ShardedEvents.readStream(spark, eventShards, maxFilesPerTrigger = Some(1))
+        .dropDuplicates(Seq("event_id"))
+        .groupBy(col("event_type")).count()
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("graft_mem_conc_events")
+        .option("checkpointLocation", s"$base/ckpt1")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val q2 = ShardedCorpus.readStream(spark, docShards, maxFilesPerTrigger = Some(1))
+        .select(col("lang"), graft.ops.CorpusOps.fingerprint(col("text")).as("fp"))
+        .dropDuplicates(Seq("lang", "fp"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("graft_mem_conc_docs")
+        .option("checkpointLocation", s"$base/ckpt2")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q1.awaitTermination(); q2.awaitTermination()
+      assert(q1.exception.isEmpty && q2.exception.isEmpty)
+
+      // each result equals ITS batch ground truth — no cross-talk
+      val gotEvents = spark.table("graft_mem_conc_events")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val wantEvents = graft.Tables.events(spark, sf001)
+        .groupBy(col("event_type")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      gotEvents shouldBe wantEvents
+      val gotDocs = spark.table("graft_mem_conc_docs")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val wantDocs = graft.Tables.documents(spark, sf001)
+        .select(col("lang"), graft.ops.CorpusOps.fingerprint(col("text")).as("fp"))
+        .groupBy(col("lang")).agg(countDistinct(col("fp")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      gotDocs shouldBe wantDocs
+
+      // the listener observed BOTH queries distinctly
+      assert(stats.startedIds.contains(q1.id) && stats.startedIds.contains(q2.id))
+      assert(stats.terminatedIds.contains(q1.id) && stats.terminatedIds.contains(q2.id))
+      // listener bus is async; per-query gauges may trail termination
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while ((stats.stateRows.get(q1.id).isEmpty || stats.stateRows.get(q2.id).isEmpty) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(stats.stateRows.get(q1.id).exists(_._1 > 0),
+        s"q1's own state gauge missing: ${stats.stateRows.get(q1.id)}")
+      assert(stats.stateRows.get(q2.id).exists(_._1 > 0),
+        s"q2's own state gauge missing: ${stats.stateRows.get(q2.id)}")
+    } finally spark.streams.removeListener(stats)
+  }
+
   test("listener identity sets are bounded: oldest query ids evict at capacity") {
     // GraftStats is registered session-wide via the streamingQueryListeners
     // static conf; a long-lived session launches unbounded queries, so the
@@ -758,6 +823,65 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     val maxState = tracker.map(_.numRowsTotal).max
     assert(maxState > 0 && maxState < distinctBuckets,
       s"state grew to $maxState of $distinctBuckets distinct buckets — unbounded")
+  }
+
+  test("bounded near-dup tracker on RocksDB + changelog: TTL state restores across restarts") {
+    // the store this tracker actually runs on at 100 TB state: RocksDB
+    // with changelog checkpointing (O(batch-delta) commits). Each
+    // per-tranche run is a RESTART from the checkpoint, so tranches 2
+    // and 3 must rebuild the TTL'd bucket state by replaying changelog
+    // deltas — timers, evictions and pair results must all match the
+    // same contract the default-store test pins
+    val base = newBase()
+    val dir = s"$base/shards"
+    val docs = graft.Tables.documents(spark, sf001)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val tranches = Seq(
+      docs.filter(col("doc_id") < 167),
+      docs.filter(col("doc_id") >= 167 && col("doc_id") < 334),
+      docs.filter(col("doc_id") >= 334))
+    val allPairs = graft.ops.CorpusOps.d2MinhashLsh(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(changelogKey, "true")
+    val got = mutable.Buffer.empty[(Long, Long, Double)]
+    val tracker = mutable.Buffer.empty[org.apache.spark.sql.streaming.StateOperatorProgress]
+    try tranches.foreach { t =>
+      appendDocTranche(t, dir)
+      runBoundedNearDupTranche(dir, s"$base/ckpt", got, tracker)
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+      spark.conf.unset(changelogKey)
+    }
+
+    // same contract as the default-store test: sound, in-tranche
+    // complete, TTL evicts
+    val g = got.synchronized(got.toSet)
+    assert(g.subsetOf(allPairs), s"false pairs: ${g.diff(allPairs).take(5)}")
+    val inTranche = tranches.map { t =>
+      graft.ops.CorpusOps.nearDupPairs(t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }.reduce(_ union _)
+    assert(inTranche.nonEmpty && inTranche.subsetOf(g),
+      s"missed in-horizon pairs: ${inTranche.diff(g).take(5)}")
+    assert(tracker.map(_.numRowsRemoved).sum > 0,
+      "TTL must evict bucket state on the RocksDB store")
+    // and the checkpoint really is changelog-based
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$base/ckpt", "state"))
+    val changelogs = try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.count(_.toString.endsWith(".changelog"))
+    } finally walk.close()
+    assert(changelogs > 0, "no .changelog deltas under the state dir")
   }
 
   test("bounded dup-span tracker: event-time TTL plateaus state; in-horizon marking stays exact") {
