@@ -36,6 +36,14 @@ import scala.jdk.CollectionConverters._
   *    kernel exposes it. The JSON carries per-query telemetry and a
   *    top-level `contended` flag (any signal trips it) so an inflated
   *    artifact flags itself instead of silently reading as a regression.
+  *  - the run-scope flag is median-based and therefore blind to a
+  *    TRANSIENT stall confined to one query (the r8 artifact recorded one
+  *    query 16x inflated under `contended: false`). Each query's best pass
+  *    is therefore also judged individually (`querySuspect`): a suspect
+  *    query gets a third measured pass, and any query whose best pass
+  *    STILL looks contended is listed in `suspectQueries` and carries
+  *    `"suspect": true` in its telemetry — per-number distrust, not
+  *    whole-artifact distrust.
   */
 object Bench {
 
@@ -57,13 +65,19 @@ object Bench {
 
   private def spinProbe(): Spin = {
     val tmx = ManagementFactory.getThreadMXBean
-    val w0 = System.nanoTime(); val c0 = tmx.getCurrentThreadCpuTime
+    // Thread-CPU accounting may be unsupported/disabled (the counter then
+    // reads -1 and the delta collapses to ~0, which max(cpu,1) would turn
+    // into a ~1e7 ratio that trips the contention flag on every run). The
+    // ratio abstains with -1 in that case, like stealSec; wallMs still works.
+    val cpuOk = tmx.isCurrentThreadCpuTimeSupported && tmx.isThreadCpuTimeEnabled
+    val w0 = System.nanoTime(); val c0 = if (cpuOk) tmx.getCurrentThreadCpuTime else -1L
     var x = 0x9E3779B97F4A7C15L; var i = 0
     while (i < 20000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
     val wall = System.nanoTime() - w0
-    val cpu = tmx.getCurrentThreadCpuTime - c0
+    val cpu = if (cpuOk) tmx.getCurrentThreadCpuTime - c0 else -1L
     if (x == 42L) System.err.println("") // defeat dead-code elimination
-    Spin(wall.toDouble / math.max(cpu, 1L).toDouble, wall / 1e6)
+    val ratio = if (cpuOk && cpu > 0) wall.toDouble / cpu.toDouble else -1.0
+    Spin(ratio, wall / 1e6)
   }
 
   /** Cumulative hypervisor steal seconds from /proc/stat (field 8) — the
@@ -72,8 +86,10 @@ object Bench {
     * steal accounting).
     */
   private def stealSec(): Double =
-    try parseStealSec(scala.io.Source.fromFile("/proc/stat").getLines().next())
-    catch { case _: Throwable => -1.0 }
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try parseStealSec(src.getLines().next()) finally src.close()
+    } catch { case _: Throwable => -1.0 }
 
   /** Parse the aggregate-cpu line of /proc/stat to steal seconds.
     * Fields: cpu user nice system idle iowait irq softirq STEAL ...
@@ -86,21 +102,52 @@ object Bench {
   private val userHz = 100.0 // USER_HZ: jiffies per second, 100 on Linux
 
   /** The three-signal contention verdict (see class doc): any of
-    *  (1) median spin RATIO > 1.5 (guest-OS descheduling),
+    *  (1) median spin RATIO > 1.5 (guest-OS descheduling; -1 = thread-CPU
+    *      accounting unavailable, that probe abstains — all abstained means
+    *      the signal is skipped entirely),
     *  (2) median spin WALL > 1.5x the run's own best (the fixed probe
     *      work itself ran slow — host steal / frequency throttling),
     *  (3) steal > 10% of measured wall (direct hypervisor counter;
     *      -1 = counter unavailable, signal abstains)
     * means the wall numbers measured the machine, not the engine.
+    *
+    * This is a RUN-scope verdict: its medians catch sustained load but are
+    * blind to a transient stall confined to one query's passes (the r8
+    * artifact carried a 16x-off single number under contended:false).
+    * [[querySuspect]] is the per-query complement.
     */
   private[graft] def contentionVerdict(spinRatios: Seq[Double], spinWallsMs: Seq[Double],
       totalStealSec: Double, totalWallSec: Double): Boolean = {
-    val ratios = spinRatios.sorted
+    val ratios = spinRatios.filter(_ >= 0).sorted
     val walls = spinWallsMs.sorted
-    ratios(ratios.size / 2) > 1.5 ||
+    (ratios.nonEmpty && ratios(ratios.size / 2) > 1.5) ||
       walls(walls.size / 2) > 1.5 * walls.head ||
       (totalStealSec >= 0 && totalStealSec > 0.1 * totalWallSec)
   }
+
+  /** Per-query contention suspicion — the single-query complement of
+    * [[contentionVerdict]]'s run-scope medians. A measurement is suspect
+    * when any of:
+    *  (1) its own spin probe ran > 1.5x the run's best probe (the fixed
+    *      probe work was slow RIGHT BEFORE this query — transient host
+    *      steal / throttling the run median absorbs);
+    *  (2) hypervisor steal during the query exceeded 10% of its wall
+    *      (-1 abstains);
+    *  (3) the serialized-execution signature: process CPU ~= wall on a
+    *      query that walls > 1 s. A healthy multi-second query at
+    *      local[32] burns CPU on many cores (cpu >> wall); an IO- or
+    *      trigger-bound one burns less than its wall (cpu < 0.8x wall);
+    *      cpu within [0.8x, 1.6x] of a long wall means the JVM was
+    *      effectively pinned to ~1 core by external load — exactly the
+    *      r8 d20 blip (7.44 s wall ~= cpu vs 0.46 s clean).
+    * Suspects are re-measured, not discarded: a third pass either confirms
+    * the number or replaces it with the quiet one.
+    */
+  private[graft] def querySuspect(wallSec: Double, cpuSec: Double, spinMs: Double,
+      queryStealSec: Double, runMinSpinMs: Double): Boolean =
+    spinMs > 1.5 * runMinSpinMs ||
+      (queryStealSec >= 0 && queryStealSec > 0.1 * wallSec) ||
+      (wallSec > 1.0 && cpuSec >= 0.8 * wallSec && cpuSec <= 1.6 * wallSec)
 
   private def gcTimeMs: Long =
     ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
@@ -184,26 +231,49 @@ object Bench {
       scrub()
       m
     }
-    val results = names.map { name =>
-      val a = timed(name); val b = timed(name)
-      name -> (if (a.sec <= b.sec) a else b)
+    val firstPasses: Seq[(String, Vector[Measure])] =
+      names.map { name => name -> Vector(timed(name), timed(name)) }
+    // Per-query suspect pass (see querySuspect): the run-scope contended
+    // flag's medians can't see a transient stall confined to one query, so
+    // any query whose BEST pass still looks contended gets a third measured
+    // pass — the min then either confirms the number or replaces it.
+    val runMinSpinMs0 = firstPasses.flatMap(_._2.map(_.spin.wallMs)).min
+    val withRetries: Seq[(String, Vector[Measure], Int)] = firstPasses.map {
+      case (name, ms) =>
+        val best = ms.minBy(_.sec)
+        if (querySuspect(best.sec, best.cpuSec, best.spin.wallMs, best.stealSec, runMinSpinMs0)) {
+          System.err.println(s"[bench] query $name suspect (wall=${best.sec}s) — re-measuring")
+          (name, ms :+ timed(name), 3)
+        } else (name, ms, 2)
+    }
+    // run-min over EVERY pass (including retries) so the final per-query
+    // suspect flag in the artifact is judged against the quietest probe seen
+    val runMinSpinMs = withRetries.flatMap(_._2.map(_.spin.wallMs)).min
+    val results: Seq[(String, Measure, Int, Boolean)] = withRetries.map {
+      case (name, ms, passes) =>
+        val best = ms.minBy(_.sec)
+        val stillSuspect =
+          querySuspect(best.sec, best.cpuSec, best.spin.wallMs, best.stealSec, runMinSpinMs)
+        (name, best, passes, stillSuspect)
     }
     def f(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, m) => s"\"" + k + "\":" + f(m.sec) }
+    val qs = results.map { case (k, m, _, _) => s"\"" + k + "\":" + f(m.sec) }
       .mkString("{", ",", "}")
-    val telemetry = results.map { case (k, m) =>
+    val telemetry = results.map { case (k, m, passes, suspect) =>
       s"\"$k\":{\"cpuSec\":${f(m.cpuSec)},\"gcSec\":${f(m.gcSec)}" +
         s",\"spinWallToCpu\":${f(m.spin.ratio)},\"spinMs\":${f(m.spin.wallMs)}" +
-        s",\"stealSec\":${f(m.stealSec)}}"
+        s",\"stealSec\":${f(m.stealSec)},\"passes\":$passes,\"suspect\":$suspect}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum
-    val spins = results.map(_._2.spin.ratio).sorted
-    val medianSpin = spins(spins.size / 2)
+    val spins = results.map(_._2.spin.ratio).filter(_ >= 0).sorted
+    val medianSpin = if (spins.nonEmpty) spins(spins.size / 2) else -1.0
+    val maxSpin = if (spins.nonEmpty) spins.last else -1.0
     val spinWalls = results.map(_._2.spin.wallMs).sorted
     val (minSpinMs, medianSpinMs) = (spinWalls.head, spinWalls(spinWalls.size / 2))
     val totalSteal = { val s = results.map(_._2.stealSec).filter(_ >= 0); if (s.isEmpty) -1.0 else s.sum }
     val contended = contentionVerdict(results.map(_._2.spin.ratio),
       results.map(_._2.spin.wallMs), totalSteal, total)
+    val suspectNames = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
     // record the SESSION parallelism, not just machine cores: wall times
     // from a local[4] run read as a ~40% regression against a local[32]
     // baseline unless the artifact says which config it measured
@@ -213,8 +283,9 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
         s""","parallelism":$cpus,"contended":$contended""" +
+        s""","suspectQueries":${suspectNames.mkString("[", ",", "]")}""" +
         s""","contention":{"medianSpinWallToCpu":${f(medianSpin)}""" +
-        s""","maxSpinWallToCpu":${f(spins.last)},"minSpinMs":${f(minSpinMs)}""" +
+        s""","maxSpinWallToCpu":${f(maxSpin)},"minSpinMs":${f(minSpinMs)}""" +
         s""","medianSpinMs":${f(medianSpinMs)},"maxSpinMs":${f(spinWalls.last)}""" +
         s""","stealSec":${f(totalSteal)},"cores":$cores,"procCpuSec":${f(totalCpu)}""" +
         s""","gcSec":${f(totalGc)}},"telemetry":$telemetry}"""

@@ -287,19 +287,23 @@ object VectorOps {
     * method; compiling it dominated d13's ~11 s cold start). With the
     * cache both sides read one InMemoryRelation: one scan, one compile.
     * The cached assignment is (vec_id, v, cid) — corpus-sized but
-    * column-pruned. The function OWNS the cache lifetime: each call
-    * unpersists the previous call's assignment (the cached plan is
-    * function-local, so no caller could), bounding a session to ONE live
-    * assignment cache no matter how many times it runs; a superseded
-    * call's returned DataFrame stays correct (it recomputes from
-    * lineage, just uncached). [[releaseCellCache]] frees the last one
-    * deterministically. At 100 TB the assignment is written once to a
-    * table rather than cached, as the [[kmeansAssignSampled]] doc
-    * describes.
+    * column-pruned. The function OWNS the cache lifetime ONLY when it
+    * created the cache: each call unpersists the previous call's OWN
+    * assignment (the cached plan is function-local, so no caller could),
+    * bounding a session to ONE live function-owned cache no matter how
+    * many times it runs; a superseded call's returned DataFrame stays
+    * correct (it recomputes from lineage, just uncached). An input the
+    * CALLER already persisted is used as-is and never unpersisted here —
+    * their cache, their lifetime (and two alternating pipelines over
+    * caller-cached assignments don't thrash). [[releaseCellCache]] frees
+    * the last function-owned cache deterministically. At 100 TB the
+    * assignment is written once to a table rather than cached, as the
+    * [[kmeansAssignSampled]] doc describes.
     */
   def annIvfOverCells(cells: DataFrame): DataFrame = {
-    val cached = cells.persist()
-    lastCellCache.synchronized {
+    val callerPersisted = cells.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (callerPersisted) cells else cells.persist()
+    if (!callerPersisted) lastCellCache.synchronized {
       lastCellCache.get.filter(_ ne cached).foreach(_.unpersist(blocking = false))
       lastCellCache.set(Some(cached))
     }

@@ -49,11 +49,19 @@ import scala.util.Try
   * SCALE: everything here is per-query-start control plane. The data
   * plane is the inner file source's partitioned scan; the one driver-side
   * step is `latest`'s per-shard end resolution — an O(shard count)
-  * aggregate, the same shard-iterator resolution any Kinesis subscribe
-  * performs, persisted into the source's checkpoint metadata so a
-  * RESTART reuses the original subscribe point instead of re-resolving
-  * it against a moved stream (checkpoint-stable, unlike a re-run of the
-  * harness-level [[ShardedEvents.readStreamFrom]]).
+  * aggregate COLLECTED to the driver, persisted into the source's
+  * checkpoint metadata so a RESTART reuses the original subscribe point
+  * instead of re-resolving it against a moved stream (checkpoint-stable,
+  * unlike a re-run of the harness-level
+  * [[ShardedEvents.readStreamFrom]]). Two `latest` costs are NOT O(shard
+  * count) and are handled explicitly: (a) the one-time end resolution
+  * itself aggregates over the retained stream — a single column-pruned
+  * pass over (shard, event_id), paid once per stream lifetime, never on
+  * restart; (b) batch 0's scan would otherwise read every pre-subscribe
+  * file just to join-discard it, so [[GraftShardsSource.afterEnds]]
+  * plants a coarse `event_id > min(end)` prefilter under the exact join
+  * — pushable to parquet row-group stats, which skip the retained
+  * history unread (plan-pinned in GraftShardsProviderSpec).
   */
 final class GraftShardsProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -130,10 +138,13 @@ object GraftShardsConfig {
 
     // presence AND type: a wrong-typed seek column would otherwise pass
     // load() and crash mid-resolution with a raw ClassCastException,
-    // breaking the eager-clear-error contract this config exists for
+    // breaking the eager-clear-error contract this config exists for.
+    // Name match is case-INsensitive, like Spark's own default column
+    // resolution — a caller schema naming the column 'TS' resolves fine
+    // in the seek filter, so it must not be rejected here.
     def requireColumns(cols: Seq[(String, org.apache.spark.sql.types.DataType)],
         why: String): Unit = cols.foreach { case (c, dt) =>
-      schema.fields.find(_.name == c) match {
+      schema.fields.find(_.name.equalsIgnoreCase(c)) match {
         case None =>
           fail(s"startingPosition '$why' needs column '$c' in the stream schema " +
             s"(got: ${schema.fieldNames.mkString(", ")})")
@@ -272,12 +283,28 @@ object GraftShardsSource {
   /** Kinesis `LATEST` filter: drop records at or before the frozen end of
     * their shard; shards with no snapshot row (created after subscribe)
     * pass through whole.
+    *
+    * The exact per-shard cut is a broadcast join, which parquet cannot
+    * push into the scan — alone it would make batch 0 READ every
+    * pre-subscribe file just to discard it, a real cost against a long
+    * retained stream. A coarse scan-PUSHABLE prefilter fixes that:
+    * `event_id > min(start_after)`. Sound because event_id is the
+    * STREAM-assigned sequence number ([[ShardedEvents.Seek.Latest]]):
+    * for a snapshotted shard, min <= that shard's own frozen end, so
+    * nothing the exact filter keeps is dropped; for a post-subscribe
+    * shard, sequence numbers are assigned at append time and increase
+    * stream-wide (the Kinesis model), so its records all sit above every
+    * pre-subscribe end. Parquet row-group stats on event_id then skip
+    * the retained history without reading it.
     */
   def afterEnds(df: DataFrame, ends: Seq[(Int, Long)], schema: StructType): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val endsDf = ends.toDF("shard", "start_after")
-    df.join(broadcast(endsDf), Seq("shard"), "left")
+    val coarse =
+      if (ends.isEmpty) df
+      else df.filter(col("event_id") > lit(ends.map(_._2).min))
+    coarse.join(broadcast(endsDf), Seq("shard"), "left")
       .filter(col("start_after").isNull || col("event_id") > col("start_after"))
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }

@@ -131,9 +131,15 @@ object ShardedEvents {
       val ends = spark.read.schema(schema).parquet(dir)
         .groupBy(col("shard")).agg(max(col("event_id")).as("start_after"))
         .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
-        .toDF("shard", "start_after")
-      readStream(spark, dir, maxFilesPerTrigger)
-        .join(broadcast(ends), Seq("shard"), "left")
+      val endsDf = ends.toDF("shard", "start_after")
+      // coarse scan-pushable prefilter under the exact per-shard join —
+      // same construction and soundness argument as
+      // GraftShardsSource.afterEnds (sequence numbers increase stream-wide)
+      val stream = readStream(spark, dir, maxFilesPerTrigger)
+      val coarse =
+        if (ends.isEmpty) stream
+        else stream.filter(col("event_id") > lit(ends.map(_._2).min))
+      coarse.join(broadcast(endsDf), Seq("shard"), "left")
         .filter(col("start_after").isNull || col("event_id") > col("start_after"))
         .drop("start_after")
   }

@@ -42,6 +42,55 @@ class BenchTelemetrySpec extends AnyFunSuite with Matchers {
       totalWallSec = 63.8))
   }
 
+  test("ratio abstention: unsupported thread-CPU accounting (-1 ratios) skips signal 1") {
+    // without the guard, a -1 CPU counter collapses the delta to ~0 and the
+    // ratio reads ~1e7 — every artifact would self-flag contended:true
+    val abstained = Seq.fill(73)(-1.0)
+    assert(!Bench.contentionVerdict(abstained, quietWalls, 0.0, 40.0))
+    // a mix keeps signal 1 alive over the ratios that DID measure
+    val mixed = Seq.fill(36)(-1.0) ++ Seq.fill(37)(2.4)
+    assert(Bench.contentionVerdict(mixed, quietWalls, 0.0, 40.0))
+  }
+
+  // ---- per-query suspect verdict (the single-query complement: a
+  // transient stall confined to one query leaves every run-scope median
+  // quiet — r8 shipped d20 at 7.44 s vs 0.46 s clean under contended:false)
+
+  test("suspect: quiet query is not suspect") {
+    assert(!Bench.querySuspect(wallSec = 0.5, cpuSec = 4.0, spinMs = 15.0,
+      queryStealSec = 0.0, runMinSpinMs = 15.0))
+  }
+
+  test("suspect signal 1: own spin probe slow vs run best") {
+    assert(Bench.querySuspect(0.5, 4.0, spinMs = 30.0, 0.0, runMinSpinMs = 15.0))
+  }
+
+  test("suspect signal 2: steal during the query exceeds 10% of its wall; -1 abstains") {
+    assert(Bench.querySuspect(2.0, 20.0, 15.0, queryStealSec = 0.5, 15.0))
+    assert(!Bench.querySuspect(2.0, 20.0, 15.0, queryStealSec = -1.0, 15.0))
+  }
+
+  test("suspect signal 3: serialized-execution signature (cpu ~= wall on a long query)") {
+    // the r8 d20 blip: 7.44 s wall with ~7 s cpu — effectively one core
+    assert(Bench.querySuspect(wallSec = 7.44, cpuSec = 7.0, 15.0, 0.0, 15.0))
+    // healthy parallel query: cpu >> wall
+    assert(!Bench.querySuspect(7.44, 60.0, 15.0, 0.0, 15.0))
+    // trigger/IO-bound query: cpu << wall
+    assert(!Bench.querySuspect(7.44, 2.0, 15.0, 0.0, 15.0))
+    // sub-second wall never trips signal 3 (nothing meaningful to re-run)
+    assert(!Bench.querySuspect(0.5, 0.5, 15.0, 0.0, 15.0))
+  }
+
+  test("one artificially-stalled query flags itself while the run-scope flag stays false") {
+    // 72 quiet queries + 1 stalled: the stall inflates that query's wall
+    // (cpu ~= wall) and its probe, but every run-scope MEDIAN stays quiet
+    val ratios = quietRatios
+    val walls = Seq.fill(72)(15.0) :+ 40.0
+    assert(!Bench.contentionVerdict(ratios, walls, totalStealSec = 0.2, totalWallSec = 40.0))
+    assert(Bench.querySuspect(wallSec = 7.44, cpuSec = 7.2, spinMs = 40.0,
+      queryStealSec = 0.1, runMinSpinMs = 15.0))
+  }
+
   test("steal parse: /proc/stat aggregate-cpu line, jiffies to seconds") {
     // cpu user nice system idle iowait irq softirq STEAL guest guest_nice
     Bench.parseStealSec("cpu  3378047 0 1916229 130463598 40238 0 31882 566726 0 0") shouldBe

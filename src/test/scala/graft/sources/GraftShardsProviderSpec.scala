@@ -265,6 +265,53 @@ class GraftShardsProviderSpec extends AnyFunSuite with SparkSpec with Matchers {
       s"seek filter not pushed into the batch scan:\n$lastPlan")
   }
 
+  test("latest: coarse min-end prefilter is PUSHED into the micro-batch parquet scan (scale pin)") {
+    // the exact per-shard cut is a broadcast join — not pushable — so
+    // batch 0 would READ the whole retained stream just to discard it.
+    // afterEnds plants `event_id > min(end)` under the join; it must
+    // reach the scan's PushedFilters so row-group stats skip the
+    // retained history unread
+    val base = newBase()
+    val dir = s"$base/shards"
+    ShardedEvents.appendTranche(batchEvents, dir, 4) // retained pre-subscribe history
+    val q = open(dir, "latest")
+      .select("event_id")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) => b.count(); () }
+      .start()
+    q.awaitTermination()
+    val lastPlan = org.apache.spark.sql.graftbridge.StreamPlanBridge.lastExecutedPlan(q)
+    assert(lastPlan.nonEmpty, "no executed micro-batch plan captured")
+    assert(lastPlan.contains("PushedFilters: [") &&
+      lastPlan.contains("GreaterThan(event_id"),
+      s"coarse latest prefilter not pushed into the batch scan:\n$lastPlan")
+  }
+
+  test("options: seek-column validation is case-insensitive, like Spark's column resolution") {
+    // a caller schema naming the columns 'TS'/'EVENT_ID' resolves fine in
+    // the seek filters (Spark's default resolution is case-insensitive),
+    // so load() must not reject it on a case mismatch
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType, TimestampType}
+    val shouted = StructType(Seq(
+      StructField("EVENT_ID", LongType),
+      StructField("TS", TimestampType),
+      StructField("SHARD", IntegerType)))
+    spark.readStream.format("graft-shards")
+      .schema(shouted)
+      .option("path", "/tmp/x")
+      .option("startingPosition", "latest")
+      .load()
+      .schema shouldBe shouted
+    spark.readStream.format("graft-shards")
+      .schema(shouted)
+      .option("path", "/tmp/x")
+      .option("startingPosition", "at_timestamp:2024-01-15")
+      .load()
+      .schema shouldBe shouted
+  }
+
   test("format stream checkpoints like any source: WAL offsets commit per epoch") {
     val base = newBase()
     val dir = shardDir(base)
