@@ -1188,6 +1188,117 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     got.groupBy(_._2).values.foreach(v => assert(v.map(_._1).distinct.size == 1))
   }
 
+  test("re-sharding through format(\"graft-shards\"): complete across split (4->8) and merge (8->2)") {
+    // twin of the harness-level re-sharding test above, driven through the
+    // REGISTERED source a library user actually calls — the reference
+    // proves resharding completeness on its packaged KinesisSource, not a
+    // test harness (KinesisSourceTest.scala:182-228), so the packaged
+    // path must carry the same guarantee
+    val base = newBase()
+    val dir = s"$base/shards"
+    val events = graft.Tables.events(spark, sf001)
+    val ids = batchEventIds.sorted
+    val (c1, c2) = (ids(ids.size / 3), ids(2 * ids.size / 3))
+    ShardedEvents.appendTranche(events.filter(col("event_id") <= c1), dir, 4)
+
+    val arrivals = mutable.Buffer.empty[(Int, Long)] // (shard, event_id)
+    val q = spark.readStream.format("graft-shards")
+      .option("path", dir)
+      .option("startingPosition", "trim_horizon")
+      .load()
+      .select("shard", "event_id")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect().map(r => (r.getInt(0), r.getLong(1)))
+        arrivals.synchronized { arrivals ++= rows }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    arrivals.synchronized {
+      assert(arrivals.map(_._2).toSet == ids.filter(_ <= c1).toSet)
+      assert(arrivals.forall(_._1 < 4), "pre-split tranche must live in 4 shards")
+    }
+
+    // SPLIT 4->8 under the live packaged source
+    ShardedEvents.appendTranche(events.filter(col("event_id") > c1 && col("event_id") <= c2), dir, 8)
+    q.processAllAvailable()
+    arrivals.synchronized {
+      assert(arrivals.exists(_._1 >= 4), "split children must be discovered and consumed")
+    }
+
+    // MERGE 8->2
+    ShardedEvents.appendTranche(events.filter(col("event_id") > c2), dir, 2)
+    q.processAllAvailable()
+    StreamControl.stopGracefully(q)
+
+    val got = arrivals.synchronized(arrivals.toVector)
+    got.map(_._2).toSet shouldBe ids.toSet                 // nothing lost
+    got.size shouldBe got.map(_._2).distinct.size          // nothing duplicated
+    got.groupBy(_._2).values.foreach(v => assert(v.map(_._1).distinct.size == 1))
+  }
+
+  test("takeover through format(\"graft-shards\"): B resumes killed A's checkpoint — no gap, bounded overlap") {
+    // twin of the harness-level takeover test above on the packaged
+    // source: the checkpoint-is-the-lease handoff must hold for the
+    // entry point a library user deploys (KinesisSourceTest.scala:129-180)
+    val base = newBase()
+    val shards = shardDir(base)
+    val ckpt = s"$base/ckpt"
+    val deliveries = mutable.Buffer.empty[(String, Long, Seq[Long])]
+    val reachedHeldEpoch = new java.util.concurrent.CountDownLatch(1)
+    val releaseHeldEpoch = new java.util.concurrent.CountDownLatch(1)
+
+    def start(who: String, holdBatch: Long) = spark.readStream.format("graft-shards")
+      .option("path", shards)
+      .option("startingPosition", "trim_horizon")
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .select("event_id")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val batchIds = df.collect().map(_.getLong(0)).toSeq
+        deliveries.synchronized { deliveries += ((who, batchId, batchIds)) }
+        if (batchId == holdBatch) {
+          reachedHeldEpoch.countDown()
+          releaseHeldEpoch.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        }
+        ()
+      }
+      .start()
+
+    val qA = start("A", holdBatch = 2L)
+    reachedHeldEpoch.await(30, java.util.concurrent.TimeUnit.SECONDS) shouldBe true
+    qA.stop() // abrupt kill with epoch 2 open
+    releaseHeldEpoch.countDown()
+    try qA.awaitTermination() catch { case _: Exception => () }
+    val commitsAtTakeover = StreamControl.checkpointCommits(ckpt)
+    assert(commitsAtTakeover == 2L,
+      s"A must die with epoch 2 OPEN (committed prefix = epochs 0-1), got $commitsAtTakeover")
+
+    val qB = start("B", holdBatch = -1L)
+    qB.awaitTermination()
+    assert(qB.exception.isEmpty)
+    assert(StreamControl.checkpointOffsets(ckpt) == StreamControl.checkpointCommits(ckpt))
+
+    val d = deliveries.synchronized(deliveries.toVector)
+    val aIds = d.filter(_._1 == "A").flatMap(_._3)
+    val bIds = d.filter(_._1 == "B").flatMap(_._3)
+    assert(aIds.nonEmpty && bIds.nonEmpty)
+    d.filter(_._1 == "B").map(_._2).min shouldBe commitsAtTakeover
+    (aIds ++ bIds).distinct.sorted shouldBe batchEventIds.sorted
+    val heldEpochIds = d.filter(r => r._1 == "A" && r._2 == 2L).flatMap(_._3).toSet
+    assert(heldEpochIds.nonEmpty, "A must have entered the held epoch before dying")
+    aIds.toSet.intersect(bIds.toSet) shouldBe heldEpochIds
+    val committedByA = d.filter(r => r._1 == "A" && r._2 < commitsAtTakeover).flatMap(_._3).toSet
+    assert(committedByA.intersect(bIds.toSet).isEmpty,
+      "epochs A committed must not be redelivered to B")
+  }
+
   test("streaming result == batch result (the reference's core oracle) for s1/s2") {
     val s1 = StreamingQueries.s1StreamHourlyAgg(spark, sf001)
     val b1 = graft.Tables.events(spark, sf001)
