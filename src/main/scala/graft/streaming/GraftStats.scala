@@ -57,6 +57,20 @@ final class GraftStats extends StreamingQueryListener {
   // query id -> (in-flight state rows, rows updated this epoch); bounded
   // like the identity sets (newest IdCapacity queries retained)
   val stateRows = new BoundedIdMap[(Long, Long)](IdCapacity)
+  // PER-SHARD gauges — the `ShardConsumerId(stream, app, shardId)` analog
+  // (ShardConsumerId.scala:3-9): the reference keys its ConsumerStats
+  // instance per shard, so a user debugging ONE hot shard can see it.
+  // Populated from the `observedMetrics` a [[GraftStats.observeShardRows]]
+  // tap emits per micro-batch (no side channel: the metric rides the
+  // standard progress event, per query by construction).
+  //  - shardRowsLastBatch: rows per shard in the LAST (most recently
+  //    reported, i.e. still-uncommitted-at-report-time) epoch — the
+  //    per-shard recordNrOfProcessedUncheckpointedRecords analog;
+  //  - shardRowsTotal: cumulative rows per shard over the query's
+  //    lifetime — the per-shard trackRecord counter.
+  // Bounded: IdCapacity queries (LRU), map values O(shard count).
+  val shardRowsLastBatch = new BoundedIdMap[Map[Int, Long]](IdCapacity)
+  val shardRowsTotal = new BoundedIdMap[Map[Int, Long]](IdCapacity)
   // per-query identity, like the reference's per-consumer stats instance
   // (reportInitialization/reportShutdown know WHICH consumer): lets a
   // caller assert a SPECIFIC query was observed, not just that the
@@ -80,6 +94,19 @@ final class GraftStats extends StreamingQueryListener {
       stateRowsUpdated.set(updated)
       stateRows.put(e.progress.id, (total, updated))
     }
+    // per-shard gauges from the observeShardRows tap (absent unless the
+    // query was instrumented; empty batches report an empty map)
+    val observed = e.progress.observedMetrics
+    if (observed != null && observed.containsKey(ShardRowsMetric)) {
+      val row = observed.get(ShardRowsMetric)
+      val perShard = row.getAs[scala.collection.Map[Int, Long]](ShardRowsField).toMap
+      shardRowsLastBatch.put(e.progress.id, perShard)
+      val merged = shardRowsTotal.get(e.progress.id).getOrElse(Map.empty)
+      val cumulative = perShard.foldLeft(merged) { case (acc, (s, n)) =>
+        acc.updated(s, acc.getOrElse(s, 0L) + n)
+      }
+      shardRowsTotal.put(e.progress.id, cumulative)
+    }
   }
 
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
@@ -95,6 +122,27 @@ object GraftStats {
     * far below "one UUID per query for the life of the session".
     */
   val IdCapacity = 256
+
+  /** Name of the observed metric [[observeShardRows]] attaches and
+    * [[GraftStats]] consumes, and its map field.
+    */
+  val ShardRowsMetric = "graft_shard_rows"
+  val ShardRowsField = "rows_by_shard"
+
+  /** Instrument a (streaming or batch) DataFrame with the per-shard row
+    * tap: every micro-batch reports `map<shard, rows>` through the
+    * standard `observedMetrics` channel, which [[GraftStats]] turns into
+    * the per-shard consumer gauges. The tap is one
+    * [[graft.functions.CountByKey]] aggregate folded into the batch's own
+    * pass — no extra scan, no shuffle (CollectMetrics aggregates
+    * partition-locally and merges O(shard count) maps on the driver), and
+    * the data plane is untouched (observe is a planner no-op for the
+    * result rows).
+    */
+  def observeShardRows(df: org.apache.spark.sql.DataFrame,
+      shardCol: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    df.observe(ShardRowsMetric,
+      graft.functions.CountByKey.countByKey(shardCol).as(ShardRowsField))
 
   /** Insertion-ordered set of query ids capped at `max` entries — oldest
     * evicted first (re-adding an id refreshes its position). Synchronized:

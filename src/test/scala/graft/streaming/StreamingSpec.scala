@@ -411,6 +411,63 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally spark.streams.removeListener(stats)
   }
 
+  test("per-shard gauges: observed rows-by-shard match routing on a 4-shard run, isolated across two concurrent queries") {
+    // the reference keys ConsumerStats per shard — ShardConsumerId(stream,
+    // app, shardId), ShardConsumerId.scala:3-9 — so a user can see ONE hot
+    // shard. Spark's progress events only aggregate, so the per-shard
+    // breakdown rides observedMetrics via the observeShardRows tap
+    // (CountByKey): assert the per-shard counts equal the routing ground
+    // truth, and that two concurrent queries' gauges stay apart.
+    val stats = new GraftStats
+    spark.streams.addListener(stats)
+    val base = newBase()
+    val dirA = s"$base/shardsA"
+    val dirB = s"$base/shardsB"
+    val events = graft.Tables.events(spark, sf001)
+    ShardedEvents.appendTranche(events, dirA, 4) // 4-shard stream
+    ShardedEvents.appendTranche(events, dirB, 2) // different shard set => different gauge shape
+    try {
+      def run(dir: String, ckpt: String) = GraftStats.observeShardRows(
+          spark.readStream.format("graft-shards")
+            .option("path", dir)
+            .option("startingPosition", "trim_horizon")
+            .load(),
+          col("shard"))
+        .select("event_id")
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val qA = run(dirA, s"$base/ckptA")
+      val qB = run(dirB, s"$base/ckptB")
+      qA.awaitTermination(); qB.awaitTermination()
+      assert(qA.exception.isEmpty && qB.exception.isEmpty)
+      // listener bus is async; gauges may trail termination
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while ((stats.shardRowsTotal.get(qA.id).isEmpty || stats.shardRowsTotal.get(qB.id).isEmpty) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+
+      def expected(numShards: Int): Map[Int, Long] = events
+        .groupBy(pmod(col("user_id"), lit(numShards)).cast("int").as("s")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+      // 4-shard run: per-shard cumulative rows == the routing ground truth
+      val gaugeA = stats.shardRowsTotal.get(qA.id)
+      assert(gaugeA.contains(expected(4)), s"4-shard gauge wrong: $gaugeA vs ${expected(4)}")
+      // isolation: B's gauge is B's own 2-shard breakdown, untouched by A
+      val gaugeB = stats.shardRowsTotal.get(qB.id)
+      assert(gaugeB.contains(expected(2)), s"2-shard gauge wrong: $gaugeB vs ${expected(2)}")
+      // the last-epoch (uncheckpointed analog) gauge reports a subset of
+      // the same shards with counts bounded by the cumulative gauge
+      val lastA = stats.shardRowsLastBatch.get(qA.id)
+      assert(lastA.isDefined)
+      lastA.get.foreach { case (s, n) =>
+        assert(gaugeA.get.contains(s) && n <= gaugeA.get(s),
+          s"last-batch gauge inconsistent with cumulative: $lastA vs $gaugeA")
+      }
+    } finally spark.streams.removeListener(stats)
+  }
+
   test("listener identity sets are bounded: oldest query ids evict at capacity") {
     // GraftStats is registered session-wide via the streamingQueryListeners
     // static conf; a long-lived session launches unbounded queries, so the
