@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.streaming.ShardedEvents
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.read.streaming.{Offset => ConnectorOffset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset => ConnectorOffset, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.FileSourceBridge
@@ -20,7 +20,8 @@ import scala.util.Try
   *     .format("graft-shards")
   *     .option("path", "/streams/events")
   *     .option("startingPosition", "trim_horizon") // latest | trim_horizon | at_timestamp:<ts>
-  *     .option("maxFilesPerTrigger", "1")          // optional admission control
+  *     .option("maxFilesPerTrigger", "1")          // optional admission control (files)
+  *     .option("maxRecordsPerTrigger", "5000")     // optional admission control (records)
   *     .load()
   * }}}
   *
@@ -97,7 +98,9 @@ final class GraftShardsProvider extends StreamSourceProvider with DataSourceRegi
         val ends = GraftShardsSource.loadOrResolveLatestEnds(spark, metadataPath, cfg)
         df => GraftShardsSource.afterEnds(df, ends, cfg.schema)
     }
-    new GraftShardsSource(inner, cfg.schema, seek)
+    new GraftShardsSource(inner, cfg.schema, seek,
+      recordAdmission = cfg.maxRecordsPerTrigger.map(cap =>
+        new RecordAdmission(spark, metadataPath, cfg.path, cap)))
   }
 }
 
@@ -106,6 +109,7 @@ final case class GraftShardsConfig(
     path: String,
     position: GraftShardsConfig.Position,
     maxFilesPerTrigger: Option[Int],
+    maxRecordsPerTrigger: Option[Long],
     schema: StructType)
 
 object GraftShardsConfig {
@@ -118,6 +122,7 @@ object GraftShardsConfig {
   val KeyPath = "path"
   val KeyStartingPosition = "startingposition"
   val KeyMaxFilesPerTrigger = "maxfilespertrigger"
+  val KeyMaxRecordsPerTrigger = "maxrecordspertrigger"
   val PositionLatest = "latest"
   val PositionTrimHorizon = "trim_horizon"
   val PositionAtTimestampPrefix = "at_timestamp:"
@@ -180,7 +185,12 @@ object GraftShardsConfig {
         fail(s"maxFilesPerTrigger '$v' is not a positive integer"))
     }
 
-    GraftShardsConfig(path, position, maxFiles, schema)
+    val maxRecords = params.get(KeyMaxRecordsPerTrigger).map { v =>
+      Try(v.trim.toLong).toOption.filter(_ > 0).getOrElse(
+        fail(s"maxRecordsPerTrigger '$v' is not a positive integer"))
+    }
+
+    GraftShardsConfig(path, position, maxFiles, maxRecords, schema)
   }
 }
 
@@ -192,7 +202,7 @@ object GraftShardsConfig {
   * (at-least-once replay, takeover, degraded stores) hold unchanged.
   */
 final class GraftShardsSource(inner: Source, override val schema: StructType,
-    seek: DataFrame => DataFrame)
+    seek: DataFrame => DataFrame, recordAdmission: Option[RecordAdmission] = None)
   extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val admission: Source with SupportsAdmissionControl with SupportsTriggerAvailableNow =
@@ -211,11 +221,105 @@ final class GraftShardsSource(inner: Source, override val schema: StructType,
   override def deserializeOffset(json: String): ConnectorOffset = inner.deserializeOffset(json)
   override def stop(): Unit = inner.stop()
 
-  override def getDefaultReadLimit: ReadLimit = admission.getDefaultReadLimit
-  override def latestOffset(startOffset: ConnectorOffset, limit: ReadLimit): ConnectorOffset =
-    admission.latestOffset(startOffset, limit)
+  /** The inner source's default (ReadMaxFiles under `maxFilesPerTrigger`,
+    * else ReadAllAvailable), composed with a ReadMaxRows component when
+    * `maxRecordsPerTrigger` is configured — the engine hands this back to
+    * `latestOffset` every trigger, where the rows component is converted.
+    */
+  override def getDefaultReadLimit: ReadLimit = {
+    val innerDefault = admission.getDefaultReadLimit
+    recordAdmission match {
+      case None => innerDefault
+      case Some(ra) => innerDefault match {
+        case _: ReadAllAvailable => ReadLimit.maxRows(ra.cap)
+        case other => ReadLimit.compositeLimit(Array(other, ReadLimit.maxRows(ra.cap)))
+      }
+    }
+  }
+
+  /** With `maxRecordsPerTrigger`, the record cap (the ReadMaxRows
+    * component of the limit) is converted to a SAFE file cap before
+    * delegating (see [[RecordAdmission]]): the inner file source commits
+    * its admission decision to the metadata log inside `latestOffset`,
+    * so the bound must be established up front, not trimmed afterwards.
+    * An explicit `ReadAllAvailable` (Trigger.Once's everything-now limit)
+    * passes through unchanged, mirroring how Kafka's
+    * `maxOffsetsPerTrigger` yields to Trigger.Once.
+    */
+  override def latestOffset(startOffset: ConnectorOffset, limit: ReadLimit): ConnectorOffset = {
+    def components(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq
+      case single => Seq(single)
+    }
+    val effective = recordAdmission match {
+      case Some(ra) if components(limit).exists(_.isInstanceOf[ReadMaxRows]) =>
+        val fileCap = components(limit).collectFirst { case f: ReadMaxFiles => f.maxFiles() }
+        ReadLimit.maxFiles(math.min(ra.safeFileCap(), fileCap.getOrElse(Int.MaxValue)))
+      case _ => limit
+    }
+    admission.latestOffset(startOffset, effective)
+  }
   override def reportLatestOffset(): ConnectorOffset = admission.reportLatestOffset()
   override def prepareForTriggerAvailableNow(): Unit = admission.prepareForTriggerAvailableNow()
+}
+
+/** Converts a `maxRecordsPerTrigger` cap into a per-trigger FILE cap the
+  * inner `FileStreamSource` understands — the records-per-fetch bound of
+  * the reference's KCL polling config (KinesisSource.scala:119-121,
+  * `maxRecords`), at this source's admission granularity (whole files,
+  * the way KCL's bound is per-GetRecords-call).
+  *
+  * Per trigger: pending = current listing minus the files the inner
+  * source's own metadata log already admitted ([[FileSourceBridge
+  * .admittedFiles]] — no duplicated seen-files state); record counts come
+  * from parquet FOOTERS (exact row counts, no data read), cached per path
+  * for the life of the query. The file cap is CONSERVATIVE: the largest k
+  * such that the k LARGEST pending files still fit the cap — whichever k
+  * files the inner source then picks, the batch cannot exceed the cap.
+  * Always >= 1 so a single oversized file still makes progress (any
+  * file-granularity admission must; KCL likewise delivers at least one
+  * fetch).
+  *
+  * SCALE: control plane only — one listing (the inner source does its own
+  * anyway) plus one footer read per NOT-yet-admitted file, each cached
+  * forever after. Nothing is proportional to records or retained bytes.
+  */
+final class RecordAdmission(spark: SparkSession, metadataPath: String,
+    streamPath: String, val cap: Long) {
+
+  private val footerRows = scala.collection.mutable.HashMap.empty[org.apache.hadoop.fs.Path, Long]
+
+  private def recordCount(p: org.apache.hadoop.fs.Path, conf: org.apache.hadoop.conf.Configuration): Long =
+    footerRows.getOrElseUpdate(p, {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    })
+
+  /** Largest k with the k largest pending files' records <= cap; >= 1. */
+  def safeFileCap(): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(streamPath)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return 1
+    val admitted = org.apache.spark.sql.graftbridge.FileSourceBridge
+      .admittedFiles(spark, metadataPath)
+    val pending = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")) {
+        val q = fs.makeQualified(f.getPath)
+        if (!admitted.contains(q)) pending += q
+      }
+    }
+    if (pending.isEmpty) return 1
+    val countsDesc = pending.map(recordCount(_, conf)).sortBy(-_)
+    var sum = 0L; var k = 0
+    while (k < countsDesc.size && sum + countsDesc(k) <= cap) { sum += countsDesc(k); k += 1 }
+    math.max(k, 1)
+  }
 }
 
 object GraftShardsSource {

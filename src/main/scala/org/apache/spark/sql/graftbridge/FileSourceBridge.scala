@@ -28,4 +28,17 @@ object FileSourceBridge {
       userSpecifiedSchema = Some(schema),
       options = options + ("path" -> path)
     ).createSource(metadataPath)
+
+  /** The files a `FileStreamSource` rooted at `metadataPath` has ALREADY
+    * admitted (its per-batch file-metadata log), as qualified Hadoop
+    * paths. Read-only second view over the same on-disk log the live
+    * source appends to — lets a wrapping source compute the PENDING file
+    * set (listing minus admitted) for record-based admission control
+    * without duplicating the source's seen-files state.
+    */
+  def admittedFiles(spark: SparkSession, metadataPath: String): Set[org.apache.hadoop.fs.Path] = {
+    import org.apache.spark.sql.execution.streaming.runtime.FileStreamSourceLog
+    val log = new FileStreamSourceLog(FileStreamSourceLog.VERSION, spark, metadataPath)
+    log.allFiles().map(_.sparkPath.toPath).toSet
+  }
 }

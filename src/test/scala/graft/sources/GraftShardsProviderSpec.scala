@@ -312,6 +312,70 @@ class GraftShardsProviderSpec extends AnyFunSuite with SparkSpec with Matchers {
       .schema shouldBe shouted
   }
 
+  test("maxRecordsPerTrigger: every micro-batch stays under the record cap; the stream stays complete") {
+    // the records-per-fetch bound of the reference's KCL polling config
+    // (KinesisSource.scala:119-121): admission is per whole file here, so
+    // the cap is enforced conservatively — no batch may exceed it, and a
+    // multi-batch drain still delivers everything exactly once
+    val base = newBase()
+    val dir = s"$base/shards"
+    ShardedEvents.appendTranche(batchEvents, dir, 4) // 4 files, ~250 records each
+    val cap = 300L
+    val batchSizes = mutable.Buffer.empty[Long]
+    val got = mutable.Buffer.empty[Long]
+    val q = open(dir, "trim_horizon", Map("maxRecordsPerTrigger" -> cap.toString))
+      .select("event_id")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val ids = b.collect().map(_.getLong(0))
+        batchSizes.synchronized { batchSizes += ids.length.toLong }
+        got.synchronized { got ++= ids }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    val sizes = batchSizes.synchronized(batchSizes.toVector)
+    assert(sizes.count(_ > 0) >= 2, s"cap must split the drain into multiple batches, got $sizes")
+    sizes.foreach(s => assert(s <= cap, s"batch of $s records exceeds the $cap cap: $sizes"))
+    got.synchronized(got.toVector).sorted shouldBe
+      batchEvents.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+  }
+
+  test("maxRecordsPerTrigger composes with maxFilesPerTrigger: the tighter bound wins") {
+    val base = newBase()
+    val dir = s"$base/shards"
+    ShardedEvents.appendTranche(batchEvents, dir, 4)
+    var batches = 0
+    // record cap admits everything; the 1-file cap must still hold
+    val q = open(dir, "trim_horizon",
+        Map("maxRecordsPerTrigger" -> "1000000", "maxFilesPerTrigger" -> "1"))
+      .select("event_id")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) => if (b.count() > 0) batches += 1; () }
+      .start()
+    q.awaitTermination()
+    assert(q.exception.isEmpty)
+    assert(batches >= 4, s"expected >=4 single-file batches under the composed limits, got $batches")
+  }
+
+  test("options: non-positive or non-numeric maxRecordsPerTrigger fails eagerly") {
+    for (bad <- Seq("0", "-5", "many")) {
+      val e = intercept[IllegalArgumentException] {
+        spark.readStream.format("graft-shards")
+          .option("path", "/tmp/x")
+          .option("startingPosition", "trim_horizon")
+          .option("maxRecordsPerTrigger", bad)
+          .load()
+      }
+      e.getMessage should include("maxRecordsPerTrigger")
+    }
+  }
+
   test("format stream checkpoints like any source: WAL offsets commit per epoch") {
     val base = newBase()
     val dir = shardDir(base)
