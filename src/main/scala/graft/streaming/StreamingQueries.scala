@@ -652,51 +652,88 @@ object StreamingQueries {
     *
     * Takes any streaming `(doc_id, text, ts)` relation; the caller owns
     * source, sink and trigger.
+    *
+    * INITIAL-STATE BOOTSTRAP (`initialCorpus`): a real at-ingest dedup
+    * deploys against an EXISTING corpus whose fingerprints were computed
+    * in batch — the reference's consumers likewise resume from a
+    * pre-existing checkpoint table rather than an empty one
+    * (RecordProcessorImpl.scala:22-91). Passing the existing corpus as a
+    * BATCH `(doc_id, text, ts)` relation seeds the bucket state before
+    * the first micro-batch (the `flatMapGroupsWithState` initial-state
+    * overload): arrivals then pair against the seeded members exactly as
+    * if they had streamed in, while seeded-corpus-INTERNAL pairs are
+    * never re-emitted (batch d2 already answered those). Seeding is
+    * horizon-scoped: only members within `ttlMs` of the snapshot's
+    * newest timestamp are installed — an out-of-horizon member could
+    * never legally pair again, and a seeded bucket that no arrival ever
+    * probes gets no timeout registered (Spark installs untouched initial
+    * state without invoking the function), so seeding expired members
+    * would park dead state in the store forever. With the filter,
+    * resident seed state obeys the same O(docs in horizon) × bands bound
+    * as live state.
     */
-  def boundedNearDupPairs(docs: DataFrame, watermarkDelay: String, ttlMs: Long): DataFrame = {
+  def boundedNearDupPairs(docs: DataFrame, watermarkDelay: String, ttlMs: Long,
+      initialCorpus: Option[DataFrame] = None): DataFrame = {
     val session = docs.sparkSession
     import session.implicits._
     val banded = graft.ops.CorpusOps.bandedGramRowsTs(
         docs.withWatermark("ts", watermarkDelay))
       .as[BandedGramRowTs]
-    val pairs = banded
-      .groupByKey(_.band_key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: Long, rows: Iterator[BandedGramRowTs], state: GroupState[BucketDocsTs]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            // prune expired members FIRST: a document outside the horizon
-            // must not pair with a fresh arrival
-            val wm = state.getCurrentWatermarkMs()
-            var stored = state.getOption.map(_.docs).getOrElse(Nil)
-              .filter(_.tsMs + ttlMs > wm)
-            val out = List.newBuilder[RawPairTs]
-            rows.foreach { r =>
-              if (!stored.exists(_.docId == r.doc_id)) { // at-least-once replay guard
-                val gset = r.grams.toSet
-                stored.foreach { s =>
-                  val inter = s.grams.count(gset.contains)
-                  // |A∪B| = |A| + |B| - |A∩B| over distinct gram hashes,
-                  // exactly as s8StreamNearDup / the d2 oracle
-                  val j = inter.toDouble / (r.grams.length + s.grams.length - inter)
-                  if (j >= 0.6) {
-                    val (a, b) = if (s.docId < r.doc_id) (s.docId, r.doc_id)
-                      else (r.doc_id, s.docId)
-                    out += RawPairTs(a, b, j, r.ts)
-                  }
-                }
-                stored = StoredDocTs(r.doc_id, r.grams, r.ts.getTime) :: stored
+    val tracker = (_: Long, rows: Iterator[BandedGramRowTs], state: GroupState[BucketDocsTs]) =>
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        // prune expired members FIRST: a document outside the horizon
+        // must not pair with a fresh arrival
+        val wm = state.getCurrentWatermarkMs()
+        var stored = state.getOption.map(_.docs).getOrElse(Nil)
+          .filter(_.tsMs + ttlMs > wm)
+        val out = List.newBuilder[RawPairTs]
+        rows.foreach { r =>
+          if (!stored.exists(_.docId == r.doc_id)) { // at-least-once replay guard
+            val gset = r.grams.toSet
+            stored.foreach { s =>
+              val inter = s.grams.count(gset.contains)
+              // |A∪B| = |A| + |B| - |A∩B| over distinct gram hashes,
+              // exactly as s8StreamNearDup / the d2 oracle
+              val j = inter.toDouble / (r.grams.length + s.grams.length - inter)
+              if (j >= 0.6) {
+                val (a, b) = if (s.docId < r.doc_id) (s.docId, r.doc_id)
+                  else (r.doc_id, s.docId)
+                out += RawPairTs(a, b, j, r.ts)
               }
             }
-            // a data invocation always lands at least one member, so the
-            // bucket survives with a timeout ttl past its newest sighting
-            // (clamped ahead of the watermark, which Spark requires)
-            state.update(BucketDocsTs(stored))
-            state.setTimeoutTimestamp(
-              math.max(stored.map(_.tsMs).max + ttlMs, wm + 1))
-            out.result().iterator
+            stored = StoredDocTs(r.doc_id, r.grams, r.ts.getTime) :: stored
           }
+        }
+        // a data invocation always lands at least one member, so the
+        // bucket survives with a timeout ttl past its newest sighting
+        // (clamped ahead of the watermark, which Spark requires)
+        state.update(BucketDocsTs(stored))
+        state.setTimeoutTimestamp(
+          math.max(stored.map(_.tsMs).max + ttlMs, wm + 1))
+        out.result().iterator
       }
+    val grouped = banded.groupByKey(_.band_key)
+    val pairs = initialCorpus match {
+      case None =>
+        grouped.flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(tracker)
+      case Some(snapshot) =>
+        // horizon-scoped seed (see scaladoc): "now" is the snapshot's own
+        // newest timestamp — the moment the batch view was taken
+        val newest = snapshot.agg(max(col("ts"))).collect().head.getTimestamp(0)
+        val cutoffMs = Option(newest).map(_.getTime - ttlMs)
+        val seedState = graft.ops.CorpusOps.bandedGramRowsTs(snapshot)
+          .as[BandedGramRowTs]
+          .filter(r => cutoffMs.forall(r.ts.getTime > _))
+          .groupByKey(_.band_key)
+          .mapGroups { (k, it) =>
+            k -> BucketDocsTs(it.map(r => StoredDocTs(r.doc_id, r.grams, r.ts.getTime)).toList)
+          }
+          .groupByKey(_._1).mapValues(_._2)
+        grouped.flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout, seedState)(tracker)
+    }
     pairs.toDF()
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("a_id", "b_id")

@@ -941,6 +941,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(changelogs > 0, "no .changelog deltas under the state dir")
   }
 
+  test("bounded near-dup tracker: initial-state bootstrap resumes against an existing batch corpus") {
+    // a real at-ingest dedup deploys against an EXISTING corpus whose
+    // fingerprints were computed in batch — the reference's
+    // resume-from-existing-checkpoint semantics (RecordProcessorImpl
+    // .scala:22-91). Seed the tracker's bucket state from batch tranche 1
+    // and stream ONLY tranche 2: the emissions must be exactly batch
+    // d2-over-both MINUS tranche-1-internal pairs (already answered in
+    // batch), i.e. every cross-tranche pair plus tranche-2-internal ones.
+    import spark.implicits._
+    val copyOf = Map(9 -> 3, 20 -> 5, 25 -> 12, 27 -> 21) // t1-internal, cross, cross, t2-internal
+    val texts = new Array[String](30)
+    (0 until 30).foreach { i =>
+      texts(i) = copyOf.get(i) match {
+        case Some(j) => texts(j)
+        case None => (0 until 12).map(w => s"u${i}w$w").mkString(" ")
+      }
+    }
+    val all = (0 until 30).map(i => (i.toLong, texts(i), "en", "synthetic", texts(i).length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id") * 2))
+    val tranche1 = all.filter(col("doc_id") < 20)
+    val tranche2 = all.filter(col("doc_id") >= 20)
+
+    val base = newBase()
+    val dir = s"$base/shards"
+    BoundedTrackerHarness.appendTranche(tranche2, dir) // the stream sees ONLY new arrivals
+    val got = mutable.Buffer.empty[(Long, Long)]
+    val progress = mutable.Buffer.empty[org.apache.spark.sql.streaming.StateOperatorProgress]
+    BoundedTrackerHarness.runTranche[(Long, Long)](spark, dir, s"$base/ckpt",
+      df => StreamingQueries.boundedNearDupPairs(df, "10 seconds", ttlMs = 600000L,
+        initialCorpus = Some(tranche1)),
+      r => (r.getLong(0), r.getLong(1)), got, progress)
+
+    // ground truth: batch d2 over BOTH tranches, minus tranche-1-internal
+    val batchBoth = graft.ops.CorpusOps.nearDupPairs(all)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchBoth == Set((3L, 9L), (5L, 20L), (12L, 25L), (21L, 27L)),
+      s"planted corpus ground truth surprising: $batchBoth")
+    val expected = batchBoth.filterNot { case (a, b) => a < 20 && b < 20 }
+    got.synchronized(got.toSet) shouldBe expected
+  }
+
   test("bounded dup-span tracker: event-time TTL plateaus state; in-horizon marking stays exact") {
     // the production form of s11's unbounded-state tracker: per-gram
     // state carries an event-time TTL, so state is O(horizon), not
