@@ -53,6 +53,7 @@ object SparkEntry {
     "d28_dup_spans" -> (ops.CorpusOps.d28DupSpans _),
     "d29_lang_mixture" -> (ops.CorpusOps.d29LangMixture _),
     "d30_bpe_pairs" -> (ops.CorpusOps.d30BpePairs _),
+    "d33_bpe_train" -> ((s: SparkSession, dir: String) => ops.CorpusOps.d33BpeTrain(s, dir)),
     "d32_quality_deciles" -> (ops.CorpusOps.d32QualityDeciles _),
     // no oracleSql (sketch-chosen cutoffs are engine-discretionary, same
     // status as q_approx_stats): rows-only; disagreement with the exact
@@ -185,6 +186,23 @@ object SparkEntry {
     // top-k boundary ties broken by pair text on both engines
     "d30_bpe_pairs" ->
       "WITH w AS (SELECT string_split(lower(trim(text)), ' ') AS ws FROM documents), p AS (SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS pair FROM w WHERE len(ws) >= 2) SELECT pair, count(*) AS cnt FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20",
+    // iterated BPE: the oracle replays the SAME three merges — argmax by
+    // (cnt, pair text) each round, then the boundary-space replace that
+    // is greedy left-to-right merge application in both engines (see
+    // CorpusOps.d33BpeTrain scaladoc)
+    "d33_bpe_train" ->
+      ("WITH s0 AS (SELECT lower(trim(text)) AS t FROM documents WHERE lower(trim(text)) <> ''), " +
+        "c1 AS (SELECT unnest([{'l': ws[i], 'r': ws[i+1]} for i in range(1, len(ws))]) AS u FROM (SELECT string_split(t, ' ') AS ws FROM s0) WHERE len(ws) >= 2), " +
+        "m1 AS (SELECT u.l AS l, u.r AS r, count(*) AS cnt FROM c1 GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1), " +
+        "s1 AS (SELECT trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ', ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || '+' || m.r || ' '), '  ', ' ')) AS t FROM s0, m1 AS m), " +
+        "c2 AS (SELECT unnest([{'l': ws[i], 'r': ws[i+1]} for i in range(1, len(ws))]) AS u FROM (SELECT string_split(t, ' ') AS ws FROM s1) WHERE len(ws) >= 2), " +
+        "m2 AS (SELECT u.l AS l, u.r AS r, count(*) AS cnt FROM c2 GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1), " +
+        "s2 AS (SELECT trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ', ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || '+' || m.r || ' '), '  ', ' ')) AS t FROM s1, m2 AS m), " +
+        "c3 AS (SELECT unnest([{'l': ws[i], 'r': ws[i+1]} for i in range(1, len(ws))]) AS u FROM (SELECT string_split(t, ' ') AS ws FROM s2) WHERE len(ws) >= 2), " +
+        "m3 AS (SELECT u.l AS l, u.r AS r, count(*) AS cnt FROM c3 GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1) " +
+        "SELECT 1 AS iter, l || ' ' || r AS pair, cnt FROM m1 " +
+        "UNION ALL SELECT 2, l || ' ' || r, cnt FROM m2 " +
+        "UNION ALL SELECT 3, l || ' ' || r, cnt FROM m3"),
     // rate-based mixture rebalance: the hash gate is exact integer ppm,
     // so the oracle reproduces the selection bit for bit
     "d29_lang_mixture" ->

@@ -880,6 +880,65 @@ object CorpusOps {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(20)
 
+  /** d33: ITERATED BPE merge training — the full tokenizer-induction loop
+    * d30 is one step of. Each of `iters` rounds counts adjacent token
+    * pairs corpus-wide, merges THE most frequent pair (ties broken by
+    * pair text, as d30) into a single `l+r` token everywhere, and
+    * re-tokenizes with the merged vocabulary feeding the next round —
+    * canonical BPE, where merged tokens compose (`a+b` can merge again
+    * with `c`). Output: the merge table `(iter, pair, cnt)`.
+    *
+    * The merge application is pure STRING algebra so an oracle replays it
+    * bit-exactly with no procedural code: wrap the single-spaced token
+    * string so every token owns its boundary spaces
+    * (`' ' + replace(t, ' ', '  ') + ' '`), replace `' l  r '` with
+    * `' l+r '` — plain left-to-right non-overlapping replace, which IS
+    * greedy BPE application, including the self-adjacent case
+    * (`b b b -> (b+b) b`, the second occurrence's leading boundary was
+    * consumed) — then collapse doubles and trim. Spark's `replace` and
+    * DuckDB's `replace` share these exact semantics, which is what makes
+    * the iterative oracle hash-exact (d21's iterative-oracle precedent).
+    *
+    * SCALE: each round is one scan of the corpus (lineage re-applies the
+    * i-1 accumulated merges as per-row string ops — no materialized
+    * intermediate), one map-side-collapsed pair count (the d30 shape),
+    * and a 1-row collect for the argmax (the same k-row driver step as
+    * Lloyd's in [[graft.ops.VectorOps]]; a production run with large
+    * `iters` would persist the re-tokenized corpus every few rounds to
+    * cap lineage depth, exactly as d25 checkpoints its label iteration).
+    */
+  def d33BpeTrain(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame =
+    bpeTrain(Tables.documents(spark, sfDir), iters)
+
+  /** The BPE training loop over any `(text)` corpus — see [[d33BpeTrain]]. */
+  def bpeTrain(docs: DataFrame, iters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var state = docs
+      .select(lower(trim(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    for (i <- 1 to iters) {
+      val top = state
+        .select(split(col("t"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(
+          expr("transform(sequence(0, size(ws) - 2), i -> struct(ws[i] as l, ws[i+1] as r))")).as("p"))
+        .select(col("p.l").as("l"), col("p.r").as("r"))
+        .groupBy(col("l"), col("r")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect().head
+      val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((i, l + " " + r, cnt))
+      state = state.select(trim(replace(
+        replace(
+          concat(lit(" "), replace(col("t"), lit(" "), lit("  ")), lit(" ")),
+          lit(" " + l + "  " + r + " "), lit(" " + l + "+" + r + " ")),
+        lit("  "), lit(" "))).as("t"))
+    }
+    merges.result().toDF("iter", "pair", "cnt")
+  }
+
   /** Language-MIXTURE rebalancing — the "data mixing" step of a
     * pretraining pipeline: downsample every language to (approximately)
     * the size of the smallest one by a deterministic per-document hash

@@ -215,4 +215,37 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     val oneScan = CorpusOps.d23TfidfSingleScan(spark, sf001).collect().toSet
     oneScan shouldBe twoScan
   }
+
+  test("d33 BPE training: merges compose across iterations and application is greedy left-to-right") {
+    import spark.implicits._
+    // round 1: top pair is ("b", "b") (5 adjacent occurrences: the b-run
+    // contributes 3 — greedy application must collapse it to (b+b, b+b),
+    // NOT overlap — plus one each in docs 2 and 4). round 2: the merged
+    // b+b token must itself pair and merge with "c" (composition),
+    // counting occurrences the round-1 rewrite CREATED.
+    val docs = Seq(
+      "a b b b b c",   // run of four b's: greedy -> a (b+b) (b+b) c
+      "x b b c y",     // one more (b,b), then (b+b, c) after merge 1
+      "q b b c q",     // ditto
+      "a z a z"        // background pairs, below the winners
+    ).toDF("text")
+    val merges = CorpusOps.bpeTrain(docs, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    merges(0) shouldBe ((1, "b b", 5L))
+    // after merge 1: docs read (a b+b b+b c | x b+b c y | q b+b c q) —
+    // pair (b+b, c) appears 3 times, beating (a, z)'s 2
+    merges(1) shouldBe ((2, "b+b c", 3L))
+  }
+
+  test("d33 BPE training on the fixture corpus: counts are exact and iterations monotone in rank") {
+    val merges = CorpusOps.d33BpeTrain(spark, sf001, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    merges.map(_._1).toSeq shouldBe Seq(1, 2, 3)
+    merges.foreach { case (_, pair, cnt) =>
+      assert(pair.split(' ').length >= 2 && cnt >= 1)
+    }
+    // iteration 1's winner must be d30's top pair (same count, same tie-break)
+    val d30Top = CorpusOps.d30BpePairs(spark, sf001).collect().head
+    (merges(0)._2, merges(0)._3) shouldBe ((d30Top.getString(0), d30Top.getLong(1)))
+  }
 }
