@@ -256,8 +256,24 @@ object SparkEntry {
       "WITH j AS (SELECT d.doc_id, d.lang, d.text, CAST(e.embedding AS DOUBLE[]) AS v FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id), h AS (SELECT doc_id, lang, octet_length(CAST(text AS BLOB)) AS byte_len, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h, v FROM j) SELECT doc_id, lang, byte_len, h % 640 + 1 AS width, h % 480 + 1 AS height, ['png', 'jpg', 'webp'][CAST(h % 3 AS INT) + 1] AS format, len(v) AS emb_dim, round(sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)])), 6) AS emb_norm FROM h",
     "d15_frame_sample" ->
       "SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, md5(substring(text, CAST(i * 32 + 1 AS BIGINT), 32)) AS frame_md5 FROM documents, LATERAL unnest(range(0, length(text) // 32)) AS t(i) WHERE length(text) >= 32 AND i % 4 = 0",
+    // the REAL resample: the oracle recomputes the area-average thumbnail
+    // pixels from the same bytes (exact integer box decomposition — see
+    // MultimodalOps.boxAverage) and fingerprints the same pixel string;
+    // chars == bytes because the corpus is ASCII (asserted in
+    // MultimodalOpsSpec), which is what lets char-slicing DuckDB replay a
+    // byte-raster kernel
     "d17_resize" ->
-      "WITH hsh AS (SELECT doc_id, md5(text) AS hex, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h FROM documents), dims AS (SELECT doc_id, hex, h % 640 + 1 AS w, h % 480 + 1 AS ht FROM hsh), r AS (SELECT doc_id, w AS width, ht AS height, CASE WHEN greatest(w, ht) <= 256 THEN w WHEN w >= ht THEN 256 ELSE greatest(1, w * 256 // ht) END AS out_w, CASE WHEN greatest(w, ht) <= 256 THEN ht WHEN w >= ht THEN greatest(1, ht * 256 // w) ELSE 256 END AS out_h, hex FROM dims) SELECT doc_id, width, height, out_w, out_h, md5(hex || ':' || out_w || 'x' || out_h) AS thumb_md5 FROM r",
+      ("WITH hsh AS (SELECT doc_id, text, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h FROM documents), " +
+        "dims AS (SELECT doc_id, text, h % 640 + 1 AS w, h % 480 + 1 AS ht FROM hsh), " +
+        "meta AS (SELECT doc_id, text, w AS width, ht AS height, " +
+        "CASE WHEN greatest(w, ht) <= 256 THEN w WHEN w >= ht THEN 256 ELSE greatest(1, w * 256 // ht) END AS out_w, " +
+        "CASE WHEN greatest(w, ht) <= 256 THEN ht WHEN w >= ht THEN greatest(1, ht * 256 // w) ELSE 256 END AS out_h FROM dims), " +
+        "ras AS (SELECT *, least(32, length(text)) AS sw, length(text) // least(32, length(text)) AS sh FROM meta), " +
+        "tgt AS (SELECT *, CASE WHEN greatest(sw, sh) <= 8 THEN sw WHEN sw >= sh THEN 8 ELSE greatest(1, sw * 8 // sh) END AS tw, " +
+        "CASE WHEN greatest(sw, sh) <= 8 THEN sh WHEN sw >= sh THEN greatest(1, sh * 8 // sw) ELSE 8 END AS th FROM ras), " +
+        "tmb AS (SELECT doc_id, width, height, out_w, out_h, " +
+        "array_to_string([CAST(list_sum(flatten([[ord(substr(text, y * sw + x + 1, 1)) for x in range((i % tw) * sw // tw, (i % tw + 1) * sw // tw)] for y in range((i // tw) * sh // th, (i // tw + 1) * sh // th)])) // (((i % tw + 1) * sw // tw - (i % tw) * sw // tw) * ((i // tw + 1) * sh // th - (i // tw) * sh // th)) AS VARCHAR) for i in range(0, tw * th)], ',') AS thumb FROM tgt) " +
+        "SELECT doc_id, width, height, out_w, out_h, md5(thumb) AS thumb_md5 FROM tmb"),
     "d9_embed_neardup" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (sqrt(list_sum([a.v[i] * a.v[i] for i in range(1, len(a.v) + 1)])) * sqrt(list_sum([b.v[i] * b.v[i] for i in range(1, len(b.v) + 1)]))) AS sim FROM e a JOIN e b ON a.vec_id < b.vec_id) SELECT a_id, b_id, round(sim, 6) AS sim FROM s WHERE sim >= 0.45",
     // oracle = brute force over the SAME planted corpus (union of the

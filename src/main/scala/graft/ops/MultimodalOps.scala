@@ -81,15 +81,71 @@ object MultimodalOps {
       doc_id: Long, width: Long, height: Long,
       out_w: Long, out_h: Long, thumb_md5: String)
 
+  /** Integer aspect-fit of (w, h) into a square box, downscale only:
+    * unchanged dims when they already fit, else the long side pins to
+    * `box` and the short side scales by floor division (min 1).
+    */
+  private def aspectFit(w: Long, h: Long, box: Long): (Long, Long) =
+    if (math.max(w, h) <= box) (w, h)
+    else if (w >= h) (box, math.max(1L, h * box / w))
+    else (math.max(1L, w * box / h), box)
+
+  /** REAL pixel resample: area-average (box-filter) downsampling of an
+    * 8-bit grayscale raster, exact integer arithmetic throughout. Output
+    * pixel (ox, oy) averages the source box
+    * `[ox*sw/tw, (ox+1)*sw/tw) x [oy*sh/th, (oy+1)*sh/th)` (floor
+    * division — the standard integer box decomposition, every source
+    * pixel contributing to exactly one output pixel when tw <= sw), value
+    * = floor(sum / count). No floats, so any engine replays it bit-exact
+    * — the property that keeps the DuckDB oracle hash-green on the REAL
+    * kernel, not a fingerprint stub.
+    */
+  private[ops] def boxAverage(px: (Int, Int) => Int, sw: Int, sh: Int,
+      tw: Int, th: Int): Array[Int] = {
+    val out = new Array[Int](tw * th)
+    var oy = 0
+    while (oy < th) {
+      val y0 = oy * sh / th; val y1 = (oy + 1) * sh / th
+      var ox = 0
+      while (ox < tw) {
+        val x0 = ox * sw / tw; val x1 = (ox + 1) * sw / tw
+        var sum = 0L; var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += px(x, y); x += 1 }
+          y += 1
+        }
+        out(oy * tw + ox) = (sum / ((x1 - x0).toLong * (y1 - y0))).toInt
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  /** Raster width the payload is laid out at (row-major, one byte per
+    * grayscale pixel) and the thumbnail box the raster is resampled into.
+    */
+  val RasterWidth = 32
+  val ThumbBox = 8L
+
   /** Aspect-fit resize of the decoded media into a [[d17Resize]] target
-    * box: the metadata math (decode dims → integer aspect-fit target dims,
-    * downscale-only) is exact and oracle-pinned; the pixel resample is the
-    * same DETERMINISTIC STUB shape as [[Decode.features]] — the "thumbnail"
-    * is fingerprinted as md5 over (payload hash, target dims), which a
-    * real deployment replaces with the actual resampled bytes. Runs in the
-    * identical batched `mapPartitions` kernel shape as d8, because that is
-    * where a real resampler lives (per-partition, O(batch) memory, no
-    * shuffle: resize is row-local).
+    * box. Two layers, both exact:
+    *
+    *  - METADATA math — decode dims (d8's stub formulas, the container
+    *    has no codecs) aspect-fit into the 256 target box, downscale
+    *    only, floor arithmetic — unchanged since round 5;
+    *  - the REAL RESAMPLE — the payload interpreted as a row-major 8-bit
+    *    grayscale raster ([[RasterWidth]] wide, `len div width` tall,
+    *    tail bytes dropped), area-average downsampled ([[boxAverage]])
+    *    into its own aspect-fit [[ThumbBox]] target; `thumb_md5`
+    *    fingerprints the resampled pixel sequence (values joined with
+    *    ','). Integer-exact end to end, so the DuckDB oracle recomputes
+    *    the same pixels from the same bytes.
+    *
+    * Runs in the identical batched `mapPartitions` kernel shape as d8,
+    * because that is where a real resampler lives (per-partition,
+    * O(batch) memory, no shuffle: resize is row-local).
     */
   def resizeKernel(assembled: org.apache.spark.sql.Dataset[ResizeIn], box: Long): DataFrame = {
     import assembled.sparkSession.implicits._
@@ -100,13 +156,16 @@ object MultimodalOps {
           val hex = md.digest(r.payload).map("%02x".format(_)).mkString
           val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
           val w = h % 640 + 1; val ht = h % 480 + 1
-          val (ow, oh) =
-            if (math.max(w, ht) <= box) (w, ht)
-            else if (w >= ht) (box, math.max(1L, ht * box / w))
-            else (math.max(1L, w * box / ht), box)
-          val thumb = md.digest(s"$hex:${ow}x$oh".getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString
-          ResizeOut(r.doc_id, w, ht, ow, oh, thumb)
+          val (ow, oh) = aspectFit(w, ht, box)
+          val sw = math.min(RasterWidth, r.payload.length)
+          val thumb = if (sw == 0) "" else {
+            val sh = r.payload.length / sw
+            val (tw, th) = aspectFit(sw, sh, ThumbBox)
+            boxAverage((x, y) => r.payload(y * sw + x) & 0xFF,
+              sw, sh, tw.toInt, th.toInt).mkString(",")
+          }
+          val thumbMd5 = md.digest(thumb.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          ResizeOut(r.doc_id, w, ht, ow, oh, thumbMd5)
         }
       }
     }.toDF()

@@ -43,6 +43,36 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("boxAverage golden pixels: uniform and non-uniform box decompositions are exact") {
+    // 4x4 ramp raster, 2x2 target: each output averages a 2x2 box
+    //   0  1  2  3
+    //   4  5  6  7      -> [(0+1+4+5)/4, (2+3+6+7)/4,
+    //   8  9 10 11          (8+9+12+13)/4, (10+11+14+15)/4]
+    //  12 13 14 15
+    val ramp4 = MultimodalOps.boxAverage((x, y) => y * 4 + x, 4, 4, 2, 2)
+    ramp4.toSeq shouldBe Seq(2, 4, 10, 12)
+    // 5-wide source into 2: floor decomposition gives boxes [0,2) and
+    // [2,5) — unequal counts, each averaged over its OWN count
+    //   row: 10 20 30 40 50 -> [(10+20)/2, (30+40+50)/3] = [15, 40]
+    val row5 = MultimodalOps.boxAverage((x, _) => (x + 1) * 10, 5, 1, 2, 1)
+    row5.toSeq shouldBe Seq(15, 40)
+    // floor of the average, not rounding: (0+1)/2 = 0
+    MultimodalOps.boxAverage((x, _) => x, 2, 1, 1, 1).toSeq shouldBe Seq(0)
+    // identity when target == source
+    MultimodalOps.boxAverage((x, y) => y * 3 + x, 3, 2, 3, 2).toSeq shouldBe (0 until 6)
+  }
+
+  test("d17 oracle precondition: the corpus is ASCII, so DuckDB char slicing equals byte indexing") {
+    // the oracle replays the byte-raster resample by ord(substr(text, ...));
+    // that only equals the kernel's payload-byte indexing when every char
+    // is single-byte — assert it so a future non-ASCII corpus fails HERE,
+    // not as an opaque hash mismatch
+    import org.apache.spark.sql.functions.col
+    val nonAscii = graft.Tables.documents(spark, sf001)
+      .filter(!col("text").rlike("^[\\x00-\\x7f]*$")).count()
+    assert(nonAscii == 0L, s"$nonAscii documents contain non-ASCII text")
+  }
+
   test("d8 pipeline preserves cardinality of the doc-embedding join and carries metadata") {
     val out = MultimodalOps.d8MultimodalDecode(spark, sf001)
     val docs = graft.Tables.documents(spark, sf001)
