@@ -137,9 +137,13 @@ object Bench {
     *      query that walls > 1 s. A healthy multi-second query at
     *      local[32] burns CPU on many cores (cpu >> wall); an IO- or
     *      trigger-bound one burns less than its wall (cpu < 0.8x wall);
-    *      cpu within [0.8x, 1.6x] of a long wall means the JVM was
+    *      cpu within [0.8x, 1.4x] of a long wall means the JVM was
     *      effectively pinned to ~1 core by external load — exactly the
-    *      r8 d20 blip (7.44 s wall ~= cpu vs 0.46 s clean).
+    *      r8 d20 blip (7.44 s wall with cpu ~= 0.97x of it, vs 0.46 s
+    *      clean). The upper bound is 1.4, not higher: genuinely
+    *      low-parallelism-by-design queries sit just above it (d21's
+    *      zero-shuffle literal-centroid chain measures cpu ~1.56x wall
+    *      on a verified-quiet run) and must not flag every round.
     * Suspects are re-measured, not discarded: a third pass either confirms
     * the number or replaces it with the quiet one.
     */
@@ -147,7 +151,7 @@ object Bench {
       queryStealSec: Double, runMinSpinMs: Double): Boolean =
     spinMs > 1.5 * runMinSpinMs ||
       (queryStealSec >= 0 && queryStealSec > 0.1 * wallSec) ||
-      (wallSec > 1.0 && cpuSec >= 0.8 * wallSec && cpuSec <= 1.6 * wallSec)
+      (wallSec > 1.0 && cpuSec >= 0.8 * wallSec && cpuSec <= 1.4 * wallSec)
 
   private def gcTimeMs: Long =
     ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum

@@ -75,6 +75,10 @@ class BenchTelemetrySpec extends AnyFunSuite with Matchers {
     assert(Bench.querySuspect(wallSec = 7.44, cpuSec = 7.0, 15.0, 0.0, 15.0))
     // healthy parallel query: cpu >> wall
     assert(!Bench.querySuspect(7.44, 60.0, 15.0, 0.0, 15.0))
+    // low-parallelism-BY-DESIGN query just above the band (d21's
+    // zero-shuffle chain: cpu ~1.56x wall on a verified-quiet run) — must
+    // not flag every round
+    assert(!Bench.querySuspect(1.14, 1.77, 15.0, 0.0, 15.0))
     // trigger/IO-bound query: cpu << wall
     assert(!Bench.querySuspect(7.44, 2.0, 15.0, 0.0, 15.0))
     // sub-second wall never trips signal 3 (nothing meaningful to re-run)
