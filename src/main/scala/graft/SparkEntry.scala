@@ -54,6 +54,7 @@ object SparkEntry {
     "d29_lang_mixture" -> (ops.CorpusOps.d29LangMixture _),
     "d30_bpe_pairs" -> (ops.CorpusOps.d30BpePairs _),
     "d33_bpe_train" -> ((s: SparkSession, dir: String) => ops.CorpusOps.d33BpeTrain(s, dir)),
+    "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
     "d32_quality_deciles" -> (ops.CorpusOps.d32QualityDeciles _),
     // no oracleSql (sketch-chosen cutoffs are engine-discretionary, same
     // status as q_approx_stats): rows-only; disagreement with the exact
@@ -249,6 +250,20 @@ object SparkEntry {
         "SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10"),
     "d7_ann_ivf" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e WHERE vec_id < 20), s AS (SELECT q.q_id, e.vec_id AS n_id, list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) / (sqrt(list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)])) * sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]))) AS sim FROM q JOIN e ON e.label = q.q_label AND e.vec_id <> q.q_id), r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s) SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10",
+    // multi-probe IVF: centroids from exact integer sums (floor-quantized
+    // 2^20ths summed as BIGINTs — order-free, so both engines derive
+    // bit-identical centroids), cells ranked per query, top 2 probed
+    "d34_ann_ivf_probes" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), " +
+        "ex AS (SELECT label, unnest(range(1, len(v) + 1)) AS i, v FROM e), " +
+        "qz AS (SELECT label, i, sum(CAST(floor(v[i] * 1048576) AS BIGINT)) AS sq, count(*) AS n FROM ex GROUP BY 1, 2), " +
+        "cents AS (SELECT label AS c_label, list(sq / (n * 1048576.0) ORDER BY i) AS cv FROM qz GROUP BY label), " +
+        "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20), " +
+        "cd AS (SELECT q_id, qv, c_label, list_sum([(qv[i] - cv[i]) * (qv[i] - cv[i]) for i in range(1, len(qv) + 1)]) AS dist FROM q, cents), " +
+        "pc AS (SELECT q_id, qv, c_label FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, c_label) AS crn FROM cd) WHERE crn <= 2), " +
+        "s AS (SELECT pc.q_id, e.vec_id AS n_id, list_sum([pc.qv[i] * e.v[i] for i in range(1, len(e.v) + 1)]) / (sqrt(list_sum([pc.qv[i] * pc.qv[i] for i in range(1, len(pc.qv) + 1)])) * sqrt(list_sum([e.v[i] * e.v[i] for i in range(1, len(e.v) + 1)]))) AS sim FROM pc JOIN e ON e.label = pc.c_label AND e.vec_id <> pc.q_id), " +
+        "r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s) " +
+        "SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10"),
     // hybrid search: metadata predicate prunes BEFORE the distance math
     "d31_ann_filtered" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), en AS (SELECT e.vec_id, e.v FROM e JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'en'), q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20), s AS (SELECT q.q_id, en.vec_id AS n_id, list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) / (sqrt(list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)])) * sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]))) AS sim FROM q, en WHERE en.vec_id <> q.q_id), r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s) SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10",

@@ -345,6 +345,58 @@ object VectorOps {
     annIvfOverCells(kmeansAssignSampled(embeddings(spark, sfDir), k = 8, iters = 3,
       sampleMod = 4))
 
+  /** d34: IVF ANN with MULTI-CELL probing (`nprobe` = 2) — the standard
+    * IVF refinement d7 lacks: probing ONLY the query's own cell misses
+    * true neighbors that sit just across a cell boundary, so real IVF
+    * indexes rank cells by centroid distance and probe the nearest few.
+    * Per query: rank all cells by squared distance to the cell centroid
+    * (ties by label), probe the top 2, exact-rerank top-k — recall can
+    * only improve over single-probe at ~2x the probe cost, still
+    * 2/n_cells of the corpus instead of all of it.
+    *
+    * Centroids are derived with EXACT integer arithmetic so the oracle
+    * is bit-identical: each coordinate is floor-quantized to 2^20ths and
+    * summed as longs (order-free, unlike float summation, whose
+    * accumulation order differs across engines and would flip near-tied
+    * cell rankings), then divided once — one deterministic double per
+    * coordinate. Distance/cosine folds run in array order, the same
+    * fold-order-parity the d7/d21 oracles already pin.
+    *
+    * SCALE: the centroid table is k rows (one tiny aggregate); the
+    * per-query cell ranking is a k-row broadcast cross join; the probe
+    * is a broadcast equi-join on the cell id — the corpus never
+    * shuffles and is scanned once, exactly d7's shape with a 2-cell
+    * probe set.
+    */
+  def d34AnnIvfProbes(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    val Scale = 1048576L // 2^20: exact floor-quantization denominator
+    val cents = e
+      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .withColumn("q", floor(col("x") * Scale).cast("long"))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("c", col("sq") / (col("n") * lit(Scale.toDouble)))
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(i, c))), s -> s.c)").as("cv"))
+      .select(col("label").as("c_label"), col("cv"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val cellRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("c_label").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("dist", aggregate(zip_with(col("qv"), col("cv"),
+        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+      .withColumn("crn", row_number().over(cellRank))
+      .filter(col("crn") <= 2)
+      .select(col("q_id"), col("qv"), col("c_label"))
+    val scored = e.join(broadcast(probes),
+        col("label") === col("c_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("qv"), col("v")).as("sim"))
+    topK(scored)
+  }
+
   /** IVF cell-probed ANN: each query searches only the corpus vectors in
     * its own coarse cell (`label`), then exact-rerank top-k. One equi-join
     * on the cell id — at 100 TB this is the difference between scanning

@@ -150,7 +150,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     // Streaming queries (s*) execute on call and are covered by their own
     // gate rows + StreamingSpec.
     val allowedBnlj = Set("d6_ann_brute", "d31_ann_filtered",
-      "d23_tfidf_topterms", "d23_tfidf_singlescan", "d29_lang_mixture")
+      "d23_tfidf_topterms", "d23_tfidf_singlescan", "d29_lang_mixture",
+      // k-row centroid table cross-joined per query for cell ranking —
+      // bounded build side (one row per IVF cell), the standard IVF
+      // coarse-quantizer probe
+      "d34_ann_ivf_probes")
     SparkEntry.queries.keys.filterNot(_.startsWith("s")).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")

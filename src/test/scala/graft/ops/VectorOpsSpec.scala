@@ -143,6 +143,31 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("d34 multi-probe IVF: neighbors come from the two probed cells; recall dominates single-probe") {
+    val brute = VectorOps.d6AnnBrute(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = VectorOps.d7AnnIvf(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = VectorOps.d34AnnIvfProbes(spark, sf001).collect()
+    val multiSet = multi.map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // structure: per-query <= 10, rn ranks sim descending
+    multi.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.length <= 10)
+      val byRank = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $qid: sim not descending in rank order")
+    }
+    // every query answered
+    multi.map(_.getLong(0)).distinct.length shouldBe 20
+    // probing the 2 nearest cells must recall at least as many true
+    // top-10 pairs as probing 1 cell — the point of the operator
+    val recallMulti = (multiSet & brute).size
+    val recallSingle = (single & brute).size
+    assert(recallMulti >= recallSingle,
+      s"multi-probe recall $recallMulti < single-probe $recallSingle")
+  }
+
   test("d24 quantization: max_err bounded by scale/2 for unsaturated vectors") {
     val res = VectorOps.d24EmbedQuantize(spark, sf001).collect()
     assert(res.length == graft.Tables.embeddings(spark, sf001).count())
