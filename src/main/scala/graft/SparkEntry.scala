@@ -91,6 +91,7 @@ object SparkEntry {
     "s9_stream_session" -> (streaming.StreamingQueries.s9StreamSession _),
     "s10_stream_contamination" -> (streaming.StreamingQueries.s10StreamContamination _),
     "s11_stream_dup_positions" -> (streaming.StreamingQueries.s11StreamDupPositions _),
+    "s12_stream_neardup_seeded" -> (streaming.StreamingQueries.s12StreamNearDupSeeded _),
     // relational coverage (SURVEY.md §2D → Spark built-ins)
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_revenue_by_nation" -> (ops.RelationalOps.qRevenueByNation _),
@@ -317,6 +318,11 @@ object SparkEntry {
     // incremental LSH near-dup at ingest == the batch d2 answer
     "s8_stream_neardup" ->
       "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS shingles FROM w WHERE len(ws) >= 3), p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(list_distinct(a.shingles || b.shingles)) AS j FROM sh a JOIN sh b ON a.doc_id < b.doc_id) SELECT a_id, b_id, round(j, 6) AS jaccard FROM p WHERE j >= 0.6",
+    // the seeded resume: batch-d2-over-the-whole-corpus MINUS
+    // tranche-1-internal pairs (tranche 1 = doc_id below the median cut,
+    // the pre-existing corpus whose pairs batch d2 already answered)
+    "s12_stream_neardup_seeded" ->
+      "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), sh AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]) AS shingles FROM w WHERE len(ws) >= 3), p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / len(list_distinct(a.shingles || b.shingles)) AS j FROM sh a JOIN sh b ON a.doc_id < b.doc_id), cut AS (SELECT (max(doc_id) + 1) // 2 AS c FROM documents) SELECT a_id, b_id, round(j, 6) AS jaccard FROM p, cut WHERE j >= 0.6 AND NOT (a_id < c AND b_id < c)",
     // at-ingest contamination probe (stream-static broadcast join) ==
     // the batch d20 answer
     "s10_stream_contamination" ->

@@ -375,30 +375,98 @@ object StreamingQueries {
       .as[BandedGramRow]
     val pairs = banded
       .groupByKey(_.band_key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[BandedGramRow], state: GroupState[BucketDocs]) =>
-          var stored = state.getOption.map(_.docs).getOrElse(Nil)
-          val out = List.newBuilder[RawPair]
-          rows.foreach { r =>
-            if (!stored.exists(_.docId == r.doc_id)) { // at-least-once replay guard
-              val gset = r.grams.toSet
-              stored.foreach { s =>
-                val inter = s.grams.count(gset.contains)
-                // |A∪B| = |A| + |B| - |A∩B|; grams are distinct per doc, so
-                // this is exactly the oracle's list_distinct(a || b) size
-                val j = inter.toDouble / (r.grams.length + s.grams.length - inter)
-                if (j >= 0.6) {
-                  val (a, b) = if (s.docId < r.doc_id) (s.docId, r.doc_id)
-                    else (r.doc_id, s.docId)
-                  out += RawPair(a, b, j)
-                }
-              }
-              stored = StoredDoc(r.doc_id, r.grams) :: stored
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(nearDupTracker)
+    val q = pairs.toDF()
+      .dropDuplicates(Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jaccard"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
+
+  /** The bucket-probe step s8 and s12 share: pair each arriving banded
+    * row against the bucket's stored members (exact gram-hash Jaccard —
+    * `|A∪B| = |A| + |B| - |A∩B|` over distinct gram hashes, exactly the
+    * oracle's `list_distinct(a || b)` size), then store it. The
+    * stored-docId check makes the operator idempotent under
+    * at-least-once replay — and, under s12's initial state, prevents a
+    * seeded document from re-pairing if its tranche is ever replayed.
+    */
+  private val nearDupTracker =
+    (_: Long, rows: Iterator[BandedGramRow], state: GroupState[BucketDocs]) => {
+      var stored = state.getOption.map(_.docs).getOrElse(Nil)
+      val out = List.newBuilder[RawPair]
+      rows.foreach { r =>
+        if (!stored.exists(_.docId == r.doc_id)) { // at-least-once replay guard
+          val gset = r.grams.toSet
+          stored.foreach { s =>
+            val inter = s.grams.count(gset.contains)
+            val j = inter.toDouble / (r.grams.length + s.grams.length - inter)
+            if (j >= 0.6) {
+              val (a, b) = if (s.docId < r.doc_id) (s.docId, r.doc_id)
+                else (r.doc_id, s.docId)
+              out += RawPair(a, b, j)
             }
           }
-          state.update(BucketDocs(stored))
-          out.result().iterator
+          stored = StoredDoc(r.doc_id, r.grams) :: stored
+        }
       }
+      state.update(BucketDocs(stored))
+      out.result().iterator
+    }
+
+  // tranche-2-only shard dirs for s12, cached per (JVM, sfDir) like the
+  // full corpus dirs above
+  private val seededShardCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** s12: the near-dup tracker RESUMED against an existing corpus — the
+    * gate-query form of the initial-state bootstrap
+    * ([[boundedNearDupPairs]]'s `initialCorpus`, here on s8's unbounded
+    * twin so the oracle needs no horizon semantics). The corpus is split
+    * at the median doc_id: tranche 1 is the PRE-EXISTING batch corpus —
+    * its banded fingerprints seed the bucket state before the first
+    * micro-batch — and ONLY tranche 2 streams. The tracker must then
+    * emit exactly batch-d2-over-the-WHOLE-corpus minus
+    * tranche-1-internal pairs (batch d2 already answered those): every
+    * cross-tranche pair plus tranche-2-internal ones — the reference's
+    * resume-from-existing-checkpoint semantics
+    * (RecordProcessorImpl.scala:22-91) as an oracled query.
+    *
+    * SCALE: seeding is one batch pass over the existing corpus grouped
+    * by band key — the same shuffle d2 itself pays — written straight
+    * into the state store; the stream then does per-bucket probes
+    * exactly as s8.
+    */
+  def s12StreamNearDupSeeded(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val cut = (docs.agg(max(col("doc_id"))).collect().head.getLong(0) + 1L) / 2L
+    val seed = graft.ops.CorpusOps.bandedGramRows(docs.filter(col("doc_id") < cut))
+      .as[BandedGramRow]
+      .groupByKey(_.band_key)
+      .mapGroups { (k, it) => k -> BucketDocs(it.map(r => StoredDoc(r.doc_id, r.grams)).toList) }
+      .groupByKey(_._1).mapValues(_._2)
+    val shardDir = seededShardCache.computeIfAbsent(sfDir, { _ =>
+      val d = Files.createTempDirectory("graft-corpus-t2-").toString + "/shards"
+      ShardedEvents.routed(docs.filter(col("doc_id") >= cut),
+          col("doc_id"), col("doc_id"), ShardedCorpus.NumShards)
+        .write.mode("overwrite").partitionBy("shard").parquet(d)
+      d
+    })
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
+    val banded = graft.ops.CorpusOps.bandedGramRows(
+        ShardedCorpus.readStream(spark, shardDir))
+      .as[BandedGramRow]
+    val pairs = banded
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout, seed)(nearDupTracker)
     val q = pairs.toDF()
       .dropDuplicates(Seq("a_id", "b_id"))
       .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jaccard"))
