@@ -92,6 +92,7 @@ object SparkEntry {
     "s10_stream_contamination" -> (streaming.StreamingQueries.s10StreamContamination _),
     "s11_stream_dup_positions" -> (streaming.StreamingQueries.s11StreamDupPositions _),
     "s12_stream_neardup_seeded" -> (streaming.StreamingQueries.s12StreamNearDupSeeded _),
+    "s13_stream_dup_seeded" -> (streaming.StreamingQueries.s13StreamDupSeeded _),
     // relational coverage (SURVEY.md §2D → Spark built-ins)
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_revenue_by_nation" -> (ops.RelationalOps.qRevenueByNation _),
@@ -331,6 +332,19 @@ object SparkEntry {
     // positions (the pre-island-merge set), shard-order independent
     "s11_stream_dup_positions" ->
       "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), g0 AS (SELECT doc_id, unnest([{'p': CAST(i - 1 AS BIGINT), 's': array_to_string(ws[i:i+7], ' ')} for i in range(1, len(ws) - 6)]) AS u FROM w WHERE len(ws) >= 8), g AS (SELECT doc_id, u.p AS pos, CAST(('0x' || substr(md5(u.s), 1, 15)) AS BIGINT) AS gh FROM g0), d AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2) SELECT g.doc_id, g.pos FROM g JOIN d USING (gh)",
+    // seeded resume of the span marker: marked positions over BOTH
+    // tranches EXCEPT those already marked over tranche 1 alone — the
+    // difference includes the retroactive cross-tranche marks
+    "s13_stream_dup_seeded" ->
+      ("WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+        "g0 AS (SELECT doc_id, unnest([{'p': CAST(i - 1 AS BIGINT), 's': array_to_string(ws[i:i+7], ' ')} for i in range(1, len(ws) - 6)]) AS u FROM w WHERE len(ws) >= 8), " +
+        "g AS (SELECT doc_id, u.p AS pos, CAST(('0x' || substr(md5(u.s), 1, 15)) AS BIGINT) AS gh FROM g0), " +
+        "cut AS (SELECT (max(doc_id) + 1) // 2 AS c FROM documents), " +
+        "d AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2), " +
+        "allm AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gh)), " +
+        "d1 AS (SELECT gh FROM g, cut WHERE doc_id < c GROUP BY gh HAVING count(*) >= 2), " +
+        "t1 AS (SELECT g.doc_id, g.pos FROM g JOIN d1 USING (gh), cut WHERE g.doc_id < c) " +
+        "SELECT doc_id, pos FROM allm EXCEPT SELECT doc_id, pos FROM t1"),
     // streaming session_window == the batch gaps-and-islands sessions
     "s9_stream_session" ->
       "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_sess FROM events), s AS (SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g) SELECT user_id, min(ts) AS session_start, count(*) AS n_events FROM s GROUP BY user_id, sid",

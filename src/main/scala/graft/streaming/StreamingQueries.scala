@@ -481,6 +481,63 @@ object StreamingQueries {
     spark.table(mem)
   }
 
+  /** s13: the dup-span tracker RESUMED against an existing corpus —
+    * [[s12StreamNearDupSeeded]]'s pattern applied to [[
+    * s11StreamDupPositions]], completing bootstrap parity across the
+    * dedup-at-ingest family. Tranche 1 (doc_id below the median cut)
+    * seeds the per-gram state in batch: first occurrence by (doc_id,
+    * pos) order plus whether tranche 1 already held a second distinct
+    * occurrence (`multi`). Only tranche 2 streams. Emissions are then
+    * exactly marked-positions-over-BOTH minus
+    * marked-positions-over-tranche-1-alone — including the RETROACTIVE
+    * cross-tranche case: a window single in the existing corpus whose
+    * duplicate arrives in the stream marks its old position too, which
+    * batch-over-tranche-1 could not have known.
+    */
+  def s13StreamDupSeeded(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val cut = (docs.agg(max(col("doc_id"))).collect().head.getLong(0) + 1L) / 2L
+    def occurrences(df: DataFrame): org.apache.spark.sql.Dataset[GramOccurrence] =
+      df.select(col("doc_id"),
+          posexplode(graft.functions.WordWindowMd5.wordWindowMd5(
+            lower(trim(col("text"))), 8)))
+        .select(col("col").as("gh"), col("doc_id"), col("pos").cast("long").as("pos"))
+        .as[GramOccurrence]
+    val seed = occurrences(docs.filter(col("doc_id") < cut))
+      .groupByKey(_.gh)
+      .mapGroups { (gh, it) =>
+        val occs = it.toList
+        val first = occs.minBy(o => (o.doc_id, o.pos))
+        gh -> GramFirst(first.doc_id, first.pos,
+          multi = occs.exists(o => o.doc_id != first.doc_id || o.pos != first.pos))
+      }
+      .groupByKey(_._1).mapValues(_._2)
+    val shardDir = seededShardCache.computeIfAbsent(sfDir, { _ =>
+      val d = Files.createTempDirectory("graft-corpus-t2-").toString + "/shards"
+      ShardedEvents.routed(docs.filter(col("doc_id") >= cut),
+          col("doc_id"), col("doc_id"), ShardedCorpus.NumShards)
+        .write.mode("overwrite").partitionBy("shard").parquet(d)
+      d
+    })
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
+    val marked = occurrences(ShardedCorpus.readStream(spark, shardDir))
+      .groupByKey(_.gh)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout, seed)(dupPositionTracker)
+    val q = marked.toDF()
+      .dropDuplicates(Seq("doc_id", "pos"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
+
   /** One w-word window occurrence of the document ingest stream (see
     * [[s11StreamDupPositions]]). */
   case class GramOccurrence(gh: Long, doc_id: Long, pos: Long)
@@ -489,6 +546,26 @@ object StreamingQueries {
   case class GramFirst(docId: Long, pos: Long, multi: Boolean)
   /** A marked duplicate position. */
   case class MarkedPos(doc_id: Long, pos: Long)
+
+  /** The per-gram marking step s11 and s13 share: a second DISTINCT
+    * occurrence of a window marks the occurrence AND — retroactively —
+    * the stored first; a replay of the stored first is recognized by
+    * (doc_id, pos) equality and never counts as a second sighting.
+    */
+  private val dupPositionTracker =
+    (_: Long, rows: Iterator[GramOccurrence], state: GroupState[GramFirst]) => {
+      var st = state.getOption.orNull
+      val out = List.newBuilder[MarkedPos]
+      rows.foreach { o =>
+        if (st == null) st = GramFirst(o.doc_id, o.pos, multi = false)
+        else if (o.doc_id != st.docId || o.pos != st.pos) { // replay of the first is not a second sighting
+          if (!st.multi) { out += MarkedPos(st.docId, st.pos); st = st.copy(multi = true) }
+          out += MarkedPos(o.doc_id, o.pos)
+        }
+      }
+      state.update(st)
+      out.result().iterator
+    }
 
   /** INCREMENTAL duplicate-substring detection — d28's marked positions
     * at INGEST, completing the dedup-at-ingest family (s7 = exact doc,
@@ -541,20 +618,7 @@ object StreamingQueries {
       .as[GramOccurrence]
     val marked = occurrences
       .groupByKey(_.gh)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[GramOccurrence], state: GroupState[GramFirst]) =>
-          var st = state.getOption.orNull
-          val out = List.newBuilder[MarkedPos]
-          rows.foreach { o =>
-            if (st == null) st = GramFirst(o.doc_id, o.pos, multi = false)
-            else if (o.doc_id != st.docId || o.pos != st.pos) { // replay of the first is not a second sighting
-              if (!st.multi) { out += MarkedPos(st.docId, st.pos); st = st.copy(multi = true) }
-              out += MarkedPos(o.doc_id, o.pos)
-            }
-          }
-          state.update(st)
-          out.result().iterator
-      }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(dupPositionTracker)
     val q = marked.toDF()
       .dropDuplicates(Seq("doc_id", "pos"))
       .writeStream
