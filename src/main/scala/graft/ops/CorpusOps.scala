@@ -918,7 +918,9 @@ object CorpusOps {
       .select(lower(trim(col("text"))).as("t"))
       .filter(col("t") =!= "")
     val merges = Seq.newBuilder[(Int, String, Long)]
-    for (i <- 1 to iters) {
+    var i = 1
+    var exhausted = false
+    while (i <= iters && !exhausted) {
       val top = state
         .select(split(col("t"), " ").as("ws"))
         .filter(size(col("ws")) >= 2)
@@ -927,14 +929,18 @@ object CorpusOps {
         .select(col("p.l").as("l"), col("p.r").as("r"))
         .groupBy(col("l"), col("r")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect().head
-      val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-      merges += ((i, l + " " + r, cnt))
-      state = state.select(trim(replace(
-        replace(
-          concat(lit(" "), replace(col("t"), lit(" "), lit("  ")), lit(" ")),
-          lit(" " + l + "  " + r + " "), lit(" " + l + "+" + r + " ")),
-        lit("  "), lit(" "))).as("t"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every document merged to one token
+      else {
+        val (l, r, cnt) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((i, l + " " + r, cnt))
+        state = state.select(trim(replace(
+          replace(
+            concat(lit(" "), replace(col("t"), lit(" "), lit("  ")), lit(" ")),
+            lit(" " + l + "  " + r + " "), lit(" " + l + "+" + r + " ")),
+          lit("  "), lit(" "))).as("t"))
+        i += 1
+      }
     }
     merges.result().toDF("iter", "pair", "cnt")
   }
