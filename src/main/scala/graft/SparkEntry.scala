@@ -55,6 +55,9 @@ object SparkEntry {
     "d30_bpe_pairs" -> (ops.CorpusOps.d30BpePairs _),
     "d33_bpe_train" -> ((s: SparkSession, dir: String) => ops.CorpusOps.d33BpeTrain(s, dir)),
     "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
+    // no oracleSql (iterative per-subspace codebook training, same status
+    // as d13): rows-only; ADC recall/rerank pinned in VectorOpsSpec
+    "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
     "d32_quality_deciles" -> (ops.CorpusOps.d32QualityDeciles _),
     // no oracleSql (sketch-chosen cutoffs are engine-discretionary, same
     // status as q_approx_stats): rows-only; disagreement with the exact

@@ -435,13 +435,83 @@ object VectorOps {
     * semantics, bit-identical assignments (d21's DuckDB oracle pins this:
     * it reproduces training through this expression hash-exactly).
     */
-  private def nearestCidLit(centroids: Seq[(Int, Seq[Double])]): Column = {
+  private def nearestCidLit(centroids: Seq[(Int, Seq[Double])], vcol: Column = col("v")): Column = {
     val cents = typedlit(centroids.sortBy(_._1).map { case (cid, cv) => (cid, cv) })
     array_min(transform(cents, c =>
       struct(
-        aggregate(zip_with(col("v"), c.getField("_2"), (a, b) => (a - b) * (a - b)),
+        aggregate(zip_with(vcol, c.getField("_2"), (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x).as("d"),
         c.getField("_1").as("cid")))).getField("cid")
+  }
+
+  // PQ geometry: dim 64 = 8 subspaces x 8 dims, 16 codes per subspace
+  // (one byte of code space per pair of subspaces — a 64-dim vector
+  // compresses to 8 4-bit codes), 50 ADC candidates before exact rerank
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqK = 16
+  private val PqCand = 50
+
+  /** d35: IVF-PQ — PRODUCT-QUANTIZED ANN, the storage-side half of the
+    * standard 100 TB vector-search layout (IVF prunes which vectors to
+    * score — d7/d13/d34; PQ compresses HOW each is scored). Each vector
+    * splits into [[PqM]] subvectors; a per-subspace codebook ([[PqK]]
+    * centroids, sample-trained Lloyd's — the [[kmeansAssignSampled]]
+    * machinery per subspace) encodes the corpus as [[PqM]] small codes.
+    * Search is ASYMMETRIC DISTANCE (ADC): per query, one [[PqM]]×[[PqK]]
+    * table of exact subvector-to-centroid distances is precomputed, and
+    * a corpus vector's approximate distance is just [[PqM]] table
+    * lookups summed — no per-pair float math over the raw dims. The top
+    * [[PqCand]] ADC candidates per query are then EXACT-reranked by
+    * cosine to the final top-k (the standard ADC + rerank pipeline).
+    *
+    * SCALE: this is the operator that makes 100 TB ANN feasible at all —
+    * the scored representation is 8 codes/vector (vs 512 bytes of raw
+    * doubles, a 64× read-volume cut), the codebooks are
+    * [[PqM]]×[[PqK]]×[[PqSubDim]] literals folded into the encode
+    * expression (tree O(M·K), zero shuffle, corpus scanned in place),
+    * and the query tables are a 20-row broadcast. Exact rerank touches
+    * only O(queries × PqCand) raw vectors.
+    *
+    * Not SQL-expressible (iterative per-subspace training) → rows-only
+    * gate + VectorOpsSpec pins: ADC-candidate recall against brute
+    * force, rerank exactness, and determinism.
+    */
+  def d35AnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+    // per-subspace codebooks, trained on the deterministic 1-in-4 id sample
+    val sample = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val codebooks: Seq[Seq[(Int, Seq[Double])]] = (0 until PqM).map { m =>
+      kmeansCentroids(
+        sample.select(col("vec_id"), slice(col("v"), m * PqSubDim + 1, PqSubDim).as("v")),
+        PqK, iters = 3)
+    }
+    // encode: 8 zero-shuffle literal-codebook argmins per row
+    val encoded = e.select(col("vec_id"), col("v"),
+      array(codebooks.zipWithIndex.map { case (cb, m) =>
+        nearestCidLit(cb, slice(col("v"), m * PqSubDim + 1, PqSubDim)) }: _*).as("codes"))
+    // per-query ADC tables: M x K exact subvector distances, driver-built
+    // from the k x dim codebooks (tiny) and broadcast with the queries
+    val qRows = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val qDf = qRows.toSeq.map { case (qid, qv) =>
+      val tabs = codebooks.zipWithIndex.map { case (cb, m) =>
+        val sub = qv.slice(m * PqSubDim, (m + 1) * PqSubDim)
+        cb.sortBy(_._1).map { case (_, cv) =>
+          sub.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum }
+      }
+      (qid, qv, tabs)
+    }.toDF("q_id", "qv", "tabs")
+    val adc = encoded.join(broadcast(qDf), col("vec_id") =!= col("q_id"))
+      .withColumn("adc", aggregate(zip_with(col("codes"), col("tabs"),
+        (c, t) => element_at(t, c + 1)), lit(0.0), (acc, x) => acc + x))
+    val candW = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id").asc)
+    val cands = adc.withColumn("crn", row_number().over(candW))
+      .filter(col("crn") <= PqCand)
+    topK(cands.select(col("q_id"), col("vec_id").as("n_id"),
+      cosine(col("qv"), col("v")).as("sim")))
   }
 
   /** Component-wise MEDIAN centroid update. Median is selection-based —

@@ -154,7 +154,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
       // k-row centroid table cross-joined per query for cell ranking —
       // bounded build side (one row per IVF cell), the standard IVF
       // coarse-quantizer probe
-      "d34_ann_ivf_probes")
+      "d34_ann_ivf_probes",
+      // 20-row query+ADC-table broadcast against the encoded corpus —
+      // bounded build side, the asymmetric-distance scoring pass
+      "d35_ann_ivf_pq")
     SparkEntry.queries.keys.filterNot(_.startsWith("s")).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")

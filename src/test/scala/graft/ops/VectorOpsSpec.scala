@@ -168,6 +168,41 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
       s"multi-probe recall $recallMulti < single-probe $recallSingle")
   }
 
+  test("d35 IVF-PQ: ADC candidates + exact rerank recall brute-force neighbors; deterministic") {
+    val brute = VectorOps.d6AnnBrute(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = VectorOps.d35AnnIvfPq(spark, sf001).collect()
+    val pqSet = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // structure: every query answered with <= 10 ranked results, sims exact
+    pq.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.length <= 10)
+      val byRank = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $qid: sim not descending in rank order")
+    }
+    pq.map(_.getLong(0)).distinct.length shouldBe 20
+    // the rerank is EXACT cosine, so any (q, n) pair shared with brute
+    // force must carry the identical similarity
+    val bruteSims = VectorOps.d6AnnBrute(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pq.foreach { r =>
+      bruteSims.get((r.getLong(0), r.getLong(1))).foreach { s =>
+        assert(r.getDouble(2) == s, s"rerank sim diverged for ${(r.getLong(0), r.getLong(1))}")
+      }
+    }
+    // recall floor: 16-code product quantization over 50 ADC candidates
+    // recovers most of the true top-10 set on this corpus (measured 0.63
+    // — honest for 4-bit-per-subspace codes on near-uniform vectors;
+    // pinned conservatively so codebook ulps can't flake the build)
+    val recall = (pqSet & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"ADC+rerank recall $recall below floor")
+    // deterministic: a second run reproduces the result exactly
+    val again = VectorOps.d35AnnIvfPq(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    again shouldBe pq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+  }
+
   test("d24 quantization: max_err bounded by scale/2 for unsaturated vectors") {
     val res = VectorOps.d24EmbedQuantize(spark, sf001).collect()
     assert(res.length == graft.Tables.embeddings(spark, sf001).count())
