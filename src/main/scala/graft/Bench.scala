@@ -131,8 +131,11 @@ object Bench {
     *  (1) its own spin probe ran > 1.5x the run's best probe (the fixed
     *      probe work was slow RIGHT BEFORE this query — transient host
     *      steal / throttling the run median absorbs);
-    *  (2) hypervisor steal during the query exceeded 10% of its wall
-    *      (-1 abstains);
+    *  (2) hypervisor steal during the query exceeded 10% of its wall AND
+    *      at least 50 ms absolute (-1 abstains; the absolute floor
+    *      matters because /proc/stat ticks in 10 ms jiffies — a single
+    *      jiffy landing during a 90 ms query is counter granularity,
+    *      not contention, and flagged every tiny query without it);
     *  (3) the serialized-execution signature: process CPU ~= wall on a
     *      query that walls > 1 s. A healthy multi-second query at
     *      local[32] burns CPU on many cores (cpu >> wall); an IO- or
@@ -150,7 +153,7 @@ object Bench {
   private[graft] def querySuspect(wallSec: Double, cpuSec: Double, spinMs: Double,
       queryStealSec: Double, runMinSpinMs: Double): Boolean =
     spinMs > 1.5 * runMinSpinMs ||
-      (queryStealSec >= 0 && queryStealSec > 0.1 * wallSec) ||
+      (queryStealSec >= 0.05 && queryStealSec > 0.1 * wallSec) ||
       (wallSec > 1.0 && cpuSec >= 0.8 * wallSec && cpuSec <= 1.4 * wallSec)
 
   private def gcTimeMs: Long =

@@ -477,16 +477,51 @@ object VectorOps {
     * gate + VectorOpsSpec pins: ADC-candidate recall against brute
     * force, rerank exactness, and determinism.
     */
+  /** All [[PqM]] per-subspace codebooks trained TOGETHER: the naive form
+    * (one [[kmeansCentroids]] loop per subspace) runs M×iters tiny jobs
+    * whose scheduling overhead dominates at any data size — 8 subspaces
+    * are not 8 sequential trainings, they are one training over rows
+    * tagged with their subspace. Each iteration is ONE job: explode the
+    * sample into (m, subvector) rows, assign every row with a single
+    * m-dispatched literal-codebook argmin projection (a `when` chain
+    * over the M codebooks — all literals, zero shuffle), update every
+    * (m, cid, dim) mean in one aggregation. Seeds = the [[PqK]] lowest
+    * sample vec_ids, sliced per subspace (identical to what the
+    * per-subspace loops would seed).
+    */
+  private def pqCodebooks(sample: DataFrame, iters: Int): Seq[Seq[(Int, Seq[Double])]] = {
+    val subRows = sample.select(col("vec_id"), posexplode(
+      array((0 until PqM).map(m => slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*))
+      .as(Seq("m", "sv")))
+    var books: Seq[Seq[(Int, Seq[Double])]] = {
+      val seeds = sample.orderBy(col("vec_id")).limit(PqK)
+        .select(col("v")).collect().map(_.getSeq[Double](0))
+      (0 until PqM).map(m => seeds.toSeq.zipWithIndex.map { case (v, i) =>
+        (i, v.slice(m * PqSubDim, (m + 1) * PqSubDim)) })
+    }
+    for (_ <- 0 until iters) {
+      val cidExpr = (1 until PqM).foldLeft(
+        when(col("m") === 0, nearestCidLit(books(0), col("sv")))) { (acc, m) =>
+        acc.when(col("m") === m, nearestCidLit(books(m), col("sv")))
+      }
+      val updated = subRows.withColumn("cid", cidExpr)
+        .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("m"), col("cid"), col("dim")).agg(avg(col("x")).as("c"))
+        .groupBy(col("m"), col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+        .collect()
+        .groupBy(_.getInt(0))
+      books = (0 until PqM).map(m => updated.getOrElse(m, Array.empty).toSeq
+        .map(r => (r.getInt(1), r.getSeq[Double](2))))
+    }
+    books
+  }
+
   def d35AnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = embeddings(spark, sfDir)
     // per-subspace codebooks, trained on the deterministic 1-in-4 id sample
-    val sample = e.filter(pmod(col("vec_id"), lit(4)) === 0)
-    val codebooks: Seq[Seq[(Int, Seq[Double])]] = (0 until PqM).map { m =>
-      kmeansCentroids(
-        sample.select(col("vec_id"), slice(col("v"), m * PqSubDim + 1, PqSubDim).as("v")),
-        PqK, iters = 3)
-    }
+    val codebooks = pqCodebooks(e.filter(pmod(col("vec_id"), lit(4)) === 0), iters = 3)
     // encode: 8 zero-shuffle literal-codebook argmins per row
     val encoded = e.select(col("vec_id"), col("v"),
       array(codebooks.zipWithIndex.map { case (cb, m) =>

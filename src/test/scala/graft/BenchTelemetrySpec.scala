@@ -68,6 +68,10 @@ class BenchTelemetrySpec extends AnyFunSuite with Matchers {
   test("suspect signal 2: steal during the query exceeds 10% of its wall; -1 abstains") {
     assert(Bench.querySuspect(2.0, 20.0, 15.0, queryStealSec = 0.5, 15.0))
     assert(!Bench.querySuspect(2.0, 20.0, 15.0, queryStealSec = -1.0, 15.0))
+    // /proc/stat ticks in 10 ms jiffies: ONE jiffy landing during a 90 ms
+    // query is counter granularity, not contention — the absolute floor
+    // keeps tiny queries from flagging on it
+    assert(!Bench.querySuspect(0.09, 0.16, 15.0, queryStealSec = 0.01, 15.0))
   }
 
   test("suspect signal 3: serialized-execution signature (cpu ~= wall on a long query)") {
