@@ -363,6 +363,45 @@ class GraftShardsProviderSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(batches >= 4, s"expected >=4 single-file batches under the composed limits, got $batches")
   }
 
+  test("maxRecordsPerTrigger: a restart mid-drain resumes under the cap without loss or re-admission") {
+    // the pending-file computation rebuilds per source instance from the
+    // metadata log — a successor must see exactly the not-yet-admitted
+    // files, keep every batch under the cap, and deliver the remainder
+    // exactly once
+    val base = newBase()
+    val dir = s"$base/shards"
+    ShardedEvents.appendTranche(batchEvents, dir, 4)
+    val cap = 300L
+    val got = mutable.Buffer.empty[Long]
+    val sizes = mutable.Buffer.empty[Long]
+    def drain(stopAfterBatches: Int): Boolean = {
+      var batches = 0
+      val q = open(dir, "trim_horizon", Map("maxRecordsPerTrigger" -> cap.toString))
+        .select("event_id")
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val ids = b.collect().map(_.getLong(0))
+          got.synchronized { got ++= ids }
+          sizes.synchronized { sizes += ids.length.toLong }
+          batches += 1
+          if (batches >= stopAfterBatches) throw new RuntimeException("injected stop")
+          ()
+        }
+        .start()
+      try { q.awaitTermination(); true } catch { case _: Exception => false }
+    }
+    // first incarnation dies after one committed-side batch; the batch
+    // that threw did NOT commit, so its rows redeliver to the successor
+    assert(!drain(stopAfterBatches = 2), "first incarnation must die mid-drain")
+    assert(drain(Int.MaxValue), "successor must drain to completion")
+    sizes.synchronized(sizes.toVector).foreach(s => assert(s <= cap, s"batch of $s exceeds cap"))
+    // the one uncommitted batch redelivers: distinct ids == full stream
+    got.synchronized(got.toVector).distinct.sorted shouldBe
+      batchEvents.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+  }
+
   test("options: non-positive or non-numeric maxRecordsPerTrigger fails eagerly") {
     for (bad <- Seq("0", "-5", "many")) {
       val e = intercept[IllegalArgumentException] {

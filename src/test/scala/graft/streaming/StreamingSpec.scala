@@ -468,6 +468,50 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     } finally spark.streams.removeListener(stats)
   }
 
+  test("per-shard gauges discover shards created by a live re-shard (split children appear in the map)") {
+    // the ShardConsumerId analog must track shards that did not exist at
+    // subscribe time — the reference's per-shard stats follow child
+    // shards after a split the same way
+    val stats = new GraftStats
+    spark.streams.addListener(stats)
+    val base = newBase()
+    val dir = s"$base/shards"
+    val events = graft.Tables.events(spark, sf001)
+    val ids = batchEventIds.sorted
+    val cut = ids(ids.size / 2)
+    ShardedEvents.appendTranche(events.filter(col("event_id") <= cut), dir, 2)
+    try {
+      val q = GraftStats.observeShardRows(
+          spark.readStream.format("graft-shards")
+            .option("path", dir)
+            .option("startingPosition", "trim_horizon")
+            .load(),
+          col("shard"))
+        .select("event_id")
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      q.processAllAvailable()
+      val deadline0 = System.nanoTime() + 10_000_000_000L
+      while (stats.shardRowsTotal.get(q.id).forall(_.isEmpty) &&
+        System.nanoTime() < deadline0) Thread.sleep(50)
+      val before = stats.shardRowsTotal.get(q.id).getOrElse(Map.empty)
+      assert(before.keySet == Set(0, 1), s"pre-split gauge shards: $before")
+
+      // SPLIT 2 -> 4 under the live query: children 2 and 3 appear
+      ShardedEvents.appendTranche(events.filter(col("event_id") > cut), dir, 4)
+      q.processAllAvailable()
+      StreamControl.stopGracefully(q)
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (stats.shardRowsTotal.get(q.id).forall(_.size < 4) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      val after = stats.shardRowsTotal.get(q.id).getOrElse(Map.empty)
+      assert(after.keySet == Set(0, 1, 2, 3), s"post-split gauge shards: $after")
+      assert(after.values.sum == ids.size.toLong, s"gauge total ${after.values.sum} != ${ids.size}")
+    } finally spark.streams.removeListener(stats)
+  }
+
   test("listener identity sets are bounded: oldest query ids evict at capacity") {
     // GraftStats is registered session-wide via the streamingQueryListeners
     // static conf; a long-lived session launches unbounded queries, so the
