@@ -58,6 +58,9 @@ object SparkEntry {
     // no oracleSql (iterative per-subspace codebook training, same status
     // as d13): rows-only; ADC recall/rerank pinned in VectorOpsSpec
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
+    // no oracleSql (same iterative training): rows-only; cell containment
+    // + rerank exactness + recall pinned in VectorOpsSpec
+    "d36_ann_ivfpq_full" -> (ops.VectorOps.d36AnnIvfPqFull _),
     "d32_quality_deciles" -> (ops.CorpusOps.d32QualityDeciles _),
     // no oracleSql (sketch-chosen cutoffs are engine-discretionary, same
     // status as q_approx_stats): rows-only; disagreement with the exact

@@ -368,11 +368,13 @@ object VectorOps {
     * shuffles and is scanned once, exactly d7's shape with a 2-cell
     * probe set.
     */
-  def d34AnnIvfProbes(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = embeddings(spark, sfDir)
+  /** Exact-integer per-label centroid table — see [[d34AnnIvfProbes]]'s
+    * scaladoc for why floor-quantized long sums (order-free) matter.
+    * Returns (c_label, cv).
+    */
+  private def labelCentroidsExact(e: DataFrame): DataFrame = {
     val Scale = 1048576L // 2^20: exact floor-quantization denominator
-    val cents = e
-      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+    e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
       .withColumn("q", floor(col("x") * Scale).cast("long"))
       .groupBy(col("label"), col("i"))
       .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
@@ -380,16 +382,27 @@ object VectorOps {
       .groupBy(col("label"))
       .agg(expr("transform(sort_array(collect_list(struct(i, c))), s -> s.c)").as("cv"))
       .select(col("label").as("c_label"), col("cv"))
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+  }
+
+  /** Per-query top-`nprobe` cells by squared centroid distance (ties by
+    * label): (q_id, qv, c_label), one row per probed cell.
+    */
+  private def probedCells(q: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val cellRank = Window.partitionBy(col("q_id"))
       .orderBy(col("dist").asc, col("c_label").asc)
-    val probes = q.crossJoin(broadcast(cents))
+    q.crossJoin(broadcast(cents))
       .withColumn("dist", aggregate(zip_with(col("qv"), col("cv"),
         (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
       .withColumn("crn", row_number().over(cellRank))
-      .filter(col("crn") <= 2)
+      .filter(col("crn") <= nprobe)
       .select(col("q_id"), col("qv"), col("c_label"))
+  }
+
+  def d34AnnIvfProbes(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val probes = probedCells(q, labelCentroidsExact(e), nprobe = 2)
     val scored = e.join(broadcast(probes),
         col("label") === col("c_label") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
@@ -528,22 +541,76 @@ object VectorOps {
         nearestCidLit(cb, slice(col("v"), m * PqSubDim + 1, PqSubDim)) }: _*).as("codes"))
     // per-query ADC tables: M x K exact subvector distances, driver-built
     // from the k x dim codebooks (tiny) and broadcast with the queries
-    val qRows = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id"), col("v")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    val qDf = qRows.toSeq.map { case (qid, qv) =>
-      val tabs = codebooks.zipWithIndex.map { case (cb, m) =>
-        val sub = qv.slice(m * PqSubDim, (m + 1) * PqSubDim)
-        cb.sortBy(_._1).map { case (_, cv) =>
-          sub.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum }
-      }
-      (qid, qv, tabs)
-    }.toDF("q_id", "qv", "tabs")
+    val qDf = pqQueryTables(spark, e, codebooks)
     val adc = encoded.join(broadcast(qDf), col("vec_id") =!= col("q_id"))
-      .withColumn("adc", aggregate(zip_with(col("codes"), col("tabs"),
-        (c, t) => element_at(t, c + 1)), lit(0.0), (acc, x) => acc + x))
-    val candW = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id").asc)
-    val cands = adc.withColumn("crn", row_number().over(candW))
+      .withColumn("adc", adcScore)
+    val cands = adc.withColumn("crn", row_number().over(adcRank))
+      .filter(col("crn") <= PqCand)
+    topK(cands.select(col("q_id"), col("vec_id").as("n_id"),
+      cosine(col("qv"), col("v")).as("sim")))
+  }
+
+  /** The broadcastable query side of ADC search: (q_id, qv, tabs) where
+    * `tabs[m][k]` is the exact squared distance from the query's m-th
+    * subvector to codebook m's centroid k.
+    */
+  private def pqQueryTables(spark: SparkSession, e: DataFrame,
+      codebooks: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    import spark.implicits._
+    e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      .map { case (qid, qv) =>
+        val tabs = codebooks.zipWithIndex.map { case (cb, m) =>
+          val sub = qv.slice(m * PqSubDim, (m + 1) * PqSubDim)
+          cb.sortBy(_._1).map { case (_, cv) =>
+            sub.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum }
+        }
+        (qid, qv, tabs)
+      }.toDF("q_id", "qv", "tabs")
+  }
+
+  /** ADC score: sum of M table lookups, one per code. */
+  private def adcScore: Column =
+    aggregate(zip_with(col("codes"), col("tabs"),
+      (c, t) => element_at(t, c + 1)), lit(0.0), (acc, x) => acc + x)
+
+  private def adcRank: org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id").asc)
+
+  /** d36: the FULL IVF-PQ pipeline — both halves of the 100 TB layout
+    * composed: the coarse quantizer prunes WHICH vectors are scored
+    * (d34's exact-integer cell ranking, `nprobe` = 3 — one more probe
+    * than d34 because PQ's own loss compounds with cell-pruning loss;
+    * nprobe is THE recall/cost dial of a deployed IVF index) and PQ compresses
+    * HOW the survivors are scored (d35's codebooks + ADC lookups), with
+    * exact rerank of the top [[PqCand]] candidates. Per query the scored
+    * set is 2/n_cells of the corpus AND each scored row costs [[PqM]]
+    * lookups instead of raw-dim math — the multiplicative read/compute
+    * cut that makes web-scale vector search run. (This variant
+    * quantizes raw vectors, not coarse residuals — the residual
+    * refinement changes recall, not the plan shape.)
+    *
+    * Rows-only gate (iterative training, d13/d35 precedent);
+    * VectorOpsSpec pins cell containment, rerank exactness and recall
+    * vs brute force.
+    */
+  def d36AnnIvfPqFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    val codebooks = pqCodebooks(e.filter(pmod(col("vec_id"), lit(4)) === 0), iters = 3)
+    val encoded = e.select(col("vec_id"), col("v"), col("label"),
+      array(codebooks.zipWithIndex.map { case (cb, m) =>
+        nearestCidLit(cb, slice(col("v"), m * PqSubDim + 1, PqSubDim)) }: _*).as("codes"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val probes = probedCells(q, labelCentroidsExact(e), nprobe = 3)
+      .drop("qv") // tabs + qv travel with the ADC query side below
+    val qDf = pqQueryTables(spark, e, codebooks)
+    val probeSide = probes.join(qDf, "q_id") // (q_id, c_label, qv, tabs): 2 rows/query
+    val adc = encoded.join(broadcast(probeSide),
+        col("label") === col("c_label") && col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adcScore)
+    val cands = adc.withColumn("crn", row_number().over(adcRank))
       .filter(col("crn") <= PqCand)
     topK(cands.select(col("q_id"), col("vec_id").as("n_id"),
       cosine(col("qv"), col("v")).as("sim")))

@@ -157,7 +157,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
       "d34_ann_ivf_probes",
       // 20-row query+ADC-table broadcast against the encoded corpus —
       // bounded build side, the asymmetric-distance scoring pass
-      "d35_ann_ivf_pq")
+      "d35_ann_ivf_pq",
+      // same bounded build sides composed (cell ranking + ADC tables)
+      "d36_ann_ivfpq_full")
     SparkEntry.queries.keys.filterNot(_.startsWith("s")).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")

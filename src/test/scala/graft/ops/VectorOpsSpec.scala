@@ -203,6 +203,34 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     again shouldBe pq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
   }
 
+  test("d36 full IVF-PQ: candidates confined to probed cells, rerank exact, recall above floor") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val labels = e.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val full = VectorOps.d36AnnIvfPqFull(spark, sf001).collect()
+    // structure + coverage
+    full.map(_.getLong(0)).distinct.length shouldBe 20
+    full.groupBy(_.getLong(0)).foreach { case (_, rows) => assert(rows.length <= 10) }
+    // cell containment: every neighbor's label is one of at most 3 labels
+    // per query (the probed cells)
+    full.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val cells = rows.map(r => labels(r.getLong(1))).distinct
+      assert(cells.length <= 3, s"query $qid drew neighbors from ${cells.length} cells")
+    }
+    // rerank is exact cosine: shared pairs match brute-force sims
+    val bruteSims = VectorOps.d6AnnBrute(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    full.foreach { r =>
+      bruteSims.get((r.getLong(0), r.getLong(1))).foreach { s =>
+        assert(r.getDouble(2) == s, s"rerank sim diverged for ${(r.getLong(0), r.getLong(1))}")
+      }
+    }
+    // recall: cell pruning composed with PQ keeps a usable share of the
+    // true top-10 (bounded above by d34's probe recall by construction)
+    val brute = bruteSims.keySet
+    val recall = (full.map(r => (r.getLong(0), r.getLong(1))).toSet & brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF-PQ recall $recall below floor")
+  }
+
   test("d24 quantization: max_err bounded by scale/2 for unsaturated vectors") {
     val res = VectorOps.d24EmbedQuantize(spark, sf001).collect()
     assert(res.length == graft.Tables.embeddings(spark, sf001).count())
