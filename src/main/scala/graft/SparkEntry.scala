@@ -54,6 +54,8 @@ object SparkEntry {
     "d29_lang_mixture" -> (ops.CorpusOps.d29LangMixture _),
     "d30_bpe_pairs" -> (ops.CorpusOps.d30BpePairs _),
     "d33_bpe_train" -> ((s: SparkSession, dir: String) => ops.CorpusOps.d33BpeTrain(s, dir)),
+    "d37_bpe_encode" -> ((s: SparkSession, dir: String) => ops.CorpusOps.d37BpeEncode(s, dir)),
+    "d38_pii_redact" -> (ops.CorpusOps.d38PiiRedact _),
     "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
     // no oracleSql (iterative per-subspace codebook training, same status
     // as d13): rows-only; ADC recall/rerank pinned in VectorOpsSpec
@@ -212,6 +214,43 @@ object SparkEntry {
         "SELECT 1 AS iter, l || ' ' || r AS pair, cnt FROM m1 " +
         "UNION ALL SELECT 2, l || ' ' || r, cnt FROM m2 " +
         "UNION ALL SELECT 3, l || ' ' || r, cnt FROM m3"),
+    // BPE encode: replay the same 3-merge training (d33's CTE chain, with
+    // doc_id carried through), apply merge 3 too, then count tokens per
+    // document before and after — parity is the same string algebra
+    "d37_bpe_encode" ->
+      ("WITH s0 AS (SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE lower(trim(text)) <> ''), " +
+        "c1 AS (SELECT unnest([{'l': ws[i], 'r': ws[i+1]} for i in range(1, len(ws))]) AS u FROM (SELECT string_split(t, ' ') AS ws FROM s0) WHERE len(ws) >= 2), " +
+        "m1 AS (SELECT u.l AS l, u.r AS r, count(*) AS cnt FROM c1 GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1), " +
+        "s1 AS (SELECT doc_id, trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ', ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || '+' || m.r || ' '), '  ', ' ')) AS t FROM s0, m1 AS m), " +
+        "c2 AS (SELECT unnest([{'l': ws[i], 'r': ws[i+1]} for i in range(1, len(ws))]) AS u FROM (SELECT string_split(t, ' ') AS ws FROM s1) WHERE len(ws) >= 2), " +
+        "m2 AS (SELECT u.l AS l, u.r AS r, count(*) AS cnt FROM c2 GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1), " +
+        "s2 AS (SELECT doc_id, trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ', ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || '+' || m.r || ' '), '  ', ' ')) AS t FROM s1, m2 AS m), " +
+        "c3 AS (SELECT unnest([{'l': ws[i], 'r': ws[i+1]} for i in range(1, len(ws))]) AS u FROM (SELECT string_split(t, ' ') AS ws FROM s2) WHERE len(ws) >= 2), " +
+        "m3 AS (SELECT u.l AS l, u.r AS r, count(*) AS cnt FROM c3 GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1), " +
+        "s3 AS (SELECT doc_id, trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ', ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || '+' || m.r || ' '), '  ', ' ')) AS t FROM s2, m3 AS m) " +
+        "SELECT s0.doc_id, len(string_split(s0.t, ' ')) AS n_ws, len(string_split(s3.t, ' ')) AS n_bpe, " +
+        "len(string_split(s0.t, ' ')) - len(string_split(s3.t, ' ')) AS saved, " +
+        "(1000000 * len(string_split(s3.t, ' '))) // len(string_split(s0.t, ' ')) AS compress_ppm " +
+        "FROM s0 JOIN s3 USING (doc_id)"),
+    // PII redaction: the corpus has no PII (spec-asserted), so both
+    // engines plant the same doc_id-derived emails/phones/IPs, then
+    // scrub with patterns whose Java-regex and RE2 semantics coincide
+    // (char classes, bounded repetition, \b only); red_md5 pins the
+    // replacement bytes
+    "d38_pii_redact" ->
+      ("WITH p AS (SELECT doc_id, lower(trim(text)) || CASE doc_id % 4 " +
+        "WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now' " +
+        "WHEN 1 THEN ' call +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' " +
+        "WHEN 2 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) || ' logged' " +
+        "ELSE '' END AS t FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_email, " +
+        "CAST(len(regexp_extract_all(t, '\\+1 555-[0-9]{4}\\b')) AS BIGINT) AS n_phone, " +
+        "CAST(len(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ip, " +
+        "md5(regexp_replace(regexp_replace(regexp_replace(t, " +
+        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'), " +
+        "'\\+1 555-[0-9]{4}\\b', '<PHONE>', 'g')) AS red_md5 FROM p"),
     // rate-based mixture rebalance: the hash gate is exact integer ppm,
     // so the oracle reproduces the selection bit for bit
     "d29_lang_mixture" ->

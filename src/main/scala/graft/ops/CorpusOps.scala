@@ -934,15 +934,69 @@ object CorpusOps {
       else {
         val (l, r, cnt) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += ((i, l + " " + r, cnt))
-        state = state.select(trim(replace(
-          replace(
-            concat(lit(" "), replace(col("t"), lit(" "), lit("  ")), lit(" ")),
-            lit(" " + l + "  " + r + " "), lit(" " + l + "+" + r + " ")),
-          lit("  "), lit(" "))).as("t"))
+        state = state.select(bpeMergeApply(col("t"), l, r).as("t"))
         i += 1
       }
     }
     merges.result().toDF("iter", "pair", "cnt")
+  }
+
+  /** One greedy BPE merge (`l r` -> `l+r`) applied everywhere in a
+    * single-spaced token string — the boundary-doubling left-to-right
+    * non-overlapping replace documented at [[d33BpeTrain]], shared by
+    * training ([[bpeTrain]]) and encoding ([[bpeEncode]]) so the two
+    * are the same algebra by construction.
+    */
+  private def bpeMergeApply(t: Column, l: String, r: String): Column =
+    trim(replace(
+      replace(
+        concat(lit(" "), replace(t, lit(" "), lit("  ")), lit(" ")),
+        lit(" " + l + "  " + r + " "), lit(" " + l + "+" + r + " ")),
+      lit("  "), lit(" ")))
+
+  /** d37: BPE ENCODE — apply a trained merge table to the corpus, the
+    * deployment half of the tokenizer family (d30 counts one round's
+    * pairs, d33 trains the merge list, d37 tokenizes with it — the step
+    * that actually runs over all 100 TB when a tokenizer ships). Trains
+    * `iters` merges with [[bpeTrain]] (driver-side merge list, the same
+    * tiny k-row collect as Lloyd's), then re-applies them IN ORDER to
+    * every document and reports per-doc token accounting:
+    * `(doc_id, n_ws, n_bpe, saved, compress_ppm)` — whitespace tokens,
+    * post-merge tokens, merge applications landed in the doc, and the
+    * exact-ppm compression ratio.
+    *
+    * SCALE: the encode pass is ONE corpus scan with zero shuffle — the
+    * merge table is a driver constant folded into the per-row expression
+    * chain (k nested replaces), and every output column is a per-row
+    * projection. At a production vocabulary (30k+ merges) the expression
+    * chain would be replaced by a broadcast merge list applied in a
+    * batched `mapPartitions` loop (same order semantics, one pass per
+    * partition, no per-merge plan nodes); at gate size the declarative
+    * chain is exact and keeps the whole pass in codegen.
+    */
+  def d37BpeEncode(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = bpeTrain(docs, iters).collect()
+      .sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    bpeEncode(docs, merges)
+  }
+
+  /** Tokenize any `(doc_id, text)` corpus with an ordered BPE merge
+    * list — see [[d37BpeEncode]].
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+    val encoded = merges.foldLeft(col("t")) { (t, pair) =>
+      val Array(l, r) = pair.split(" ")
+      bpeMergeApply(t, l, r)
+    }
+    base.select(col("doc_id"),
+        size(split(col("t"), " ")).cast("long").as("n_ws"),
+        size(split(encoded, " ")).cast("long").as("n_bpe"))
+      .withColumn("saved", col("n_ws") - col("n_bpe"))
+      .withColumn("compress_ppm", expr("(1000000 * n_bpe) div n_ws"))
   }
 
   /** Language-MIXTURE rebalancing — the "data mixing" step of a
@@ -1045,4 +1099,63 @@ object CorpusOps {
         count(lit(1)).as("n_grams"))
       .select(col("doc_id"), col("span_begin"), col("span_end"), col("n_grams"))
   }
+
+  /** The three PII patterns [[redactPii]] scrubs, chosen to have
+    * IDENTICAL match semantics in Java regex (Spark) and RE2 (DuckDB):
+    * character classes, bounded counted repetition, `\b` word
+    * boundaries — no backreferences, no lookaround, no alternation
+    * whose greediness the two engines could resolve differently.
+    */
+  private[ops] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[ops] val IpRe    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[ops] val PhoneRe = "\\+1 555-[0-9]{4}\\b"
+
+  /** d38: PII REDACTION — scrub emails, phone numbers, and IPv4
+    * addresses from document text, the compliance pass every real
+    * training corpus runs before anything else touches it. The synthetic
+    * corpus contains no PII by construction (no digit and no `@` appears
+    * anywhere — spec-asserted), so the gate PLANTS deterministic PII
+    * derived from `doc_id` (doc_id % 4 selects an email, a phone, an IP,
+    * or nothing, appended to the text) — the same construction the
+    * DuckDB oracle replays, the d16 planted-twin precedent. The operator
+    * itself ([[redactPii]]) is generic over any `(doc_id, t)` input.
+    *
+    * Output: `(doc_id, n_email, n_phone, n_ip, red_md5)` — per-category
+    * match counts and the md5 of the redacted text, which pins the
+    * actual replacement bytes, not just the counts.
+    *
+    * SCALE: a pure row-local projection — zero shuffle, regexes compiled
+    * once per generated class instance inside codegen'd
+    * `RegExpReplace`/`RegExpCount`, the whole pass one codegen span. At
+    * 100 TB this is scan-bound, exactly as a compliance sweep should be.
+    */
+  def d38PiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val planted = docs.select(col("doc_id"),
+      concat(lower(trim(col("text"))),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@mail.example.com now")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit(" call +1 555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"), lit(" today")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit(" from 10."), pmod(col("doc_id"), lit(256)), lit("."),
+            pmod(col("doc_id") * 7, lit(256)), lit("."),
+            pmod(col("doc_id") * 13, lit(256)), lit(" logged")))
+        .otherwise(lit(""))).as("t"))
+    redactPii(planted)
+  }
+
+  /** Scrub [[EmailRe]]/[[IpRe]]/[[PhoneRe]] from any `(doc_id, t)`
+    * input — see [[d38PiiRedact]]. Redaction order: email, then IP,
+    * then phone (emails can contain digit runs; nothing a later pattern
+    * matches overlaps an earlier placeholder).
+    */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(col("t"), lit(PhoneRe)).cast("long").as("n_phone"),
+        regexp_count(col("t"), lit(IpRe)).cast("long").as("n_ip"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+          EmailRe, "<EMAIL>"), IpRe, "<IP>"), PhoneRe, "<PHONE>")).as("red_md5"))
 }

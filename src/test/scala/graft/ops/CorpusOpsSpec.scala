@@ -237,6 +237,83 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     merges(1) shouldBe ((2, "b+b c", 3L))
   }
 
+  test("d37 BPE encode: token accounting matches a hand-computed greedy application") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b b b b c"), // merges "b b" then "b+b c": a (b+b) (b+b)+c -> 6 ws tokens, 3 bpe
+      (2L, "x b b c y"),   // x (b+b)+c y -> 5 ws, 3 bpe
+      (3L, "q b b c q"),   // q (b+b)+c q -> 5 ws, 3 bpe
+      (4L, "b")            // single token, no pairs -> 1, 1
+    ).toDF("doc_id", "text")
+    val merges = CorpusOps.bpeTrain(docs, iters = 2)
+      .collect().sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    merges shouldBe Seq("b b", "b+b c")
+    val out = CorpusOps.bpeEncode(docs, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    out(1L) shouldBe ((6L, 3L, 3L, 500000L))
+    out(2L) shouldBe ((5L, 3L, 2L, 600000L))
+    out(3L) shouldBe ((5L, 3L, 2L, 600000L))
+    out(4L) shouldBe ((1L, 1L, 0L, 1000000L))
+  }
+
+  test("d37 on the fixture corpus: invariants hold and merges land") {
+    val rows = CorpusOps.d37BpeEncode(spark, sf001).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val (nWs, nBpe, saved, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nBpe >= 1 && nBpe <= nWs)
+      assert(saved == nWs - nBpe)
+      assert(ppm == 1000000L * nBpe / nWs)
+    }
+    // the trained merges must actually tokenize something in the corpus
+    assert(rows.map(_.getLong(3)).sum > 0, "no merge applications landed")
+  }
+
+  test("d38 PII redaction scrubs planted emails/phones/IPs and leaves clean text byte-identical") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at a.user+tag@sub.example.org thanks"),
+      (2L, "call +1 555-0199 or +1 555-0200 now"),
+      (3L, "hosts 192.168.0.1 and 10.0.0.255 up"),
+      (4L, "nothing sensitive here"),
+      (5L, "mixed bob@x.io from 127.0.0.1 call +1 555-1234 end")
+    ).toDF("doc_id", "t")
+    val out = CorpusOps.redactPii(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    out(1L)._1 shouldBe 1L
+    out(2L)._2 shouldBe 2L
+    out(3L)._3 shouldBe 2L
+    out(4L) shouldBe ((0L, 0L, 0L,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("nothing sensitive here".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString))
+    out(5L) shouldBe ((1L, 1L, 1L,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("mixed <EMAIL> from <IP> call <PHONE> end".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString))
+  }
+
+  test("d38 precondition: the corpus itself contains no digit and no @ (planting is the only PII)") {
+    val dirty = graft.Tables.documents(spark, sf001)
+      .filter(col("text").rlike("[0-9@]")).count()
+    dirty shouldBe 0L
+  }
+
+  test("d38 on the fixture corpus: every planted category is redacted, counts follow doc_id % 4") {
+    val rows = CorpusOps.d38PiiRedact(spark, sf001).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val (id, ne, np, ni) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val want = (id % 4) match {
+        case 0 => (1L, 0L, 0L)
+        case 1 => (0L, 1L, 0L)
+        case 2 => (0L, 0L, 1L)
+        case _ => (0L, 0L, 0L)
+      }
+      ((ne, np, ni)) shouldBe want
+    }
+  }
+
   test("d33 BPE training on the fixture corpus: counts are exact and iterations monotone in rank") {
     val merges = CorpusOps.d33BpeTrain(spark, sf001, iters = 3)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))

@@ -100,6 +100,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(!p.contains("Exchange"), s"split assignment is row-local and must not shuffle:\n$p")
   }
 
+  test("d37_bpe_encode's encode pass is a pure projection — zero exchanges") {
+    // training runs its own (bounded) aggregation jobs eagerly; the
+    // RETURNED plan is the 100 TB pass — per-row merge application and
+    // token accounting, which must not shuffle
+    val p = plan("d37_bpe_encode")
+    assert(!p.contains("Exchange"), s"BPE encoding is row-local and must not shuffle:\n$p")
+  }
+
   test("d24_embed_quantize is a pure projection — zero exchanges") {
     val p = plan("d24_embed_quantize")
     assert(!p.contains("Exchange"), s"quantization is row-local and must not shuffle:\n$p")
