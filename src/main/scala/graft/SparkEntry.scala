@@ -101,6 +101,8 @@ object SparkEntry {
     "s11_stream_dup_positions" -> (streaming.StreamingQueries.s11StreamDupPositions _),
     "s12_stream_neardup_seeded" -> (streaming.StreamingQueries.s12StreamNearDupSeeded _),
     "s13_stream_dup_seeded" -> (streaming.StreamingQueries.s13StreamDupSeeded _),
+    "s14_stream_ann_ingest" ->
+      ((s: SparkSession, dir: String) => streaming.StreamingQueries.s14StreamAnnIngest(s, dir)),
     // relational coverage (SURVEY.md §2D → Spark built-ins)
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_revenue_by_nation" -> (ops.RelationalOps.qRevenueByNation _),
@@ -390,6 +392,18 @@ object SparkEntry {
         "d1 AS (SELECT gh FROM g, cut WHERE doc_id < c GROUP BY gh HAVING count(*) >= 2), " +
         "t1 AS (SELECT g.doc_id, g.pos FROM g JOIN d1 USING (gh), cut WHERE g.doc_id < c) " +
         "SELECT doc_id, pos FROM allm EXCEPT SELECT doc_id, pos FROM t1"),
+    // streaming IVF ingest: the oracle replays the exact-integer coarse
+    // quantizer (d34's centroid CTEs), assigns every vector by the same
+    // (distance, cid) argmin, and aggregates cell occupancy — per-row
+    // assignment makes streaming == batch regardless of shard order
+    "s14_stream_ann_ingest" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), " +
+        "ex AS (SELECT label, unnest(range(1, len(v) + 1)) AS i, v FROM e), " +
+        "qz AS (SELECT label, i, sum(CAST(floor(v[i] * 1048576) AS BIGINT)) AS sq, count(*) AS n FROM ex GROUP BY 1, 2), " +
+        "cents AS (SELECT label AS cid, list(sq / (n * 1048576.0) ORDER BY i) AS cv FROM qz GROUP BY label), " +
+        "asg AS (SELECT vec_id, cid, list_sum([(v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, len(v) + 1)]) AS d FROM e, cents), " +
+        "pick AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM asg) " +
+        "SELECT cid AS cell, count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_sum FROM pick WHERE rn = 1 GROUP BY cell"),
     // streaming session_window == the batch gaps-and-islands sessions
     "s9_stream_session" ->
       "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_sess FROM events), s AS (SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g) SELECT user_id, min(ts) AS session_start, count(*) AS n_events FROM s GROUP BY user_id, sid",

@@ -448,6 +448,29 @@ object VectorOps {
     * semantics, bit-identical assignments (d21's DuckDB oracle pins this:
     * it reproduces training through this expression hash-exactly).
     */
+  /** The batch-trained coarse quantizer as a driver-side constant — the
+    * exact-integer per-label centroid table of [[d34AnnIvfProbes]],
+    * collected for reuse as a STATIC side in streaming ingest (s14): a
+    * vector store's coarse quantizer is trained in batch and held fixed
+    * while the stream assigns arrivals against it. k rows, one tiny
+    * aggregate job.
+    */
+  def exactLabelCentroids(spark: SparkSession, sfDir: String): Seq[(Int, Seq[Double])] =
+    labelCentroidsExact(embeddings(spark, sfDir)).collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+
+  /** Nearest-cell assignment over a literal centroid table as a pure
+    * per-row expression (see [[nearestCidLit]]) — public surface for the
+    * streaming ingest path; `vcol` must be `array<double>`.
+    */
+  def nearestCellExpr(centroids: Seq[(Int, Seq[Double])], vcol: Column): Column =
+    nearestCidLit(centroids, vcol)
+
+  /** `array<float>` -> `array<double>` cast used everywhere a raw
+    * embeddings scan feeds double-exact vector math.
+    */
+  def vecAsDouble(c: Column): Column = asDouble(c)
+
   private def nearestCidLit(centroids: Seq[(Int, Seq[Double])], vcol: Column = col("v")): Column = {
     val cents = typedlit(centroids.sortBy(_._1).map { case (cid, cv) => (cid, cv) })
     array_min(transform(cents, c =>

@@ -291,6 +291,61 @@ object StreamingQueries {
       d
     })
 
+  // embedding ingest is materialized once per (JVM, sfDir), like the
+  // corpus shards above
+  private val embedShardCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def embedShardDir(spark: SparkSession, sfDir: String): String =
+    embedShardCache.computeIfAbsent(sfDir, { _ =>
+      val d = Files.createTempDirectory("graft-embed-").toString + "/shards"
+      ShardedEmbeddings.materialize(spark, sfDir, d)
+      d
+    })
+
+  /** INCREMENTAL vector-store ingest — IVF index MAINTENANCE at ingest,
+    * completing the at-ingest family (s7 exact doc dedup, s8 near-dup,
+    * s10 contamination, s11 dup spans, s14 the ANN index): new embeddings
+    * arrive on a sharded stream and are assigned to their coarse-quantizer
+    * cell by the BATCH-TRAINED quantizer (`VectorOps.exactLabelCentroids`
+    * — exact-integer centroids, the d34 quantizer, held fixed during
+    * ingest exactly as a deployed IVF index holds its cells fixed between
+    * retrains). Output: per-cell occupancy `(cell, n, id_sum)` — the
+    * id_sum checksum pins WHICH vectors landed in each cell, not just how
+    * many. Assignment is per-row math against a literal centroid table, so
+    * emissions are shard-interleaving-independent and streaming == batch:
+    * the oracle replays training + assignment + occupancy in SQL.
+    *
+    * SCALE: the stream side is stateless per-row assignment (zero
+    * shuffle before the aggregation — no join, the k×dim quantizer rides
+    * the expression tree); aggregation state is O(k cells), nothing
+    * else. This is the shape that lets a 1000-executor ingest keep a
+    * 100 TB IVF index's cell directory current between nightly retrains;
+    * cell-occupancy skew read off this query is also the re-balancing
+    * signal a real index uses to decide WHEN to retrain.
+    */
+  def s14StreamAnnIngest(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+    val shardDir = embedShardDir(spark, sfDir)
+    val cents = graft.ops.VectorOps.exactLabelCentroids(spark, sfDir)
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
+    val q = ShardedEmbeddings.readStream(spark, shardDir, maxFilesPerTrigger)
+      .select(col("vec_id"),
+        graft.ops.VectorOps.vecAsDouble(col("embedding")).as("v"))
+      .withColumn("cell", graft.ops.VectorOps.nearestCellExpr(cents, col("v")))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_sum"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
+
   /** INCREMENTAL corpus dedup — `ops.CorpusOps.d1ExactDedup`'s fingerprint
     * running at ingest: documents arrive on a sharded stream, each
     * micro-batch fingerprints its documents (d1's md5-of-sorted-word-set,

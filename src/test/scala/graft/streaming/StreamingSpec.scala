@@ -1466,6 +1466,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming IVF ingest assigns arrivals into the fixed batch-trained cells (1-file triggers)") {
+    // one shard file per micro-batch: the complete-mode occupancy table
+    // must still converge to the batch assignment regardless of how the
+    // arrivals interleave, because the quantizer is FIXED during ingest
+    val streamed = StreamingQueries
+      .s14StreamAnnIngest(spark, sf001, maxFilesPerTrigger = Some(1))
+    val cents = graft.ops.VectorOps.exactLabelCentroids(spark, sf001)
+    val batch = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"),
+        graft.ops.VectorOps.vecAsDouble(col("embedding")).as("v"))
+      .withColumn("cell", graft.ops.VectorOps.nearestCellExpr(cents, col("v")))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_sum"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // every vector landed somewhere: occupancy sums to the corpus size
+    val total = streamed.agg(sum(col("n"))).collect().head.getLong(0)
+    total shouldBe graft.Tables.embeddings(spark, sf001).count()
+  }
+
   test("incremental dup-span marking emits the first occurrence RETROACTIVELY across micro-batches") {
     // 1-file triggers: a window shared by docs in different shards has
     // its first sighting stored in state for whole batches before the
