@@ -1151,6 +1151,34 @@ object CorpusOps {
     * then phone (emails can contain digit runs; nothing a later pattern
     * matches overlaps an earlier placeholder).
     */
+  /** Corpus EXPORT layout — the write path that hands a prepared corpus
+    * to training: hive-partitioned by `lang` (the column every
+    * downstream mixture/curriculum job filters on), RANGE-partitioned by
+    * `(lang, doc_id)` within, and size-bounded via `maxRecordsPerFile`.
+    * The range exchange gives every parquet file a doc_id interval
+    * DISJOINT from its siblings in the same lang (spec-pinned), so a
+    * reader's `doc_id BETWEEN ...` predicate prunes whole files from
+    * row-group statistics — at 100 TB, file-level pruning is the
+    * difference between listing a directory and scanning it. Files are
+    * internally sorted, so any per-doc merge downstream is a streamed
+    * merge, not a re-sort.
+    *
+    * SCALE: `repartitionByRange` samples the key distribution (no
+    * global sort on the driver, no single-partition funnel);
+    * `maxRecordsPerFile` splits a writer task's output sequentially, so
+    * file size is bounded WITHOUT a second shuffle. The lang partition
+    * count times range partitions bounds the small-file count — the two
+    * knobs a real export tunes together.
+    */
+  def writeCorpusShards(docs: DataFrame, outDir: String, maxRecordsPerFile: Int,
+      rangePartitions: Int = 8): Unit =
+    docs.repartitionByRange(rangePartitions, col("lang"), col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("doc_id"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("lang")
+      .parquet(outDir)
+
   def redactPii(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_email"),
