@@ -56,6 +56,8 @@ object SparkEntry {
     "d33_bpe_train" -> ((s: SparkSession, dir: String) => ops.CorpusOps.d33BpeTrain(s, dir)),
     "d37_bpe_encode" -> ((s: SparkSession, dir: String) => ops.CorpusOps.d37BpeEncode(s, dir)),
     "d38_pii_redact" -> (ops.CorpusOps.d38PiiRedact _),
+    "d39_token_budget" -> (ops.CorpusOps.d39TokenBudget _),
+    "d40_epoch_mix" -> (ops.CorpusOps.d40EpochMix _),
     "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
     // no oracleSql (iterative per-subspace codebook training, same status
     // as d13): rows-only; ADC recall/rerank pinned in VectorOpsSpec
@@ -196,6 +198,22 @@ object SparkEntry {
     // ntile is deterministic in both engines
     "d32_quality_deciles" ->
       "WITH t AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws FROM documents), c AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n, CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) AS BIGINT) AS s, CAST(list_sum([len(w) for w in ws]) AS BIGINT) AS l FROM t), q AS (SELECT doc_id, lang, (1000000 * (8 * n * least(n, 100) + 600 * (n - s) + 75 * least(8 * n, l))) // (2000 * n) AS q_ppm FROM c) SELECT doc_id, lang, q_ppm / 1000000.0 AS quality, CAST(ntile(10) OVER (PARTITION BY lang ORDER BY q_ppm, doc_id) AS BIGINT) AS decile FROM q",
+    // the oracle's single global window over (q_ppm DESC, doc_id) proves
+    // Spark's quality-bucket prefix-sum decomposition exact; strict
+    // cum_before < budget is the greedy-prefix selection rule
+    "d39_token_budget" ->
+      ("WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+        "c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n, CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) AS BIGINT) AS s, CAST(list_sum([len(w) for w in ws]) AS BIGINT) AS l FROM t), " +
+        "q AS (SELECT doc_id, n AS n_tokens, (1000000 * (8 * n * least(n, 100) + 600 * (n - s) + 75 * least(8 * n, l))) // (2000 * n) AS q_ppm FROM c), " +
+        "r AS (SELECT doc_id, n_tokens, q_ppm, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY q_ppm DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM q) " +
+        "SELECT doc_id, n_tokens, q_ppm / 1000000.0 AS quality, cum_before FROM r WHERE cum_before < 10000"),
+    // epochs(lang) = min(4, ceil(max_docs / n_docs)) in exact integer
+    // arithmetic; generate_series(1, n) is inclusive like Spark's
+    // sequence(1, n)
+    "d40_epoch_mix" ->
+      ("WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), " +
+        "e AS (SELECT lang, least(4, (max(n_docs) OVER () + n_docs - 1) // n_docs) AS epochs FROM c) " +
+        "SELECT d.doc_id, d.lang, CAST(u.epoch AS BIGINT) AS epoch FROM documents d JOIN e USING (lang), LATERAL unnest(generate_series(1, e.epochs)) AS u(epoch)"),
     // top-k boundary ties broken by pair text on both engines
     "d30_bpe_pairs" ->
       "WITH w AS (SELECT string_split(lower(trim(text)), ' ') AS ws FROM documents), p AS (SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS pair FROM w WHERE len(ws) >= 2) SELECT pair, count(*) AS cnt FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20",

@@ -1186,4 +1186,102 @@ object CorpusOps {
         regexp_count(col("t"), lit(IpRe)).cast("long").as("n_ip"),
         md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
           EmailRe, "<EMAIL>"), IpRe, "<IP>"), PhoneRe, "<PHONE>")).as("red_md5"))
+
+  /** Token budget for [[d39TokenBudget]] — the corpus-selection cap. */
+  private[graft] val TokenBudget = 10000L
+
+  /** Width of one [[d39TokenBudget]] quality bucket in ppm: q_ppm is in
+    * [0, 10^6], so `q_ppm div 125000` yields 9 buckets (0..8) that are
+    * MONOTONE in the score — ordering by (bucket desc, q_ppm desc,
+    * doc_id) IS ordering by (q_ppm desc, doc_id), which is what lets
+    * the cumulative sum decompose across buckets.
+    */
+  private val BudgetBucketPpm = 125000L
+
+  /** Token-budget corpus selection: the "take the best documents until
+    * the token budget is full" step of curriculum/budgeted pre-training
+    * (quality-ranked greedy selection). Documents are ordered by the
+    * exact-ppm d11 quality DESCENDING (doc_id breaks exact ties); a
+    * document is selected iff the tokens accumulated STRICTLY BEFORE it
+    * are under [[TokenBudget]] — so the budget is filled and the last
+    * selected document may straddle the cap, the standard greedy-prefix
+    * convention. Output: (doc_id, n_tokens, quality, cum_before), all
+    * selection inputs exact int64.
+    *
+    * SCALE: the naive form is a cumulative sum over ONE global ordering
+    * — a single-partition window, the d27 scale-killer. Same cure as
+    * d27, but with a twist: the packing order there was hash-major, so
+    * any hash prefix worked; here the order is a VALUE (quality), so
+    * the parallel unit must be a monotone range of the score —
+    * [[BudgetBucketPpm]]-wide quality buckets. Each bucket cumsums its
+    * own rows in parallel, the 9 bucket totals prefix-sum on one tiny
+    * partition, and a broadcast join re-adds the offsets: one shuffle,
+    * no global sort. The selection filter itself cannot push below the
+    * window (it depends on the sum), but everything it reads is already
+    * column-pruned to 3 int64s/row. The DuckDB oracle runs the single
+    * global window over the identical order and matches bit for bit,
+    * proving the bucket decomposition exact.
+    */
+  def d39TokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"),
+        expr(QualityPpmSql).as("q_ppm"))
+      .withColumn("b", expr(s"q_ppm div $BudgetBucketPpm"))
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("q_ppm").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val local = base.withColumn("local_before",
+      coalesce(sum(col("n_tokens")).over(localW), lit(0L)))
+    val prefW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("b").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val prefix = base.groupBy(col("b"))
+      .agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("prefix", coalesce(sum(col("btot")).over(prefW), lit(0L)))
+      .select(col("b"), col("prefix"))
+    local.join(broadcast(prefix), Seq("b"))
+      .withColumn("cum_before", col("prefix") + col("local_before"))
+      .filter(col("cum_before") < TokenBudget)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("q_ppm") / lit(1000000.0)).as("quality"), col("cum_before"))
+  }
+
+  /** Epoch cap for [[d40EpochMix]] — no language repeats more than this. */
+  private[graft] val MaxEpochs = 4L
+
+  /** Domain-mixing upsampling: the static mix-rebalance step of
+    * multilingual pre-training (each under-represented language is
+    * repeated toward the size of the largest, capped at [[MaxEpochs]]
+    * epochs — the "don't repeat data more than ~4 times" rule). Epoch
+    * counts are pure integer arithmetic over the per-language doc
+    * counts: epochs(lang) = min(MaxEpochs, ceil(max_docs / n_docs)).
+    * Output: one (doc_id, lang, epoch) row per scheduled repetition —
+    * the materialized sampling plan a training loader consumes.
+    *
+    * SCALE: per-language counts are one map-side-combined aggregate
+    * (O(langs) rows); the window max over that tiny relation is a
+    * single partition of ~langs rows (NOT document rows — the d32
+    * caveat does not apply); the epochs table broadcasts back and the
+    * explode is a pipelined Generate — no shuffle touches document
+    * rows beyond the count. Upsampling by explode (not by re-reading)
+    * keeps the plan one scan; a real loader would read the plan, not
+    * materialize copies.
+    */
+  def d40EpochMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxW = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val eps = Tables.documents(spark, sfDir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("max_docs", max(col("n_docs")).over(maxW))
+      .withColumn("epochs",
+        least(lit(MaxEpochs), expr("(max_docs + n_docs - 1) div n_docs")))
+      .select(col("lang"), col("epochs"))
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+      .join(broadcast(eps), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr("sequence(1L, epochs)")).as("epoch"))
+  }
 }

@@ -314,6 +314,72 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("d39 token budget equals the naive single-window greedy prefix") {
+    import spark.implicits._
+    // naive truth: ONE global window over (quality desc, doc_id) — the
+    // single-partition form d39's bucket decomposition must reproduce
+    val naiveW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val truth = CorpusOps.d11Quality(spark, sf001)
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(naiveW), lit(0L)))
+      .filter(col("cum_before") < CorpusOps.TokenBudget)
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"))
+      .as[(Long, Long, Long)].collect().toSet
+    val got = CorpusOps.d39TokenBudget(spark, sf001)
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"))
+      .as[(Long, Long, Long)].collect().toSet
+    got shouldBe truth
+    assert(got.nonEmpty)
+  }
+
+  test("d39 selection is a maximal greedy prefix of the budget") {
+    val rows = CorpusOps.d39TokenBudget(spark, sf001).collect()
+    // every selected doc started under the budget
+    rows.foreach(r => assert(r.getAs[Long]("cum_before") < CorpusOps.TokenBudget))
+    // the selection FILLS the budget: the furthest doc's span crosses or
+    // meets it (otherwise another doc would fit, contradicting maximality
+    // — unless the whole corpus fit)
+    val n = graft.Tables.documents(spark, sf001).count()
+    val last = rows.maxBy(_.getAs[Long]("cum_before"))
+    if (rows.length < n)
+      assert(last.getAs[Long]("cum_before") + last.getAs[Long]("n_tokens") >= CorpusOps.TokenBudget)
+    // selected docs dominate the unselected on quality: min selected
+    // quality >= any unselected doc's would-be insertion point is implied
+    // by the prefix property already checked against the naive window
+  }
+
+  test("d40 epoch mix: caps, the largest language, and exact cardinality") {
+    import spark.implicits._
+    val mix = CorpusOps.d40EpochMix(spark, sf001)
+    val perLang = mix.groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("docs"), count(lit(1)).as("rows"),
+        max(col("epoch")).as("k"), min(col("epoch")).as("kmin"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    val counts = graft.Tables.documents(spark, sf001)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val maxDocs = counts.values.max
+    perLang.foreach { case (lang, docs, rows, k, kmin) =>
+      assert(kmin == 1L, s"$lang: epochs must start at 1")
+      assert(k >= 1L && k <= CorpusOps.MaxEpochs, s"$lang: epoch cap violated")
+      assert(docs == counts(lang), s"$lang: every doc must be scheduled")
+      assert(rows == docs * k, s"$lang: rows must be docs x epochs")
+      val expectK = math.min(CorpusOps.MaxEpochs, (maxDocs + counts(lang) - 1) / counts(lang))
+      assert(k == expectK, s"$lang: epochs=$k, expected $expectK")
+    }
+    // the largest language is never upsampled
+    val biggest = counts.maxBy(_._2)._1
+    assert(perLang.find(_._1 == biggest).get._4 == 1L)
+    // each doc gets the contiguous epoch set 1..k (no gaps, no dups)
+    val bad = mix.groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("c"), max(col("epoch")).as("mx"),
+        countDistinct(col("epoch")).as("d"))
+      .filter(col("c") =!= col("d") || col("mx") =!= col("c"))
+      .count()
+    assert(bad == 0L)
+  }
+
   test("d33 BPE training on the fixture corpus: counts are exact and iterations monotone in rank") {
     val merges = CorpusOps.d33BpeTrain(spark, sf001, iters = 3)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
