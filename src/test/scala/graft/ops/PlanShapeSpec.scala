@@ -197,4 +197,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(p.contains("WindowGroupLimit"), p)
     p.sliding("Exchange hashpartitioning".length).count(_ == "Exchange hashpartitioning") should be <= 2
   }
+
+  test("d39_token_budget: no global sort; documents window is bucket-partitioned; only the 9-row prefix single-partitions") {
+    val p = plan("d39_token_budget")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort leaked into the cumsum:\n$p")
+    // the document-row window must be PARTITIONED by the quality bucket
+    assert("windowspecdefinition\\(b#\\d+L, q_ppm#\\d+L DESC".r.findFirstIn(p).isDefined,
+      s"document cumsum must partition by the quality bucket:\n$p")
+    // exactly one single-partition exchange — the O(buckets)-row prefix,
+    // never document rows
+    assert("Exchange SinglePartition".r.findAllIn(p).length == 1,
+      s"only the bucket-totals prefix may single-partition:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the 9-row prefix table must broadcast:\n$p")
+  }
+
+  test("d40_epoch_mix: one tiny aggregate, broadcast epochs, pipelined explode, 2-column scan") {
+    val p = plan("d40_epoch_mix")
+    assert(p.contains("BroadcastHashJoin"), s"the O(langs) epochs table must broadcast:\n$p")
+    assert(p.contains("Generate explode"), s"upsampling must be a pipelined Generate:\n$p")
+    // the single-partition exchange is the O(langs) window max, and the
+    // document scan reads only (doc_id, lang) — never text
+    assert("Exchange SinglePartition".r.findAllIn(p).length == 1, p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"document scan must prune to (doc_id, lang):\n$p")
+  }
 }
