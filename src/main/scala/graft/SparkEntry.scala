@@ -58,6 +58,7 @@ object SparkEntry {
     "d38_pii_redact" -> (ops.CorpusOps.d38PiiRedact _),
     "d39_token_budget" -> (ops.CorpusOps.d39TokenBudget _),
     "d40_epoch_mix" -> (ops.CorpusOps.d40EpochMix _),
+    "d41_soft_dedup" -> (ops.CorpusOps.d41SoftDedup _),
     "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
     // no oracleSql (iterative per-subspace codebook training, same status
     // as d13): rows-only; ADC recall/rerank pinned in VectorOpsSpec
@@ -214,6 +215,16 @@ object SparkEntry {
       ("WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), " +
         "e AS (SELECT lang, least(4, (max(n_docs) OVER () + n_docs - 1) // n_docs) AS epochs FROM c) " +
         "SELECT d.doc_id, d.lang, CAST(u.epoch AS BIGINT) AS epoch FROM documents d JOIN e USING (lang), LATERAL unnest(generate_series(1, e.epochs)) AS u(epoch)"),
+    // dup_count from d1's fingerprint; the keep decision is a
+    // deterministic salted-hash Bernoulli draw against q_ppm div
+    // dup_count — all exact int64, so the surviving set is hash-exact
+    "d41_soft_dedup" ->
+      ("WITH f AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp, string_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+        "c AS (SELECT doc_id, fp, CAST(len(ws) AS BIGINT) AS n, CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) AS BIGINT) AS s, CAST(list_sum([len(w) for w in ws]) AS BIGINT) AS l FROM f), " +
+        "q AS (SELECT doc_id, fp, (1000000 * (8 * n * least(n, 100) + 600 * (n - s) + 75 * least(8 * n, l))) // (2000 * n) AS q_ppm FROM c), " +
+        "g AS (SELECT doc_id, q_ppm, CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS dup_count FROM q) " +
+        "SELECT doc_id, dup_count, q_ppm // dup_count AS score_ppm FROM g " +
+        "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':soft'), 1, 15)) AS BIGINT) % 1000000 < q_ppm // dup_count"),
     // top-k boundary ties broken by pair text on both engines
     "d30_bpe_pairs" ->
       "WITH w AS (SELECT string_split(lower(trim(text)), ' ') AS ws FROM documents), p AS (SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS pair FROM w WHERE len(ws) >= 2) SELECT pair, count(*) AS cnt FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20",

@@ -1247,6 +1247,40 @@ object CorpusOps {
         (col("q_ppm") / lit(1000000.0)).as("quality"), col("cum_before"))
   }
 
+  /** Soft dedup: dedup-AWARE weighted subsampling, the alternative to
+    * hard-dropping duplicates that real curation pipelines prefer when
+    * duplication itself carries signal (a document repeated across
+    * sources is often GOOD — it just must not dominate). Each document
+    * gets a sampling score score_ppm = q_ppm div dup_count (its exact
+    * d11 quality, split evenly across its exact-dup group, so every
+    * unique TEXT contributes ~its quality worth of expected mass no
+    * matter how often it was crawled) and survives iff an independent
+    * deterministic per-doc hash draw lands under the score — a
+    * reproducible Bernoulli(score) thinning, where `rand()` could never
+    * give the same corpus twice. Output: the surviving documents with
+    * their group size and score.
+    *
+    * SCALE: dup_count rides d1's single-shuffle window over the 32-byte
+    * [[fingerprint]] (only fp + doc_id shuffle — never text); quality,
+    * the draw, and the keep decision are per-row expressions on top, so
+    * the whole operator is ONE shuffle end to end and the filter is a
+    * pipelined projection after the window — no second pass, no join.
+    */
+  def d41SoftDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val draw = pmod(conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":soft"))), 1, 15), 16, 10).cast("long"),
+      lit(1000000L))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        expr(QualityPpmSql).as("q_ppm"))
+      .select(col("doc_id"), col("q_ppm"),
+        count(lit(1)).over(w).as("dup_count"))
+      .withColumn("score_ppm", expr("q_ppm div dup_count"))
+      .filter(draw < col("score_ppm"))
+      .select(col("doc_id"), col("dup_count"), col("score_ppm"))
+  }
+
   /** Epoch cap for [[d40EpochMix]] — no language repeats more than this. */
   private[graft] val MaxEpochs = 4L
 

@@ -380,6 +380,34 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(bad == 0L)
   }
 
+  test("d41 soft dedup equals a naive groupBy-join recompute and actually thins") {
+    import spark.implicits._
+    // independent truth: dup_count via groupBy + join-back (vs the
+    // operator's single-shuffle window), same quality/draw algebra
+    val base = CorpusOps.d11Quality(spark, sf001)
+      .withColumn("q_ppm", round(col("quality") * 1000000.0).cast("long"))
+      .join(graft.Tables.documents(spark, sf001)
+        .select(col("doc_id"), CorpusOps.fingerprint(col("text")).as("fp")), Seq("doc_id"))
+    val groups = base.groupBy("fp").agg(count(lit(1)).as("dc"))
+    val draw = pmod(conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":soft"))), 1, 15), 16, 10).cast("long"),
+      lit(1000000L))
+    val truth = base.join(groups, Seq("fp"))
+      .withColumn("score_ppm", expr("q_ppm div dc"))
+      .filter(draw < col("score_ppm"))
+      .select(col("doc_id"), col("dc").as("dup_count"), col("score_ppm"))
+      .as[(Long, Long, Long)].collect().toSet
+    val got = CorpusOps.d41SoftDedup(spark, sf001)
+      .as[(Long, Long, Long)].collect().toSet
+    got shouldBe truth
+    // the draw actually thins the corpus, but keeps most of it (quality
+    // ppm is high; dup groups are rare)
+    val n = graft.Tables.documents(spark, sf001).count()
+    assert(got.nonEmpty && got.size < n)
+    // every dup-group member's score is its quality split across the group
+    got.foreach { case (_, dc, score) => assert(dc >= 1L && score <= 1000000L / dc) }
+  }
+
   test("d33 BPE training on the fixture corpus: counts are exact and iterations monotone in rank") {
     val merges = CorpusOps.d33BpeTrain(spark, sf001, iters = 3)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
