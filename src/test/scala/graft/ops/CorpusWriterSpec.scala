@@ -62,4 +62,37 @@ class CorpusWriterSpec extends AnyFunSuite with SparkSpec with Matchers {
       s"$total rows in $nFiles files under cap $MaxPerFile")
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
+
+  test("a point read on the export prunes to one lang partition and pushes the doc_id range") {
+    val out = java.nio.file.Files.createTempDirectory("graft-export-").toString + "/pruned"
+    val docs = graft.Tables.documents(spark, sf001)
+    CorpusOps.writeCorpusShards(docs, out, MaxPerFile)
+    val all = spark.read.parquet(out)
+    val totalFiles = all.select(input_file_name()).distinct().count()
+
+    val q = all.filter(col("lang") === "en" && col("doc_id").between(100L, 120L))
+    q.collect() // materialize so scan metrics are populated
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in the read plan"))
+
+    // lang is a hive partition column: it must prune DIRECTORIES, not filter rows
+    assert(scan.toString.contains("PartitionFilters"), scan.toString)
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(scan.toString).isDefined,
+      s"lang predicate must be a partition filter:\n$scan")
+    // the doc_id range must reach the parquet reader (row-group/page skip
+    // via the min/max stats the disjoint layout guarantees)
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(doc_id".r
+      .findFirstIn(scan.toString).isDefined, s"doc_id range not pushed:\n$scan")
+    // the scan listed ONLY lang=en files — fewer than the export total
+    val scanned = scan.metrics("numFiles").value
+    val enFiles = all.filter(col("lang") === "en")
+      .select(input_file_name()).distinct().count()
+    assert(scanned == enFiles && scanned < totalFiles,
+      s"scan listed $scanned files; lang=en holds $enFiles of $totalFiles")
+
+    // and the answer matches the unpruned path
+    val truth = docs.filter(col("lang") === "en" && col("doc_id").between(100L, 120L)).count()
+    assert(q.count() == truth)
+  }
 }
