@@ -1222,12 +1222,24 @@ object CorpusOps {
     * global window over the identical order and matches bit for bit,
     * proving the bucket decomposition exact.
     */
-  def d39TokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        size(words(col("text"))).cast("long").as("n_tokens"),
-        expr(QualityPpmSql).as("q_ppm"))
-      .withColumn("b", expr(s"q_ppm div $BudgetBucketPpm"))
+  def d39TokenBudget(spark: SparkSession, sfDir: String): DataFrame =
+    tokenBudgetOver(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          size(words(col("text"))).cast("long").as("n_tokens"),
+          expr(QualityPpmSql).as("q_ppm")),
+      TokenBudget)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("q_ppm") / lit(1000000.0)).as("quality"), col("cum_before"))
+
+  /** The bucket-decomposed greedy-prefix selection behind
+    * [[d39TokenBudget]], over any (doc_id, n_tokens, q_ppm) relation —
+    * factored out so the property suite can drive it with adversarial
+    * score/tie distributions (all-one-bucket, bucket-boundary ties,
+    * empty buckets) against the naive global window.
+    */
+  private[graft] def tokenBudgetOver(base0: DataFrame, budget: Long): DataFrame = {
+    val base = base0.withColumn("b", expr(s"q_ppm div $BudgetBucketPpm"))
     val localW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("b")).orderBy(col("q_ppm").desc, col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -1242,9 +1254,8 @@ object CorpusOps {
       .select(col("b"), col("prefix"))
     local.join(broadcast(prefix), Seq("b"))
       .withColumn("cum_before", col("prefix") + col("local_before"))
-      .filter(col("cum_before") < TokenBudget)
-      .select(col("doc_id"), col("n_tokens"),
-        (col("q_ppm") / lit(1000000.0)).as("quality"), col("cum_before"))
+      .filter(col("cum_before") < budget)
+      .select(col("doc_id"), col("n_tokens"), col("q_ppm"), col("cum_before"))
   }
 
   /** Soft dedup: dedup-AWARE weighted subsampling, the alternative to
