@@ -171,6 +171,56 @@ object Bench {
   private final case class Measure(sec: Double, cpuSec: Double, gcSec: Double,
       spin: Spin, stealSec: Double)
 
+  /** A query failure tagged with the query's name so the failure artifact
+    * can say WHICH query broke (the r9 driver artifact could not: the raw
+    * analyzer stack blew past the driver's tail-capture window and the
+    * root message was lost).
+    */
+  private final class QueryFailed(val query: String, cause: Throwable)
+    extends RuntimeException(cause)
+
+  private[graft] def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** A broken query must still fail the bench loudly (rc != 0 — a failed
+    * round must never parse as a clean measurement), but the artifact has
+    * to be SELF-DIAGNOSING: one concise JSON line naming the failing query
+    * and the ROOT exception message, printed LAST so it survives the
+    * driver's bounded tail capture, and persisted to bench_last.json. The
+    * raw rethrow it replaces dumped a 40-frame analyzer stack whose tail
+    * contained no query name and no message.
+    */
+  /** The failure artifact's one JSON line: query name + ROOT exception
+    * class + message (cause chain unwound, message bounded so the line
+    * always fits a tail window).
+    */
+  private[graft] def failureJson(sfDir: String, query: String, e: Throwable): String = {
+    var root: Throwable = e
+    while (root.getCause != null && root.getCause != root) root = root.getCause
+    val msg = Option(root.getMessage).getOrElse("").take(600)
+    s"""{"metric":"total","value":-1,"unit":"sec","sf":"${jsonEscape(sfDir)}"""" +
+      s""","error":{"query":"${jsonEscape(query)}"""" +
+      s""","exception":"${jsonEscape(root.getClass.getName)}"""" +
+      s""","message":"${jsonEscape(msg)}"}}"""
+  }
+
+  private def emitFailureAndExit(lastJson: java.nio.file.Path, sfDir: String,
+      qf: QueryFailed): Nothing = {
+    val json = failureJson(sfDir, qf.query, qf.getCause)
+    java.nio.file.Files.createDirectories(lastJson.getParent)
+    java.nio.file.Files.write(lastJson, json.getBytes("UTF-8"))
+    System.err.println(s"[bench] FAILED query=${qf.query}")
+    println(json) // last stdout line -> inside any tail window
+    sys.exit(1)
+  }
+
   def main(args: Array[String]): Unit = {
     // clear any previous run's persisted result FIRST — before anything
     // that can fail (including SparkSession construction): a failed run
@@ -192,7 +242,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS); see graft.Tables.events.
+      // events.ts was TIMESTAMP(NANOS) in older testdata generations (harmless
+      // for the current micros schema); graft.Tables.events normalizes either.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
@@ -202,9 +253,7 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] query $name FAILED: $e")
-          throw e
+        case e: Throwable => throw new QueryFailed(name, e)
       }
 
     // Scrub cross-query residue (see scaladoc): evict every state-store
@@ -219,6 +268,7 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    try {
     names.foreach { n => runOnce(n); scrub() } // warm-up
     // min of 2 measured passes: suppresses one-off GC/IO noise without
     // hiding real cost (each pass still executes the full plan).
@@ -301,6 +351,7 @@ object Bench {
     // push the metric line out of its window (r6's artifact had parsed:null).
     java.nio.file.Files.createDirectories(lastJson.getParent)
     java.nio.file.Files.write(lastJson, json.getBytes("UTF-8"))
+    } catch { case qf: QueryFailed => emitFailureAndExit(lastJson, sfDir, qf) }
     spark.stop()
   }
 }

@@ -14,17 +14,33 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default (PARQUET_TYPE_ILLEGAL). Sessions embedding this library must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` at build time (all of
-    * Bench/Verify/SparkSpec do); the nanos long is then converted to a
-    * microsecond TimestampType with integer division (no double round-trip —
-    * epoch-nanos exceed 2^53). Loaders never mutate shared session config.
+  /** `events.ts` has shipped as two physical types across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark 4 rejects unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, surfacing the column as a
+    * nanos LongType — and plain TIMESTAMP(MICROS), which reads natively as
+    * TimestampType. This loader is the single normalization point: it
+    * inspects the scanned schema and converts only when needed, so every
+    * downstream operator sees a microsecond TimestampType either way. The
+    * nanos path uses integer division (no double round-trip — epoch-nanos
+    * exceed 2^53). Loaders never mutate shared session config.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    table(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case TimestampNTZType =>
+        // naive micros (isAdjustedToUTC=false): every session in this
+        // library runs at UTC, so the NTZ->TZ cast is instant-preserving
+        // and matches how the DuckDB oracle reads the same file
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected physical type $other (want nanos-long or timestamp)")
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

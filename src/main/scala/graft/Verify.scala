@@ -12,7 +12,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS); see graft.Tables.events.
+      // events.ts was TIMESTAMP(NANOS) in older testdata generations (harmless
+      // for the current micros schema); graft.Tables.events normalizes either.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
@@ -21,11 +22,20 @@ object Verify {
     // coalesce(1) is HARNESS-ONLY (single comparable file for the DuckDB
     // compare); it single-tasks the final write and must never leak into
     // operator code.
+    // Failed queries are RECORDED, not just logged: r9's testdata schema
+    // change silently dropped 18 queries from the round's correctness
+    // artifact because a failure left only a stderr line nothing captured.
+    // _failures.json in the outDir makes the gap self-diagnosing.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        var root: Throwable = e
+        while (root.getCause != null && root.getCause != root) root = root.getCause
+        val msg = s"${root.getClass.getName}: ${Option(root.getMessage).getOrElse("").take(600)}"
+        System.err.println(s"[verify] $name failed: $msg")
+        failures(name) = msg
       }
       // iterative ops persist within their execution; drop leftovers so
       // the 60+-query sweep's memory footprint stays bounded
@@ -46,6 +56,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
+    // rc stays 0 on partial failure: the driver must still compare (and
+    // record) the queries that DID dump — _failures.json carries the gap.
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -99,6 +99,29 @@ class BenchTelemetrySpec extends AnyFunSuite with Matchers {
       queryStealSec = 0.1, runMinSpinMs = 15.0))
   }
 
+  // ---- failure artifact (the r9 gap: a failed run's artifact carried
+  // only truncated analyzer stack frames — no query name, no message)
+
+  test("failure artifact: one JSON line naming the query and the ROOT exception") {
+    val root = new IllegalStateException("col \"ts\" not found\n\tin schema")
+    val wrapped = new RuntimeException(new RuntimeException(root))
+    val json = Bench.failureJson("/data/sf0.1", "c2_filter", wrapped)
+    json should include(""""query":"c2_filter"""")
+    json should include(""""exception":"java.lang.IllegalStateException"""")
+    // message survives with control chars escaped (the line must stay ONE
+    // line or the driver's tail window can cut it mid-diagnosis)
+    json should include("""col \"ts\" not found\n\tin schema""")
+    json shouldNot include("\n")
+    json should include(""""value":-1""")
+  }
+
+  test("failure artifact: null message and oversized message are bounded") {
+    val json = Bench.failureJson("/d", "q", new RuntimeException(null: String))
+    json should include(""""message":""""")
+    val big = Bench.failureJson("/d", "q", new RuntimeException("x" * 10000))
+    assert(big.length < 1500) // fits any sane tail window
+  }
+
   test("steal parse: /proc/stat aggregate-cpu line, jiffies to seconds") {
     // cpu user nice system idle iowait irq softirq STEAL guest guest_nice
     Bench.parseStealSec("cpu  3378047 0 1916229 130463598 40238 0 31882 566726 0 0") shouldBe

@@ -23,7 +23,8 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS); see graft.Tables.events.
+      // events.ts was TIMESTAMP(NANOS) in older testdata generations (harmless
+      // for the current micros schema); graft.Tables.events normalizes either.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // the production deployment hooks — specs run under them so the
       // real paths are tested: the SQL function surface
