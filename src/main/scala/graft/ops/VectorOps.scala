@@ -217,15 +217,13 @@ object VectorOps {
     * the centroid update. Centroids live in a k×dim driver-side array
     * between iterations — the standard driver-resident centroid model
     * (Spark MLlib's KMeans does the same); the corpus itself never leaves
-    * the executors. Seeds are the k lowest vec_ids. Within one training,
-    * assignment is fully deterministic (argmin over one collected centroid
-    * set, fixed arithmetic); across trainings the centroid update's avg()
-    * is subject to floating-point aggregation order like any shuffle
-    * reduction, so two independent trainings may differ by ulps — derive
-    * all downstream cell logic from ONE training (as [[d13AnnIvfKmeans]]
-    * and its spec do). At 100 TB: train the quantizer on a sample, then
-    * assign the full corpus with the one final broadcast pass this
-    * returns.
+    * the executors. Seeds are the k lowest vec_ids. Training is fully
+    * deterministic end to end: assignment is an argmin over one collected
+    * centroid set with fixed arithmetic, and the mean update accumulates
+    * exact integers (see [[kmeansCentroids]]) so even independent
+    * trainings are bit-identical. At 100 TB: train the quantizer on a
+    * sample, then assign the full corpus with the one final broadcast
+    * pass this returns.
     *
     * Returns (vec_id, v, cid).
     */
@@ -242,15 +240,29 @@ object VectorOps {
   def assignToCentroids(e: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame =
     e.select(col("vec_id"), col("v"), nearestCidLit(centroids).as("cid"))
 
-  /** The trained centroid table after `iters` Lloyd iterations. */
+  /** The trained centroid table after `iters` Lloyd iterations.
+    *
+    * The mean update uses EXACT INTEGER accumulation (each coordinate
+    * floor-quantized to 2^20ths and summed as longs — [[labelCentroidsExact]]'s
+    * d34 technique): a float `avg()` is subject to aggregation order like
+    * any shuffle reduction, so two trainings could differ by ulps and no
+    * external engine could replay one. The quantized mean is order-FREE —
+    * bit-identical across runs, sessions, partitionings, and engines —
+    * at a per-coordinate cost of < 2^-20, far below any clustering
+    * signal. This is what lets d13's full training + search pipeline be
+    * DuckDB-oracled instead of rows-only.
+    */
   def kmeansCentroids(e: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    val Scale = 1048576L // 2^20, matching labelCentroidsExact
     var centroids: Seq[(Int, Seq[Double])] = e.orderBy(col("vec_id")).limit(k)
       .select(col("v")).collect().toSeq.zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0)) }
     for (_ <- 0 until iters) {
       centroids = assignToCentroids(e, centroids)
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(floor(col("x") * Scale).cast("long")).as("sq"), count(lit(1)).as("n"))
+        .withColumn("m", col("sq") / (col("n") * lit(Scale.toDouble)))
         .groupBy(col("cid"))
         .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("cv"))
         .collect().toSeq
@@ -335,11 +347,14 @@ object VectorOps {
   /** IVF ANN over TRAINED cells: [[kmeansAssign]] quantizes the corpus,
     * then each query probes only its own cell and exact-reranks. Both join
     * sides derive from the single centroid set that training collected, so
-    * query and corpus always agree on cells. Not SQL-expressible
-    * (iterative training), so the driver records a rows-only check and
-    * VectorOpsSpec pins the semantics: assignments are bit-exact argmins,
-    * neighbors share the query's cell, similarities agree with the
-    * brute-force scorer.
+    * query and corpus always agree on cells. Oracle-checked end to end
+    * (closing the last rows-only ANN row): the exact-integer mean update
+    * makes all three Lloyd iterations order-free, so the DuckDB oracle
+    * replays training, assignment and cell-probe search hash-exactly
+    * (d21's unrolled-iteration technique with d34's quantized-mean
+    * update). VectorOpsSpec additionally pins: assignments are bit-exact
+    * argmins, neighbors share the query's cell, similarities agree with
+    * the brute-force scorer.
     */
   def d13AnnIvfKmeans(spark: SparkSession, sfDir: String): DataFrame =
     annIvfOverCells(kmeansAssignSampled(embeddings(spark, sfDir), k = 8, iters = 3,
@@ -492,8 +507,8 @@ object VectorOps {
     * standard 100 TB vector-search layout (IVF prunes which vectors to
     * score — d7/d13/d34; PQ compresses HOW each is scored). Each vector
     * splits into [[PqM]] subvectors; a per-subspace codebook ([[PqK]]
-    * centroids, sample-trained Lloyd's — the [[kmeansAssignSampled]]
-    * machinery per subspace) encodes the corpus as [[PqM]] small codes.
+    * centroids, sample-trained Lloyd's with k-medians updates — see
+    * [[pqCodebooks]]) encodes the corpus as [[PqM]] small codes.
     * Search is ASYMMETRIC DISTANCE (ADC): per query, one [[PqM]]×[[PqK]]
     * table of exact subvector-to-centroid distances is precomputed, and
     * a corpus vector's approximate distance is just [[PqM]] table
@@ -509,9 +524,13 @@ object VectorOps {
     * and the query tables are a 20-row broadcast. Exact rerank touches
     * only O(queries × PqCand) raw vectors.
     *
-    * Not SQL-expressible (iterative per-subspace training) → rows-only
-    * gate + VectorOpsSpec pins: ADC-candidate recall against brute
-    * force, rerank exactness, and determinism.
+    * Oracle-checked end to end (the ADVICE r9 gap): the k-MEDIANS
+    * codebook update makes training order-independent, so the DuckDB
+    * oracle replays all [[PqM]]×3 trainings, the encoding, the ADC
+    * ranking and the exact rerank hash-exactly (d21's
+    * iterative-oracle precedent, lifted to the subspace grid).
+    * VectorOpsSpec additionally pins ADC-candidate recall against
+    * brute force, rerank exactness, and determinism.
     */
   /** All [[PqM]] per-subspace codebooks trained TOGETHER: the naive form
     * (one [[kmeansCentroids]] loop per subspace) runs M×iters tiny jobs
@@ -521,9 +540,18 @@ object VectorOps {
     * sample into (m, subvector) rows, assign every row with a single
     * m-dispatched literal-codebook argmin projection (a `when` chain
     * over the M codebooks — all literals, zero shuffle), update every
-    * (m, cid, dim) mean in one aggregation. Seeds = the [[PqK]] lowest
-    * sample vec_ids, sliced per subspace (identical to what the
+    * (m, cid, dim) centroid in one aggregation. Seeds = the [[PqK]]
+    * lowest sample vec_ids, sliced per subspace (identical to what the
     * per-subspace loops would seed).
+    *
+    * The centroid update is the component-wise MEDIAN rounded to 6 dp
+    * (k-medians, [[medianCentroids]]'s d21 trick), not the mean: median
+    * is selection-based and therefore order-independent, which is what
+    * lets the DuckDB oracle replay all [[PqM]]×iters trainings
+    * hash-exactly — a float mean's accumulation order cannot be pinned
+    * across engines (d13's k-means stays rows-only for exactly that
+    * reason). Same plan shape and cost as the mean form: one explode +
+    * one two-level aggregation per iteration.
     */
   private def pqCodebooks(sample: DataFrame, iters: Int): Seq[Seq[(Int, Seq[Double])]] = {
     val subRows = sample.select(col("vec_id"), posexplode(
@@ -542,7 +570,8 @@ object VectorOps {
       }
       val updated = subRows.withColumn("cid", cidExpr)
         .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
-        .groupBy(col("m"), col("cid"), col("dim")).agg(avg(col("x")).as("c"))
+        .groupBy(col("m"), col("cid"), col("dim"))
+        .agg(round(percentile(col("x"), lit(0.5)), 6).as("c"))
         .groupBy(col("m"), col("cid"))
         .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
         .collect()
@@ -574,8 +603,13 @@ object VectorOps {
   }
 
   /** The broadcastable query side of ADC search: (q_id, qv, tabs) where
-    * `tabs[m][k]` is the exact squared distance from the query's m-th
-    * subvector to codebook m's centroid k.
+    * `tabs[m][k+1]` is the exact squared distance from the query's m-th
+    * subvector to codebook m's centroid with cid=k. The table is DENSE in
+    * cid (positions for cids a collapsed-empty cluster dropped hold
+    * +Infinity): [[adcScore]]'s `element_at(t, c + 1)` lookup is
+    * positional, and a sparse sorted-by-cid list would silently misalign
+    * every code above the first gap. Infinity is safe — the encoder can
+    * never emit a dropped cid.
     */
   private def pqQueryTables(spark: SparkSession, e: DataFrame,
       codebooks: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
@@ -586,8 +620,10 @@ object VectorOps {
       .map { case (qid, qv) =>
         val tabs = codebooks.zipWithIndex.map { case (cb, m) =>
           val sub = qv.slice(m * PqSubDim, (m + 1) * PqSubDim)
-          cb.sortBy(_._1).map { case (_, cv) =>
-            sub.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum }
+          val byCid = cb.map { case (cid, cv) =>
+            cid -> sub.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+          }.toMap
+          (0 until PqK).map(k => byCid.getOrElse(k, Double.PositiveInfinity))
         }
         (qid, qv, tabs)
       }.toDF("q_id", "qv", "tabs")
@@ -614,9 +650,11 @@ object VectorOps {
     * quantizes raw vectors, not coarse residuals — the residual
     * refinement changes recall, not the plan shape.)
     *
-    * Rows-only gate (iterative training, d13/d35 precedent);
-    * VectorOpsSpec pins cell containment, rerank exactness and recall
-    * vs brute force.
+    * Oracle-checked end to end like d35: median-update training + the
+    * exact-integer coarse centroids (d34) make every stage of the
+    * composed pipeline replayable in DuckDB hash-exactly.
+    * VectorOpsSpec additionally pins cell containment, rerank exactness
+    * and recall vs brute force.
     */
   def d36AnnIvfPqFull(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embeddings(spark, sfDir)
