@@ -59,12 +59,9 @@ object SparkEntry {
     "d39_token_budget" -> (ops.CorpusOps.d39TokenBudget _),
     "d40_epoch_mix" -> (ops.CorpusOps.d40EpochMix _),
     "d41_soft_dedup" -> (ops.CorpusOps.d41SoftDedup _),
+    "d42_interleave_order" -> (ops.CorpusOps.d42InterleaveOrder _),
     "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
-    // no oracleSql (iterative per-subspace codebook training, same status
-    // as d13): rows-only; ADC recall/rerank pinned in VectorOpsSpec
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
-    // no oracleSql (same iterative training): rows-only; cell containment
-    // + rerank exactness + recall pinned in VectorOpsSpec
     "d36_ann_ivfpq_full" -> (ops.VectorOps.d36AnnIvfPqFull _),
     "d32_quality_deciles" -> (ops.CorpusOps.d32QualityDeciles _),
     // no oracleSql (sketch-chosen cutoffs are engine-discretionary, same
@@ -75,10 +72,8 @@ object SparkEntry {
     "d23_tfidf_singlescan" -> (ops.CorpusOps.d23TfidfSingleScan _),
     "d6_ann_brute" -> (ops.VectorOps.d6AnnBrute _),
     "d7_ann_ivf" -> (ops.VectorOps.d7AnnIvf _),
-    // no oracleSql (iterative k-means training is not SQL-expressible):
-    // driver records a rows-only check; semantics pinned in VectorOpsSpec
     "d13_ann_ivf_kmeans" -> (ops.VectorOps.d13AnnIvfKmeans _),
-    // the oracle-checked trained-quantizer twin: median updates are
+    // the first oracle-checked trained-quantizer path: median updates are
     // order-independent, so DuckDB reproduces training hash-exactly
     "d21_ann_ivf_kmedians" -> (ops.VectorOps.d21AnnIvfKmedians _),
     "d24_embed_quantize" -> (ops.VectorOps.d24EmbedQuantize _),
@@ -126,7 +121,88 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Unrolled DuckDB replay of [[ops.VectorOps]]' IVF-PQ pipeline —
+    * d21's iterative-oracle technique lifted to the subspace grid. The
+    * k-MEDIANS codebook update (component medians rounded to 6 dp,
+    * selection-based → order-independent) is what makes the 3-iteration
+    * × 8-subspace training replayable at all; the encode, ADC ranking
+    * (fixed-m-order summation on both engines) and exact cosine rerank
+    * then follow hash-exactly. `probed = true` additionally replays
+    * d34's exact-integer coarse-centroid probe (nprobe = 3) to restrict
+    * the scored set — the full d36 composition.
+    */
+  private def pqOracleSql(probed: Boolean): String = {
+    val iters = (0 until 3).map { i =>
+      s"j$i AS (SELECT s.vec_id, s.m, s.v, c.cid, c.cv FROM sub s JOIN cb$i c ON s.m = c.m), " +
+        s"d$i AS (SELECT vec_id, m, v, cid, list_sum([(v[m*8+j] - cv[j]) * (v[m*8+j] - cv[j]) for j in range(1, 9)]) AS d FROM j$i), " +
+        s"a$i AS (SELECT vec_id, m, v, cid FROM (SELECT vec_id, m, v, cid, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn FROM d$i) WHERE rn = 1), " +
+        s"x$i AS (SELECT m, cid, j, v[m*8+j] AS x FROM a$i, LATERAL unnest(range(1, 9)) AS t(j)), " +
+        s"g$i AS (SELECT m, cid, j, round(quantile_cont(x, 0.5), 6) AS c FROM x$i GROUP BY m, cid, j), " +
+        s"cb${i + 1} AS (SELECT m, cid, list(c ORDER BY j) AS cv FROM g$i GROUP BY m, cid), "
+    }.mkString
+    val candCte =
+      if (!probed)
+        "cand AS (SELECT q.q_id, e.vec_id FROM q, e WHERE e.vec_id <> q.q_id), "
+      else
+        "ex AS (SELECT label, unnest(range(1, len(v) + 1)) AS i, v FROM e), " +
+          "qz AS (SELECT label, i, sum(CAST(floor(v[i] * 1048576) AS BIGINT)) AS sq, count(*) AS n FROM ex GROUP BY 1, 2), " +
+          "cents AS (SELECT label AS c_label, list(sq / (n * 1048576.0) ORDER BY i) AS cv FROM qz GROUP BY label), " +
+          "cd AS (SELECT q_id, qv, c_label, list_sum([(qv[i] - cv[i]) * (qv[i] - cv[i]) for i in range(1, len(qv) + 1)]) AS dist FROM q, cents), " +
+          "probe AS (SELECT q_id, c_label FROM (SELECT q_id, c_label, row_number() OVER (PARTITION BY q_id ORDER BY dist, c_label) AS crn FROM cd) WHERE crn <= 3), " +
+          "cand AS (SELECT p.q_id, e.vec_id FROM probe p JOIN e ON e.label = p.c_label WHERE e.vec_id <> p.q_id), "
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), " +
+      "samp AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0), " +
+      "sub AS (SELECT vec_id, m, v FROM samp, LATERAL unnest(range(0, 8)) AS t(m)), " +
+      "seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT 16)), " +
+      "cb0 AS (SELECT m, cid, [v[m*8+j] for j in range(1, 9)] AS cv FROM seed, LATERAL unnest(range(0, 8)) AS t(m)), " +
+      iters +
+      "esub AS (SELECT vec_id, m, v FROM e, LATERAL unnest(range(0, 8)) AS t(m)), " +
+      "ej AS (SELECT s.vec_id, s.m, s.v, c.cid, c.cv FROM esub s JOIN cb3 c ON s.m = c.m), " +
+      "ed AS (SELECT vec_id, m, v, cid, list_sum([(v[m*8+j] - cv[j]) * (v[m*8+j] - cv[j]) for j in range(1, 9)]) AS d FROM ej), " +
+      "codes AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn FROM ed) WHERE rn = 1), " +
+      "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20), " +
+      "jq AS (SELECT q.q_id, q.qv, c.m, c.cid, c.cv FROM q, cb3 c), " +
+      "qtab AS (SELECT q_id, m, cid, list_sum([(qv[m*8+j] - cv[j]) * (qv[m*8+j] - cv[j]) for j in range(1, 9)]) AS d FROM jq), " +
+      candCte +
+      "adc AS (SELECT c.q_id, c.vec_id, list_sum(list(t.d ORDER BY t.m)) AS adc FROM cand c JOIN codes k ON k.vec_id = c.vec_id JOIN qtab t ON t.q_id = c.q_id AND t.m = k.m AND t.cid = k.cid GROUP BY c.q_id, c.vec_id), " +
+      "topc AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS crn FROM adc) WHERE crn <= 50), " +
+      "s AS (SELECT c.q_id, c.vec_id AS n_id, list_sum([q.qv[i] * e.v[i] for i in range(1, len(e.v) + 1)]) / (sqrt(list_sum([q.qv[i] * q.qv[i] for i in range(1, len(q.qv) + 1)])) * sqrt(list_sum([e.v[i] * e.v[i] for i in range(1, len(e.v) + 1)]))) AS sim FROM topc c JOIN q ON q.q_id = c.q_id JOIN e ON e.vec_id = c.vec_id), " +
+      "r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s) " +
+      "SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10"
+  }
+
+  /** Unrolled DuckDB replay of d13's sample-trained k-means IVF: 3 Lloyd
+    * iterations over the 1-in-4 sample with d34's EXACT-INTEGER mean
+    * update (floor-quantized 2^20ths summed as BIGINTs — order-free, so
+    * both engines derive bit-identical centroids), then the full-corpus
+    * assignment and own-cell exact-rerank search.
+    */
+  private def kmeansOracleSql: String = {
+    val iters = (0 until 3).map { i =>
+      s"j$i AS (SELECT s.vec_id, s.v, c.cid, c.cv FROM samp s CROSS JOIN c$i c), " +
+        s"d$i AS (SELECT vec_id, v, cid, list_sum([(v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, len(v) + 1)]) AS d FROM j$i), " +
+        s"a$i AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d$i) WHERE rn = 1), " +
+        s"x$i AS (SELECT cid, i, v[i] AS x FROM a$i, LATERAL unnest(range(1, len(v) + 1)) AS t(i)), " +
+        s"m$i AS (SELECT cid, i, sum(CAST(floor(x * 1048576) AS BIGINT)) AS sq, count(*) AS n FROM x$i GROUP BY cid, i), " +
+        s"c${i + 1} AS (SELECT cid, list(sq / (n * 1048576.0) ORDER BY i) AS cv FROM m$i GROUP BY cid), "
+    }.mkString
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "samp AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0), " +
+      "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cv FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT 8)), " +
+      iters +
+      "jf AS (SELECT e.vec_id, e.v, c.cid, c.cv FROM e CROSS JOIN c3 c), " +
+      "df AS (SELECT vec_id, v, cid, list_sum([(v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, len(v) + 1)]) AS d FROM jf), " +
+      "af AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM df) WHERE rn = 1), " +
+      "q AS (SELECT vec_id AS q_id, v AS qv, cid AS q_cid FROM af WHERE vec_id < 20), " +
+      "s AS (SELECT q.q_id, a.vec_id AS n_id, list_sum([qv[i] * a.v[i] for i in range(1, len(a.v) + 1)]) / (sqrt(list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)])) * sqrt(list_sum([a.v[i] * a.v[i] for i in range(1, len(a.v) + 1)]))) AS sim FROM q JOIN af a ON a.cid = q.q_cid AND a.vec_id <> q.q_id), " +
+      "r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s) " +
+      "SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "d13_ann_ivf_kmeans" -> kmeansOracleSql,
+    "d35_ann_ivf_pq" -> pqOracleSql(probed = false),
+    "d36_ann_ivfpq_full" -> pqOracleSql(probed = true),
     "q1_groupbykey" ->
       "SELECT user_id, string_agg(props, ',' ORDER BY event_id) AS msgs FROM events GROUP BY user_id",
     // q2 collapses a deterministic suffix-replay back to the original stream,
@@ -211,6 +287,14 @@ object SparkEntry {
     // epochs(lang) = min(4, ceil(max_docs / n_docs)) in exact integer
     // arithmetic; generate_series(1, n) is inclusive like Spark's
     // sequence(1, n)
+    // the interleave key replayed directly: within-source rank over the
+    // seeded md5 draw (the oracle's plain window = what the engine's
+    // bucket decomposition must equal), slot = alphabetical source index
+    "d42_interleave_order" ->
+      ("WITH h AS (SELECT doc_id, source, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':order'), 1, 15)) AS BIGINT) AS draw FROM documents), " +
+        "r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY draw, doc_id) AS round FROM h), " +
+        "s AS (SELECT source, row_number() OVER (ORDER BY source) AS slot FROM (SELECT DISTINCT source FROM documents)) " +
+        "SELECT r.doc_id, r.source, r.round, s.slot FROM r JOIN s USING (source)"),
     "d40_epoch_mix" ->
       ("WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), " +
         "e AS (SELECT lang, least(4, (max(n_docs) OVER () + n_docs - 1) // n_docs) AS epochs FROM c) " +
