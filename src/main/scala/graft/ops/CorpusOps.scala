@@ -1329,4 +1329,58 @@ object CorpusOps {
       .select(col("doc_id"), col("lang"),
         explode(expr("sequence(1L, epochs)")).as("epoch"))
   }
+
+  /** Draw-space bucket width for [[d42InterleaveOrder]]: the 60-bit md5
+    * draw splits into 256 buckets (2^52 wide), so the within-source rank
+    * decomposes over source × bucket partitions.
+    */
+  private[graft] val OrderBucketWidth = 1L << 52
+
+  /** Reproducible stratified training-order interleave — the "global
+    * shuffle" every pre-training pipeline runs before packing: documents
+    * are ordered by a seeded per-doc hash draw (never `rand()`, which
+    * cannot give the same corpus twice), stratified so round k of the
+    * schedule holds the k-th pick of EVERY source — sources interleave
+    * evenly from the first batch instead of clumping, and an exhausted
+    * source simply drops out of later rounds. Output: (doc_id, source,
+    * round, slot); the training order is ORDER BY (round, slot) — a
+    * total ORDER, deliberately not a dense global index (densifying is
+    * d27/d39's prefix-sum job if a consumer needs one; a loader sorts).
+    *
+    * SCALE: the naive within-source rank is one window partitioned by
+    * source — parallelism collapses to #sources, a real skew at corpus
+    * scale. The rank here decomposes over the DRAW SPACE instead (the
+    * d39 bucket technique, re-derived for a hash ordering): bucket =
+    * draw div 2^52 (256 buckets), per-(source, bucket) counts roll into
+    * broadcast prefix offsets (O(sources × 256) rows — the only
+    * single-partition window runs over THAT tiny relation), and each
+    * (source, bucket) partition ranks locally + offset. Parallelism is
+    * sources × 256 regardless of corpus size; document rows shuffle
+    * exactly once (into their rank partition). The md5 draw is uniform,
+    * so buckets are balanced by construction.
+    */
+  def d42InterleaveOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val draw = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":order"))), 1, 15), 16, 10).cast("long")
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), draw.as("draw"))
+      .withColumn("b", expr(s"draw div $OrderBucketWidth"))
+    val prefW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("b"))
+      .rowsBetween(w.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(prefW), lit(0L)))
+      .select(col("source"), col("b"), col("off"))
+    val slots = base.select(col("source")).distinct()
+      .withColumn("slot", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("source"))).cast("long"))
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("b")).orderBy(col("draw"), col("doc_id"))
+    base.join(broadcast(offsets), Seq("source", "b"))
+      .withColumn("round", col("off") + row_number().over(localW))
+      .join(broadcast(slots), Seq("source"))
+      .select(col("doc_id"), col("source"), col("round"), col("slot"))
+  }
 }

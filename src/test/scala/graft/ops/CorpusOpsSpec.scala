@@ -419,4 +419,32 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     val d30Top = CorpusOps.d30BpePairs(spark, sf001).collect().head
     (merges(0)._2, merges(0)._3) shouldBe ((d30Top.getString(0), d30Top.getLong(1)))
   }
+
+  test("d42 interleave rank equals the naive per-source window; schedule is a valid interleave") {
+    import spark.implicits._
+    // naive truth: ONE window partitioned by source over (draw, doc_id) —
+    // the #sources-parallelism form d42's bucket decomposition must equal
+    val draw = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":order"))), 1, 15), 16, 10).cast("long")
+    val naiveW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("draw"), col("doc_id"))
+    val truth = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"), draw.as("draw"))
+      .withColumn("round", row_number().over(naiveW).cast("long"))
+      .select(col("doc_id"), col("round"))
+      .as[(Long, Long)].collect().toSet
+    val got = CorpusOps.d42InterleaveOrder(spark, sf001)
+    got.select(col("doc_id"), col("round")).as[(Long, Long)].collect().toSet shouldBe truth
+    val rows = got.collect()
+    // rounds are dense 1..n_s within every source; slots are dense 1..k
+    // over the alphabetical source order — together (round, slot) is a
+    // strict total order with round-robin structure
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      rs.map(_.getAs[Long]("round")).sorted shouldBe (1L to rs.length).toArray
+      rs.map(_.getAs[Long]("slot")).distinct.length shouldBe 1
+    }
+    val bySlot = rows.groupBy(_.getAs[Long]("slot")).view.mapValues(_.head.getAs[String]("source")).toMap
+    bySlot.keys.toSeq.sorted shouldBe (1L to bySlot.size)
+    bySlot.toSeq.sortBy(_._1).map(_._2) shouldBe bySlot.values.toSeq.sorted
+  }
 }
