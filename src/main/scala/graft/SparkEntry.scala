@@ -63,6 +63,7 @@ object SparkEntry {
     "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
     "d36_ann_ivfpq_full" -> (ops.VectorOps.d36AnnIvfPqFull _),
+    "d43_ann_ivfpq_residual" -> (ops.VectorOps.d43AnnIvfPqResidual _),
     "d32_quality_deciles" -> (ops.CorpusOps.d32QualityDeciles _),
     // no oracleSql (sketch-chosen cutoffs are engine-discretionary, same
     // status as q_approx_stats): rows-only; disagreement with the exact
@@ -199,10 +200,53 @@ object SparkEntry {
       "SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10"
   }
 
+  /** d43's replay: like [[pqOracleSql]](probed) but PQ trains on and
+    * encodes RESIDUALS `v − centroid(cell(v))` (centroids = d34's
+    * exact-integer table), and the ADC table is per (query, probed
+    * cell) — the query residual differs per cell.
+    */
+  private def residPqOracleSql: String = {
+    val iters = (0 until 3).map { i =>
+      s"j$i AS (SELECT s.vec_id, s.m, s.v, c.cid, c.cv FROM sub s JOIN cb$i c ON s.m = c.m), " +
+        s"d$i AS (SELECT vec_id, m, v, cid, list_sum([(v[m*8+j] - cv[j]) * (v[m*8+j] - cv[j]) for j in range(1, 9)]) AS d FROM j$i), " +
+        s"a$i AS (SELECT vec_id, m, v, cid FROM (SELECT vec_id, m, v, cid, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn FROM d$i) WHERE rn = 1), " +
+        s"x$i AS (SELECT m, cid, j, v[m*8+j] AS x FROM a$i, LATERAL unnest(range(1, 9)) AS t(j)), " +
+        s"g$i AS (SELECT m, cid, j, round(quantile_cont(x, 0.5), 6) AS c FROM x$i GROUP BY m, cid, j), " +
+        s"cb${i + 1} AS (SELECT m, cid, list(c ORDER BY j) AS cv FROM g$i GROUP BY m, cid), "
+    }.mkString
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), " +
+      "ex AS (SELECT label, unnest(range(1, len(v) + 1)) AS i, v FROM e), " +
+      "qz AS (SELECT label, i, sum(CAST(floor(v[i] * 1048576) AS BIGINT)) AS sq, count(*) AS n FROM ex GROUP BY 1, 2), " +
+      "cents AS (SELECT label AS c_label, list(sq / (n * 1048576.0) ORDER BY i) AS cv FROM qz GROUP BY label), " +
+      "rsd AS (SELECT e.vec_id, e.label, [e.v[i] - c.cv[i] for i in range(1, len(e.v) + 1)] AS rv FROM e JOIN cents c ON e.label = c.c_label), " +
+      "samp AS (SELECT vec_id, rv AS v FROM rsd WHERE vec_id % 4 = 0), " +
+      "sub AS (SELECT vec_id, m, v FROM samp, LATERAL unnest(range(0, 8)) AS t(m)), " +
+      "seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT 16)), " +
+      "cb0 AS (SELECT m, cid, [v[m*8+j] for j in range(1, 9)] AS cv FROM seed, LATERAL unnest(range(0, 8)) AS t(m)), " +
+      iters +
+      "esub AS (SELECT vec_id, m, rv AS v FROM rsd, LATERAL unnest(range(0, 8)) AS t(m)), " +
+      "ej AS (SELECT s.vec_id, s.m, s.v, c.cid, c.cv FROM esub s JOIN cb3 c ON s.m = c.m), " +
+      "ed AS (SELECT vec_id, m, v, cid, list_sum([(v[m*8+j] - cv[j]) * (v[m*8+j] - cv[j]) for j in range(1, 9)]) AS d FROM ej), " +
+      "codes AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn FROM ed) WHERE rn = 1), " +
+      "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20), " +
+      "cd AS (SELECT q_id, qv, c_label, list_sum([(qv[i] - cv[i]) * (qv[i] - cv[i]) for i in range(1, len(qv) + 1)]) AS dist FROM q, cents), " +
+      "probe AS (SELECT q_id, c_label FROM (SELECT q_id, c_label, row_number() OVER (PARTITION BY q_id ORDER BY dist, c_label) AS crn FROM cd) WHERE crn <= 3), " +
+      "qres AS (SELECT p.q_id, p.c_label, [q.qv[i] - c.cv[i] for i in range(1, len(q.qv) + 1)] AS rv FROM probe p JOIN q ON q.q_id = p.q_id JOIN cents c ON c.c_label = p.c_label), " +
+      "jq AS (SELECT r.q_id, r.c_label, r.rv AS v, c.m, c.cid, c.cv FROM qres r, cb3 c), " +
+      "qtab AS (SELECT q_id, c_label, m, cid, list_sum([(v[m*8+j] - cv[j]) * (v[m*8+j] - cv[j]) for j in range(1, 9)]) AS d FROM jq), " +
+      "cand AS (SELECT p.q_id, e.vec_id, e.label FROM probe p JOIN e ON e.label = p.c_label WHERE e.vec_id <> p.q_id), " +
+      "adc AS (SELECT c.q_id, c.vec_id, list_sum(list(t.d ORDER BY t.m)) AS adc FROM cand c JOIN codes k ON k.vec_id = c.vec_id JOIN qtab t ON t.q_id = c.q_id AND t.c_label = c.label AND t.m = k.m AND t.cid = k.cid GROUP BY c.q_id, c.vec_id), " +
+      "topc AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS crn FROM adc) WHERE crn <= 50), " +
+      "s AS (SELECT c.q_id, c.vec_id AS n_id, list_sum([q.qv[i] * e.v[i] for i in range(1, len(e.v) + 1)]) / (sqrt(list_sum([q.qv[i] * q.qv[i] for i in range(1, len(q.qv) + 1)])) * sqrt(list_sum([e.v[i] * e.v[i] for i in range(1, len(e.v) + 1)]))) AS sim FROM topc c JOIN q ON q.q_id = c.q_id JOIN e ON e.vec_id = c.vec_id), " +
+      "r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s) " +
+      "SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "d13_ann_ivf_kmeans" -> kmeansOracleSql,
     "d35_ann_ivf_pq" -> pqOracleSql(probed = false),
     "d36_ann_ivfpq_full" -> pqOracleSql(probed = true),
+    "d43_ann_ivfpq_residual" -> residPqOracleSql,
     "q1_groupbykey" ->
       "SELECT user_id, string_agg(props, ',' ORDER BY event_id) AS msgs FROM events GROUP BY user_id",
     // q2 collapses a deterministic suffix-replay back to the original stream,

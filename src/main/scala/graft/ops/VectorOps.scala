@@ -647,8 +647,8 @@ object VectorOps {
     * set is 2/n_cells of the corpus AND each scored row costs [[PqM]]
     * lookups instead of raw-dim math — the multiplicative read/compute
     * cut that makes web-scale vector search run. (This variant
-    * quantizes raw vectors, not coarse residuals — the residual
-    * refinement changes recall, not the plan shape.)
+    * quantizes raw vectors; [[d43AnnIvfPqResidual]] is the
+    * residual-refined form — same plan shape, tighter codes.)
     *
     * Oracle-checked end to end like d35: median-update training + the
     * exact-integer coarse centroids (d34) make every stage of the
@@ -676,6 +676,73 @@ object VectorOps {
     topK(cands.select(col("q_id"), col("vec_id").as("n_id"),
       cosine(col("qv"), col("v")).as("sim")))
   }
+
+  /** d43: RESIDUAL IVF-PQ — the refinement d36's doc promised: PQ
+    * codebooks train on and encode `v − centroid(cell(v))` instead of
+    * raw vectors. After coarse assignment, residuals from every cell
+    * live near the origin in a shared, tighter distribution, so the
+    * same 8×16-code budget spends its resolution on the part of the
+    * vector the coarse quantizer did NOT explain — this is the form
+    * production IVF-PQ indexes actually deploy. The search-side
+    * consequence: a query's ADC table now depends on WHICH probed cell
+    * is being scanned (the query residual differs per cell), so the
+    * broadcast query side carries one (q_id, c_label, tabs) row per
+    * probe — still O(queries × nprobe) tiny rows. Plan shape is
+    * IDENTICAL to d36 (coarse prune → per-cell ADC → exact rerank);
+    * only the table contents change.
+    *
+    * Oracle-checked end to end like d35/d36: residual subtraction is
+    * elementwise (order-free), the coarse centroids are d34's
+    * exact-integer table, and training uses the k-medians update — the
+    * DuckDB oracle replays residualization, training, encode, per-cell
+    * ADC and rerank hash-exactly.
+    */
+  def d43AnnIvfPqResidual(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, sfDir)
+    val cents = exactLabelCentroids(spark, sfDir)
+    val cmap = typedlit(cents.toMap)
+    def resid = zip_with(col("v"), element_at(cmap, col("label")), (a, b) => a - b)
+    val sampleRes = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+      .select(col("vec_id"), resid.as("v"))
+    val codebooks = pqCodebooks(sampleRes, iters = 3)
+    val encoded = e.select(col("vec_id"), col("v"), col("label"),
+      array(codebooks.zipWithIndex.map { case (cb, m) =>
+        nearestCidLit(cb, slice(resid, m * PqSubDim + 1, PqSubDim)) }: _*).as("codes"))
+    // driver-built probe side: per query, the nprobe=3 nearest cells by
+    // squared centroid distance (ties by label — probedCells' ordering),
+    // each carrying the PER-CELL residual ADC table. Arithmetic mirrors
+    // the oracle exactly: sequential folds, dense-in-cid tables.
+    val qs = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val probeRows = qs.flatMap { case (qid, qv) =>
+      cents.map { case (lbl, cv) =>
+        (qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, lbl, cv)
+      }.sortBy(t => (t._1, t._2)).take(ResidProbes).map { case (_, lbl, cv) =>
+        val qres = qv.zip(cv).map { case (a, b) => a - b }
+        val tabs = codebooks.zipWithIndex.map { case (cb, m) =>
+          val sub = qres.slice(m * PqSubDim, (m + 1) * PqSubDim)
+          val byCid = cb.map { case (cid, c) =>
+            cid -> sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+          }.toMap
+          (0 until PqK).map(k => byCid.getOrElse(k, Double.PositiveInfinity))
+        }
+        (qid, lbl, qv, tabs)
+      }
+    }
+    val probeSide = probeRows.toDF("q_id", "c_label", "qv", "tabs")
+    val adc = encoded.join(broadcast(probeSide),
+        col("label") === col("c_label") && col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adcScore)
+    val cands = adc.withColumn("crn", row_number().over(adcRank))
+      .filter(col("crn") <= PqCand)
+    topK(cands.select(col("q_id"), col("vec_id").as("n_id"),
+      cosine(col("qv"), col("v")).as("sim")))
+  }
+
+  /** Probed cells per query in [[d43AnnIvfPqResidual]] (nprobe). */
+  private[graft] val ResidProbes = 3
 
   /** Component-wise MEDIAN centroid update. Median is selection-based —
     * order-INDEPENDENT, unlike avg's float accumulation — which is what

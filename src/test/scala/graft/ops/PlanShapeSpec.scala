@@ -221,4 +221,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
       s"document scan must prune to (doc_id, lang):\n$p")
   }
+
+  test("d42_interleave_order: rank window is bucket-partitioned; offsets and slots broadcast; no global sort") {
+    val p = plan("d42_interleave_order")
+    // the document-row rank must partition by (source, draw-bucket) —
+    // never by source alone (that caps parallelism at #sources) and
+    // never a global order (rangepartitioning)
+    assert("windowspecdefinition\\(source#\\d+, b#\\d+L, draw#\\d+L ASC".r.findFirstIn(p).isDefined,
+      s"within-source rank must partition by (source, bucket):\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort leaked into the interleave:\n$p")
+    // the O(sources x 256) offsets table and the O(sources) slot table
+    // both broadcast back — document rows never join-shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
+      s"offsets and slots must both broadcast:\n$p")
+    // document scan reads only (doc_id, source) — never text
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"document scan must prune to (doc_id, source):\n$p")
+  }
 }

@@ -231,6 +231,35 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(recall >= 0.3, s"IVF-PQ recall $recall below floor")
   }
 
+  test("d43 residual IVF-PQ: probed-cell containment, exact rerank, recall not below raw-PQ floor") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val labels = e.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val res = VectorOps.d43AnnIvfPqResidual(spark, sf001).collect()
+    res.map(_.getLong(0)).distinct.length shouldBe 20
+    res.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.length <= 10)
+      val cells = rows.map(r => labels(r.getLong(1))).distinct
+      assert(cells.length <= 3, s"query $qid drew neighbors from ${cells.length} cells")
+    }
+    // rerank is exact cosine over RAW vectors: shared pairs match brute
+    val bruteSims = VectorOps.d6AnnBrute(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    res.foreach { r =>
+      bruteSims.get((r.getLong(0), r.getLong(1))).foreach { s =>
+        assert(r.getDouble(2) == s, s"rerank sim diverged for ${(r.getLong(0), r.getLong(1))}")
+      }
+    }
+    // recall: residual codes spend resolution on what the coarse
+    // quantizer didn't explain — must hold the composed pipeline's floor
+    val brute = bruteSims.keySet
+    val recall = (res.map(r => (r.getLong(0), r.getLong(1))).toSet & brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"residual IVF-PQ recall $recall below floor")
+    // determinism: training + encode + search replay bit-identically
+    val again = VectorOps.d43AnnIvfPqResidual(spark, sf001).collect()
+    again.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet shouldBe
+      res.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
   test("d24 quantization: max_err bounded by scale/2 for unsaturated vectors") {
     val res = VectorOps.d24EmbedQuantize(spark, sf001).collect()
     assert(res.length == graft.Tables.embeddings(spark, sf001).count())
