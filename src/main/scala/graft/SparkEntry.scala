@@ -102,6 +102,8 @@ object SparkEntry {
     "s13_stream_dup_seeded" -> (streaming.StreamingQueries.s13StreamDupSeeded _),
     "s14_stream_ann_ingest" ->
       ((s: SparkSession, dir: String) => streaming.StreamingQueries.s14StreamAnnIngest(s, dir)),
+    "s15_stream_pq_ingest" ->
+      ((s: SparkSession, dir: String) => streaming.StreamingQueries.s15StreamPqIngest(s, dir)),
     // relational coverage (SURVEY.md §2D → Spark built-ins)
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_revenue_by_nation" -> (ops.RelationalOps.qRevenueByNation _),
@@ -242,7 +244,42 @@ object SparkEntry {
       "SELECT q_id, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 10"
   }
 
+  /** s15's replay: d35's PQ training + full-corpus encode (packed to the
+    * 4-bit-per-code long), the exact-integer coarse assignment (s14's
+    * CTEs), and the per-cell (n, id_sum, code_sum) rollup. Per-row math
+    * against literal quantizers makes streaming == batch regardless of
+    * shard interleaving.
+    */
+  private def streamPqIngestOracleSql: String = {
+    val iters = (0 until 3).map { i =>
+      s"j$i AS (SELECT s.vec_id, s.m, s.v, c.cid, c.cv FROM sub s JOIN cb$i c ON s.m = c.m), " +
+        s"d$i AS (SELECT vec_id, m, v, cid, list_sum([(v[m*8+j] - cv[j]) * (v[m*8+j] - cv[j]) for j in range(1, 9)]) AS d FROM j$i), " +
+        s"a$i AS (SELECT vec_id, m, v, cid FROM (SELECT vec_id, m, v, cid, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn FROM d$i) WHERE rn = 1), " +
+        s"x$i AS (SELECT m, cid, j, v[m*8+j] AS x FROM a$i, LATERAL unnest(range(1, 9)) AS t(j)), " +
+        s"g$i AS (SELECT m, cid, j, round(quantile_cont(x, 0.5), 6) AS c FROM x$i GROUP BY m, cid, j), " +
+        s"cb${i + 1} AS (SELECT m, cid, list(c ORDER BY j) AS cv FROM g$i GROUP BY m, cid), "
+    }.mkString
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), " +
+      "samp AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0), " +
+      "sub AS (SELECT vec_id, m, v FROM samp, LATERAL unnest(range(0, 8)) AS t(m)), " +
+      "seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT 16)), " +
+      "cb0 AS (SELECT m, cid, [v[m*8+j] for j in range(1, 9)] AS cv FROM seed, LATERAL unnest(range(0, 8)) AS t(m)), " +
+      iters +
+      "esub AS (SELECT vec_id, m, v FROM e, LATERAL unnest(range(0, 8)) AS t(m)), " +
+      "ej AS (SELECT s.vec_id, s.m, s.v, c.cid, c.cv FROM esub s JOIN cb3 c ON s.m = c.m), " +
+      "ed AS (SELECT vec_id, m, v, cid, list_sum([(v[m*8+j] - cv[j]) * (v[m*8+j] - cv[j]) for j in range(1, 9)]) AS d FROM ej), " +
+      "codes AS (SELECT vec_id, m, cid FROM (SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn FROM ed) WHERE rn = 1), " +
+      "ck AS (SELECT vec_id, CAST(sum(CAST(cid AS BIGINT) * (CAST(1 AS BIGINT) << CAST(4 * m AS INTEGER))) AS BIGINT) AS code_key FROM codes GROUP BY vec_id), " +
+      "ex AS (SELECT label, unnest(range(1, len(v) + 1)) AS i, v FROM e), " +
+      "qz AS (SELECT label, i, sum(CAST(floor(v[i] * 1048576) AS BIGINT)) AS sq, count(*) AS n FROM ex GROUP BY 1, 2), " +
+      "cents AS (SELECT label AS ccid, list(sq / (n * 1048576.0) ORDER BY i) AS cv FROM qz GROUP BY label), " +
+      "asg AS (SELECT vec_id, ccid, list_sum([(v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, len(v) + 1)]) AS d FROM e, cents), " +
+      "pick AS (SELECT vec_id, ccid, row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn FROM asg) " +
+      "SELECT p.ccid AS cell, count(*) AS n, CAST(sum(p.vec_id) AS BIGINT) AS id_sum, CAST(sum(ck.code_key) AS BIGINT) AS code_sum FROM pick p JOIN ck USING (vec_id) WHERE p.rn = 1 GROUP BY cell"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "s15_stream_pq_ingest" -> streamPqIngestOracleSql,
     "d13_ann_ivf_kmeans" -> kmeansOracleSql,
     "d35_ann_ivf_pq" -> pqOracleSql(probed = false),
     "d36_ann_ivfpq_full" -> pqOracleSql(probed = true),

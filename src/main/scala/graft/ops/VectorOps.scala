@@ -554,9 +554,13 @@ object VectorOps {
     * one two-level aggregation per iteration.
     */
   private def pqCodebooks(sample: DataFrame, iters: Int): Seq[Seq[(Int, Seq[Double])]] = {
+    // persisted: every iteration re-reads the exploded sample (and d43's
+    // sample is itself a residual projection over a join) — without the
+    // cache, `iters` trainings scan and re-residualize the sample
+    // `iters` times instead of once. Tiny: the 1-in-4 sample × M rows.
     val subRows = sample.select(col("vec_id"), posexplode(
       array((0 until PqM).map(m => slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*))
-      .as(Seq("m", "sv")))
+      .as(Seq("m", "sv"))).persist()
     var books: Seq[Seq[(Int, Seq[Double])]] = {
       val seeds = sample.orderBy(col("vec_id")).limit(PqK)
         .select(col("v")).collect().map(_.getSeq[Double](0))
@@ -579,6 +583,7 @@ object VectorOps {
       books = (0 until PqM).map(m => updated.getOrElse(m, Array.empty).toSeq
         .map(r => (r.getInt(1), r.getSeq[Double](2))))
     }
+    subRows.unpersist(blocking = false)
     books
   }
 
@@ -743,6 +748,28 @@ object VectorOps {
 
   /** Probed cells per query in [[d43AnnIvfPqResidual]] (nprobe). */
   private[graft] val ResidProbes = 3
+
+  /** d35's batch-trained PQ codebooks as a driver-side constant — the
+    * PQ half of [[exactLabelCentroids]]'s contract: a deployed vector
+    * index trains its quantizers in batch and holds them FIXED while
+    * ingest encodes arrivals (s15). Deterministic (k-medians updates),
+    * so batch and streaming sessions derive identical codebooks.
+    */
+  def trainedPqCodebooks(spark: SparkSession, sfDir: String): Seq[Seq[(Int, Seq[Double])]] =
+    pqCodebooks(embeddings(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(4)) === 0), iters = 3)
+
+  /** The [[PqM]] PQ codes of `vcol` packed into ONE long — 4 bits per
+    * code (PqK = 16), code m at bit 4m: a zero-shuffle per-row
+    * expression whose integer SUM is an order-free aggregate
+    * fingerprint of WHICH codes a cell's members carry (the s15 gate
+    * column). Literal codebooks, same argmin as the d35 encoder.
+    */
+  def pqCodeKeyExpr(codebooks: Seq[Seq[(Int, Seq[Double])]], vcol: Column): Column =
+    codebooks.zipWithIndex.map { case (cb, m) =>
+      nearestCidLit(cb, slice(vcol, m * PqSubDim + 1, PqSubDim)).cast("long") *
+        lit(1L << (4 * m))
+    }.reduce(_ + _)
 
   /** Component-wise MEDIAN centroid update. Median is selection-based —
     * order-INDEPENDENT, unlike avg's float accumulation — which is what

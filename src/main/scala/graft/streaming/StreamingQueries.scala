@@ -346,6 +346,51 @@ object StreamingQueries {
     spark.table(mem)
   }
 
+  /** FULL vector-index build at ingest — s14 plus the PQ half: arriving
+    * embeddings are assigned to their coarse cell AND PQ-ENCODED against
+    * the batch-trained codebooks (`VectorOps.trainedPqCodebooks`, d35's
+    * k-medians training — deterministic, so the streaming session derives
+    * the identical codebooks from the identical sample). This is the
+    * complete write path of a deployed IVF-PQ index: between retrains,
+    * BOTH quantizers are fixed and ingest produces (cell, code) postings.
+    * Output: per-cell `(cell, n, id_sum, code_sum)` where `code_sum`
+    * sums each member's 8 codes packed 4-bits-apiece into one long
+    * (`VectorOps.pqCodeKeyExpr`) — an order-free integer fingerprint of
+    * WHICH codes the cell holds, so a wrong code anywhere in the stream
+    * fails the hash even when occupancy is right.
+    *
+    * SCALE: same stateless-projection shape as s14 — the k×dim coarse
+    * table AND the M×K×subdim codebooks all ride the expression tree as
+    * literals (zero shuffle, zero join before the O(cells) aggregation).
+    * Encoding at ingest is exactly how a 100 TB index amortizes its
+    * PQ compression: each vector is scanned once, at arrival.
+    */
+  def s15StreamPqIngest(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+    val shardDir = embedShardDir(spark, sfDir)
+    val cents = graft.ops.VectorOps.exactLabelCentroids(spark, sfDir)
+    val books = graft.ops.VectorOps.trainedPqCodebooks(spark, sfDir)
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
+    val q = ShardedEmbeddings.readStream(spark, shardDir, maxFilesPerTrigger)
+      .select(col("vec_id"),
+        graft.ops.VectorOps.vecAsDouble(col("embedding")).as("v"))
+      .withColumn("cell", graft.ops.VectorOps.nearestCellExpr(cents, col("v")))
+      .withColumn("code_key", graft.ops.VectorOps.pqCodeKeyExpr(books, col("v")))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_sum"),
+        sum(col("code_key")).as("code_sum"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
+
   /** INCREMENTAL corpus dedup — `ops.CorpusOps.d1ExactDedup`'s fingerprint
     * running at ingest: documents arrive on a sharded stream, each
     * micro-batch fingerprints its documents (d1's md5-of-sorted-word-set,

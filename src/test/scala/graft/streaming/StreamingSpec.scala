@@ -1486,6 +1486,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     total shouldBe graft.Tables.embeddings(spark, sf001).count()
   }
 
+  test("streaming IVF-PQ ingest encodes arrivals against fixed batch-trained codebooks (1-file triggers)") {
+    // the full index-build write path: cell assignment AND PQ codes both
+    // come from quantizers trained in batch and held fixed — per-row math
+    // against literals, so the rollup must equal the batch one under any
+    // shard interleaving, and the code_sum column pins WHICH codes every
+    // member carries (a single wrong code anywhere breaks the sum)
+    val streamed = StreamingQueries
+      .s15StreamPqIngest(spark, sf001, maxFilesPerTrigger = Some(1))
+    val cents = graft.ops.VectorOps.exactLabelCentroids(spark, sf001)
+    val books = graft.ops.VectorOps.trainedPqCodebooks(spark, sf001)
+    val batch = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"),
+        graft.ops.VectorOps.vecAsDouble(col("embedding")).as("v"))
+      .withColumn("cell", graft.ops.VectorOps.nearestCellExpr(cents, col("v")))
+      .withColumn("code_key", graft.ops.VectorOps.pqCodeKeyExpr(books, col("v")))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_sum"),
+        sum(col("code_key")).as("code_sum"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    val total = streamed.agg(sum(col("n"))).collect().head.getLong(0)
+    total shouldBe graft.Tables.embeddings(spark, sf001).count()
+  }
+
   test("incremental dup-span marking emits the first occurrence RETROACTIVELY across micro-batches") {
     // 1-file triggers: a window shared by docs in different shards has
     // its first sighting stored in state for whole batches before the
