@@ -60,6 +60,7 @@ object SparkEntry {
     "d40_epoch_mix" -> (ops.CorpusOps.d40EpochMix _),
     "d41_soft_dedup" -> (ops.CorpusOps.d41SoftDedup _),
     "d42_interleave_order" -> (ops.CorpusOps.d42InterleaveOrder _),
+    "d44_temperature_mix" -> (ops.CorpusOps.d44TemperatureMix _),
     "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
     "d36_ann_ivfpq_full" -> (ops.VectorOps.d36AnnIvfPqFull _),
@@ -368,6 +369,18 @@ object SparkEntry {
     // epochs(lang) = min(4, ceil(max_docs / n_docs)) in exact integer
     // arithmetic; generate_series(1, n) is inclusive like Spark's
     // sequence(1, n)
+    // temperature mixture: IEEE sqrt then pure integer arithmetic gives
+    // engine-exact per-language targets; selection = smallest-draw
+    // target_l per language (the oracle's plain window = what the
+    // engine's bucket-decomposed rank must equal)
+    "d44_temperature_mix" ->
+      ("WITH h AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 15)) AS BIGINT) AS draw FROM documents), " +
+        "c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), " +
+        "t AS (SELECT lang, n_docs, CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS s FROM c), " +
+        "g AS (SELECT lang, n_docs, s, sum(s) OVER () AS stot, sum(n_docs) OVER () AS ntot FROM t), " +
+        "tg AS (SELECT lang, least(n_docs, ((ntot // 2) * s) // stot) AS target FROM g), " +
+        "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rk FROM h) " +
+        "SELECT r.doc_id, r.lang, r.rk FROM r JOIN tg USING (lang) WHERE r.rk <= tg.target"),
     // the interleave key replayed directly: within-source rank over the
     // seeded md5 draw (the oracle's plain window = what the engine's
     // bucket decomposition must equal), slot = alphabetical source index

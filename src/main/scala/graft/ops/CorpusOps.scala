@@ -1359,6 +1359,60 @@ object CorpusOps {
     * exactly once (into their rank partition). The md5 draw is uniform,
     * so buckets are balanced by construction.
     */
+  /** Temperature-scaled mixture sampling — the standard multilingual
+    * curation step (mT5/XLM-R's `p_l ∝ n_l^α`, here α = 0.5): each
+    * language's share of a half-corpus budget follows the SQUARE ROOT
+    * of its size, boosting under-represented languages relative to
+    * proportional sampling without d29's hard equalization or d40's
+    * repetition. Exactness discipline: sqrt is IEEE correctly-rounded
+    * (bit-identical across engines), and everything after it is
+    * integer — s_l = floor(sqrt(n_l)·1e6), target_l = min(n_l,
+    * (B·s_l) div Σs) with B = total div 2 — so the selected SET is
+    * engine-exact, never "approximately temperature-weighted". (At
+    * 100 TB row counts, B·s_l approaches int64 range — promote to
+    * DECIMAL(38,0) as GraftRecord.sequenceOrder does.) Selection is
+    * the exact smallest-draw target_l per language: reproducible, and
+    * monotone in the budget (a bigger budget only ADDS documents —
+    * the property training-data ablations rely on).
+    *
+    * SCALE: the per-language rank reuses [[d42InterleaveOrder]]'s
+    * draw-space bucket decomposition (offsets broadcast, local rank per
+    * (lang, bucket) — parallelism langs × 256 at any corpus size,
+    * document rows shuffle once); the target table is O(langs) rows of
+    * pure integer arithmetic over order-free sums.
+    */
+  def d44TemperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val draw = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":temp"))), 1, 15), 16, 10).cast("long")
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), draw.as("draw"))
+      .withColumn("b", expr(s"draw div $OrderBucketWidth"))
+    val allW = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    val targets = base.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("s", floor(sqrt(col("n_docs").cast("double")) * lit(1000000L)).cast("long"))
+      .withColumn("stot", sum(col("s")).over(allW))   // integer sums: order-free
+      .withColumn("ntot", sum(col("n_docs")).over(allW))
+      .withColumn("target",
+        least(col("n_docs"), expr("((ntot div 2) * s) div stot")))
+      .select(col("lang"), col("target"))
+    val prefW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("b"))
+      .rowsBetween(w.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("lang"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(prefW), lit(0L)))
+      .select(col("lang"), col("b"), col("off"))
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("b")).orderBy(col("draw"), col("doc_id"))
+    base.join(broadcast(offsets), Seq("lang", "b"))
+      .withColumn("rk", col("off") + row_number().over(localW))
+      .join(broadcast(targets), Seq("lang"))
+      .filter(col("rk") <= col("target"))
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
   def d42InterleaveOrder(spark: SparkSession, sfDir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val draw = conv(substring(

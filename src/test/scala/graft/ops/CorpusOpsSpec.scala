@@ -420,6 +420,45 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     (merges(0)._2, merges(0)._3) shouldBe ((d30Top.getString(0), d30Top.getLong(1)))
   }
 
+  test("d44 temperature mix equals the naive window; small languages gain share over proportional") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf001)
+    val corpus = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val draw = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":temp"))), 1, 15), 16, 10).cast("long")
+    // naive truth: targets in exact integer arithmetic + ONE per-lang window
+    val s = corpus.map { case (l, n) => l -> math.floor(math.sqrt(n.toDouble) * 1e6).toLong }
+    val (stot, ntot) = (s.values.sum, corpus.values.sum)
+    val target = corpus.map { case (l, n) => l -> math.min(n, (ntot / 2) * s(l) / stot) }
+    val naiveW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("draw"), col("doc_id"))
+    val truth = docs.select(col("doc_id"), col("lang"), draw.as("draw"))
+      .withColumn("rk", row_number().over(naiveW).cast("long"))
+      .as[(Long, String, Long, Long)].collect()
+      .filter { case (_, l, _, rk) => rk <= target(l) }
+      .map { case (id, l, _, rk) => (id, l, rk) }.toSet
+    val got = CorpusOps.d44TemperatureMix(spark, sf001)
+      .as[(Long, String, Long)].collect()
+    got.toSet shouldBe truth
+    // temperature property: every language SMALLER than the largest gets
+    // at least its proportional share of the selected set; the largest
+    // gets at most its proportional share (alpha = 0.5 flattens)
+    val selected = got.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nsel = selected.values.sum.toDouble
+    val maxLang = corpus.maxBy(_._2)._1
+    corpus.foreach { case (l, n) =>
+      val propShare = n.toDouble / ntot
+      val selShare = selected.getOrElse(l, 0L) / nsel
+      if (l == maxLang) assert(selShare <= propShare + 1e-9)
+      else assert(selShare >= propShare - 1e-9,
+        s"$l under-represented: $selShare < $propShare")
+    }
+    // the budget binds: about half the corpus is selected (integer floors
+    // and per-lang caps only ever REDUCE it)
+    assert(nsel <= ntot / 2 && nsel >= ntot / 4)
+  }
+
   test("d42 interleave rank equals the naive per-source window; schedule is a valid interleave") {
     import spark.implicits._
     // naive truth: ONE window partitioned by source over (draw, doc_id) —

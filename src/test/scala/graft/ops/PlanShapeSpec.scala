@@ -176,6 +176,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("d43 residual IVF-PQ: per-cell ADC join broadcasts the probe side; corpus never shuffles to score") {
+    val p = plan("d43_ann_ivfpq_residual")
+    // queries x nprobe tiny rows broadcast against the encoded corpus —
+    // an equi-join on the cell id, so BHJ (not BNLJ, unlike d35's
+    // unpruned all-cells scoring pass)
+    assert(p.contains("BroadcastHashJoin"), s"the probe side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must not shuffle for ADC scoring:\n$p")
+  }
+
   test("d32_deciles_cutoff assigns buckets Window-free via a broadcast cutoff join") {
     val p = plan("d32_deciles_cutoff")
     assert(p.contains("BroadcastHashJoin"), s"the 9 cutoffs/lang must broadcast:\n$p")
