@@ -1381,11 +1381,18 @@ object CorpusOps {
     * document rows shuffle once); the target table is O(langs) rows of
     * pure integer arithmetic over order-free sums.
     */
-  def d44TemperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+  def d44TemperatureMix(spark: SparkSession, sfDir: String): DataFrame =
+    temperatureMixOver(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")))
+
+  /** [[d44TemperatureMix]]'s core over any `(doc_id, lang)` relation —
+    * parameterized for the ScalaCheck property pin (the d39
+    * `tokenBudgetOver` pattern).
+    */
+  private[graft] def temperatureMixOver(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val draw = conv(substring(
       md5(concat(col("doc_id").cast("string"), lit(":temp"))), 1, 15), 16, 10).cast("long")
-    val base = Tables.documents(spark, sfDir)
+    val base = docs
       .select(col("doc_id"), col("lang"), draw.as("draw"))
       .withColumn("b", expr(s"draw div $OrderBucketWidth"))
     val allW = org.apache.spark.sql.expressions.Window
@@ -1413,11 +1420,17 @@ object CorpusOps {
       .select(col("doc_id"), col("lang"), col("rk"))
   }
 
-  def d42InterleaveOrder(spark: SparkSession, sfDir: String): DataFrame = {
+  def d42InterleaveOrder(spark: SparkSession, sfDir: String): DataFrame =
+    interleaveOrderOver(Tables.documents(spark, sfDir).select(col("doc_id"), col("source")))
+
+  /** [[d42InterleaveOrder]]'s core over any `(doc_id, source)` relation —
+    * parameterized for the ScalaCheck property pin.
+    */
+  private[graft] def interleaveOrderOver(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val draw = conv(substring(
       md5(concat(col("doc_id").cast("string"), lit(":order"))), 1, 15), 16, 10).cast("long")
-    val base = Tables.documents(spark, sfDir)
+    val base = docs
       .select(col("doc_id"), col("source"), draw.as("draw"))
       .withColumn("b", expr(s"draw div $OrderBucketWidth"))
     val prefW = org.apache.spark.sql.expressions.Window
