@@ -176,6 +176,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("d44_temperature_mix: rank window is bucket-partitioned; offsets and targets broadcast; 2-column scan") {
+    val p = plan("d44_temperature_mix")
+    // same decomposition discipline as d42: the document-row rank must
+    // partition by (lang, draw-bucket), never by lang alone
+    assert("windowspecdefinition\\(lang#\\d+, b#\\d+L, draw#\\d+L ASC".r.findFirstIn(p).isDefined,
+      s"per-language rank must partition by (lang, bucket):\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort leaked into the selection:\n$p")
+    // O(langs x 256) offsets and O(langs) targets both broadcast back
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
+      s"offsets and targets must both broadcast:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"document scan must prune to (doc_id, lang):\n$p")
+  }
+
   test("d43 residual IVF-PQ: per-cell ADC join broadcasts the probe side; corpus never shuffles to score") {
     val p = plan("d43_ann_ivfpq_residual")
     // queries x nprobe tiny rows broadcast against the encoded corpus —
