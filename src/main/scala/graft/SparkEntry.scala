@@ -61,6 +61,7 @@ object SparkEntry {
     "d41_soft_dedup" -> (ops.CorpusOps.d41SoftDedup _),
     "d42_interleave_order" -> (ops.CorpusOps.d42InterleaveOrder _),
     "d44_temperature_mix" -> (ops.CorpusOps.d44TemperatureMix _),
+    "d45_dsir_select" -> (ops.CorpusOps.d45DsirSelect _),
     "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
     "d36_ann_ivfpq_full" -> (ops.VectorOps.d36AnnIvfPqFull _),
@@ -381,6 +382,28 @@ object SparkEntry {
         "tg AS (SELECT lang, least(n_docs, ((ntot // 2) * s) // stot) AS target FROM g), " +
         "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rk FROM h) " +
         "SELECT r.doc_id, r.lang, r.rk FROM r JOIN tg USING (lang) WHERE r.rk <= tg.target"),
+    // DSIR importance weights replayed end to end: the oracle re-derives
+    // the per-bucket fixed-point log2 weights with the SAME 20-step
+    // shift-and-square recurrence (every step an IEEE double multiply /
+    // power-of-two divide — correctly rounded, engine-identical), scores
+    // every document, and ranks with the plain global window the
+    // engine's bucket-decomposed rank must equal
+    "d45_dsir_select" ->
+      ("WITH RECURSIVE " +
+        "tok AS (SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents), " +
+        "tb AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS f FROM tok), " +
+        "cnt AS (SELECT f, count(*) AS r, count(*) FILTER (WHERE lang = 'en') AS t FROM tb GROUP BY f), " +
+        "tot AS (SELECT CAST(sum(t) AS BIGINT) + 256 AS tn, CAST(sum(r) AS BIGINT) + 256 AS rn FROM cnt), " +
+        "ns AS (SELECT DISTINCT n FROM (SELECT t + 1 AS n FROM cnt UNION ALL SELECT r + 1 FROM cnt UNION ALL SELECT tn FROM tot UNION ALL SELECT rn FROM tot)), " +
+        "lg AS (SELECT n, CAST(length(bin(n)) - 1 AS BIGINT) AS e, n / power(2.0, length(bin(n)) - 1) AS m, CAST(0 AS BIGINT) AS fr, 0 AS i FROM ns " +
+        "UNION ALL SELECT n, e, CASE WHEN m*m >= 2 THEN m*m/2 ELSE m*m END, fr*2 + CASE WHEN m*m >= 2 THEN 1 ELSE 0 END, i + 1 FROM lg WHERE i < 20), " +
+        "lgf AS (SELECT n, e * 1048576 + fr AS v FROM lg WHERE i = 20), " +
+        "w AS (SELECT cnt.f, (lt.v - (SELECT lgf.v FROM lgf, tot WHERE lgf.n = tot.tn)) - (lr.v - (SELECT lgf.v FROM lgf, tot WHERE lgf.n = tot.rn)) AS wt " +
+        "FROM cnt JOIN lgf lt ON lt.n = cnt.t + 1 JOIN lgf lr ON lr.n = cnt.r + 1), " +
+        "sc AS (SELECT tb.doc_id, CAST(sum(w.wt) AS BIGINT) AS score FROM tb JOIN w ON w.f = tb.f GROUP BY tb.doc_id), " +
+        "k AS (SELECT count(*) // 4 AS k FROM documents), " +
+        "r AS (SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk FROM sc) " +
+        "SELECT doc_id, score, rk FROM r, k WHERE rk <= k.k"),
     // the interleave key replayed directly: within-source rank over the
     // seeded md5 draw (the oracle's plain window = what the engine's
     // bucket decomposition must equal), slot = alphabetical source index

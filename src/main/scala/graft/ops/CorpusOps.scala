@@ -1404,20 +1404,43 @@ object CorpusOps {
       .withColumn("target",
         least(col("n_docs"), expr("((ntot div 2) * s) div stot")))
       .select(col("lang"), col("target"))
-    val prefW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("b"))
-      .rowsBetween(w.unboundedPreceding, -1)
-    val offsets = base.groupBy(col("lang"), col("b"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("off", coalesce(sum(col("n")).over(prefW), lit(0L)))
-      .select(col("lang"), col("b"), col("off"))
-    val localW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"), col("b")).orderBy(col("draw"), col("doc_id"))
-    base.join(broadcast(offsets), Seq("lang", "b"))
-      .withColumn("rk", col("off") + row_number().over(localW))
+    bucketRank(base, Seq("lang"), Seq(col("draw"), col("doc_id")))
       .join(broadcast(targets), Seq("lang"))
       .filter(col("rk") <= col("target"))
       .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
+  /** Bucket-decomposed grouped rank — the shared core of d42/d44/d45's
+    * selection/ordering operators. Ranks `df`'s rows within each
+    * `groupCols` group by `orderCols` (ties must be broken fully — the
+    * last order column must be a key) WITHOUT a per-group global window:
+    * `df` must carry a long column `b` that is MONOTONE NON-DECREASING
+    * along the `orderCols` ordering within every group (a draw-space or
+    * score-space quantization). Per-(group, b) counts roll into broadcast
+    * prefix offsets — the only single-partition window runs over that
+    * O(groups × buckets) relation — and each (group, b) partition ranks
+    * locally and adds its offset: parallelism is groups × buckets at any
+    * corpus size, and data rows shuffle exactly once (into their rank
+    * partition). Returns `df` plus `rk` (1-based rank within the group).
+    *
+    * [[tokenBudgetOver]] (d39) is the weighted sibling: same
+    * decomposition with a SUM accumulator instead of a count.
+    */
+  private[graft] def bucketRank(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val group = groupCols.map(col)
+    val prefW = org.apache.spark.sql.expressions.Window
+      .partitionBy(group: _*).orderBy(col("b"))
+      .rowsBetween(w.unboundedPreceding, -1)
+    val offsets = df.groupBy((group :+ col("b")): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(prefW), lit(0L)))
+      .select((group :+ col("b") :+ col("off")): _*)
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy((group :+ col("b")): _*).orderBy(orderCols: _*)
+    df.join(broadcast(offsets), groupCols :+ "b")
+      .withColumn("rk", col("off") + row_number().over(localW))
   }
 
   def d42InterleaveOrder(spark: SparkSession, sfDir: String): DataFrame =
@@ -1427,27 +1450,156 @@ object CorpusOps {
     * parameterized for the ScalaCheck property pin.
     */
   private[graft] def interleaveOrderOver(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
     val draw = conv(substring(
       md5(concat(col("doc_id").cast("string"), lit(":order"))), 1, 15), 16, 10).cast("long")
     val base = docs
       .select(col("doc_id"), col("source"), draw.as("draw"))
       .withColumn("b", expr(s"draw div $OrderBucketWidth"))
-    val prefW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("b"))
-      .rowsBetween(w.unboundedPreceding, -1)
-    val offsets = base.groupBy(col("source"), col("b"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("off", coalesce(sum(col("n")).over(prefW), lit(0L)))
-      .select(col("source"), col("b"), col("off"))
     val slots = base.select(col("source")).distinct()
       .withColumn("slot", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("source"))).cast("long"))
-    val localW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"), col("b")).orderBy(col("draw"), col("doc_id"))
-    base.join(broadcast(offsets), Seq("source", "b"))
-      .withColumn("round", col("off") + row_number().over(localW))
+    bucketRank(base, Seq("source"), Seq(col("draw"), col("doc_id")))
+      .withColumnRenamed("rk", "round")
       .join(broadcast(slots), Seq("source"))
       .select(col("doc_id"), col("source"), col("round"), col("slot"))
+  }
+
+  /** Hashed-feature bucket count for [[d45DsirSelect]]. 256 buckets is
+    * deliberately coarse for the fixture vocabulary; the production knob
+    * is 10^4–10^5 (the DSIR paper uses 10^4) and everything here is
+    * O(buckets) driver state, so raising it is free until the weight
+    * table stops being a broadcastable literal.
+    */
+  private[graft] val DsirBuckets = 256
+
+  /** Score-space quantization width for d45's [[bucketRank]] ranking:
+    * scores are fixed-point 2^-20 log-likelihood units, so 2^22-wide
+    * buckets = 4-bit steps of raw log-ratio — fine enough that rank
+    * parallelism stays high, coarse enough that the offset table stays
+    * tiny. The score RANGE grows with document length, not corpus size,
+    * so the bucket count is corpus-independent.
+    */
+  private val DsirScoreBucketWidth = 1L << 22
+
+  /** 20-fractional-bit fixed-point binary logarithm of a positive long:
+    * floor(log2(n) · 2^20) computed by the classic shift-and-square
+    * recurrence. Every step is an IEEE-754 double multiply / power-of-two
+    * divide / compare — all correctly rounded and engine-independent — so
+    * Spark-side weights and the DuckDB oracle's recursive-CTE replay of
+    * this exact recurrence are BIT-IDENTICAL, the same discipline that
+    * lets d44 use sqrt. (A libm log() would not be: ln is not required to
+    * be correctly rounded, and a 1-ulp disagreement under floor-to-fixed
+    * flips a weight.)
+    */
+  private[graft] def log2Fx(n: Long): Long = {
+    require(n > 0, s"log2Fx domain: $n")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    var m = n.toDouble / java.lang.Math.pow(2.0, e.toDouble) // exact: n < 2^53, 2^e exact
+    var frac = 0L
+    var i = 0
+    while (i < 20) {
+      m = m * m
+      if (m >= 2.0) { frac = frac * 2 + 1; m = m / 2 } else frac = frac * 2
+      i += 1
+    }
+    e.toLong * (1L << 20) + frac
+  }
+
+  /** DSIR-style data selection via importance resampling (Xie et al.,
+    * NeurIPS 2023 — hashed n-gram importance weights): documents are
+    * scored by the log-likelihood ratio of a TARGET unigram distribution
+    * (here: the English slice, the "looks like the domain I want" proxy)
+    * against the RAW pool distribution, over [[DsirBuckets]] hashed word
+    * features, and the top quarter by score is selected. Weight of
+    * feature f: w_f = log p_t(f) − log p_r(f) with add-one smoothing,
+    * in [[log2Fx]] fixed-point units so the score is an exact int64 sum;
+    * doc score = Σ over token OCCURRENCES of w_bucket(token) — exactly
+    * the doc's log importance weight under the bag-of-hashed-unigrams
+    * model. Output: (doc_id, score, rk) for the selected k = N div 4.
+    *
+    * SCALE, in three corpus passes none of which shuffles document text:
+    * (1) the feature-count pass is one map-side-combined aggregate to
+    * O(buckets) rows, collected like kmeansCentroids' k-row table;
+    * (2) the weight table rides the SCORING scan as a dense array
+    * literal indexed positionally by bucket (element_at is O(1); a map
+    * literal's lookup is a linear probe) — scoring is a zero-shuffle
+    * codegen'd projection; (3) selection is [[bucketRank]] over the
+    * score-space quantization (score-range buckets, NOT a global
+    * TakeOrdered: k = N/4 is corpus-sized, so top-k-to-driver is not an
+    * option). The count() for k is a parquet metadata read.
+    */
+  def d45DsirSelect(spark: SparkSession, sfDir: String): DataFrame =
+    dsirSelectOver(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (col("lang") === "en").as("is_target"), col("text")))
+
+  /** [[d45DsirSelect]]'s core over any `(doc_id, is_target, text)`
+    * relation — parameterized for the ScalaCheck property pin.
+    */
+  private[graft] def dsirSelectOver(docs: DataFrame): DataFrame = {
+    val wts = dsirWeights(docs)
+    val k = docs.count() / 4
+    val scored = docs.select(col("doc_id"), dsirScore(wts, col("text")).as("score"))
+      .withColumn("b", expr(s"(-score) div $DsirScoreBucketWidth"))
+    bucketRank(scored, Seq.empty, Seq(col("score").desc, col("doc_id")))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("score"), col("rk"))
+  }
+
+  /** The importance-weight table: per-bucket fixed-point log-likelihood
+    * ratios, from ONE map-side-combined aggregate collected at O(buckets)
+    * (the kmeansCentroids small-model precedent). Dense in bucket id:
+    * buckets absent from the pool keep the smoothed t=r=0 weight
+    * (lR − lT), so a STREAMED document with unseen tokens (s16) still
+    * scores — the batch scan never consults them.
+    */
+  private[graft] def dsirWeights(docs: DataFrame): Array[Long] = {
+    val B = DsirBuckets
+    val counts = docs
+      .select(col("is_target"), explode(words(col("text"))).as("w"))
+      .select(pmod(conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"),
+        lit(B.toLong)).as("f"), col("is_target"))
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("r"), count_if(col("is_target")).as("t"))
+      .collect()
+    val tTot = counts.map(_.getAs[Long]("t")).sum
+    val rTot = counts.map(_.getAs[Long]("r")).sum
+    val (lT, lR) = (log2Fx(tTot + B), log2Fx(rTot + B))
+    val wts = Array.fill[Long](B)(lR - lT)
+    counts.foreach { row =>
+      val f = row.getAs[Long]("f").toInt
+      wts(f) = (log2Fx(row.getAs[Long]("t") + 1) - lT) -
+        (log2Fx(row.getAs[Long]("r") + 1) - lR)
+    }
+    wts
+  }
+
+  /** The zero-shuffle scoring expression: fold the token array through a
+    * positional lookup into the dense per-bucket weight literal. Shared
+    * verbatim by the batch selection and the s16 at-ingest gate (the two
+    * must agree bit for bit on every document).
+    */
+  private[graft] def dsirScore(wts: Array[Long], text: Column): Column = {
+    val B = DsirBuckets
+    val wlit = array(wts.map(lit(_)).toIndexedSeq: _*)
+    aggregate(words(text), lit(0L), (acc, w) => acc +
+      element_at(wlit,
+        (pmod(conv(substring(md5(w), 1, 15), 16, 10).cast("long"), lit(B.toLong)) + 1)
+          .cast("int")))
+  }
+
+  /** The trained gate for the s16 streaming twin: the dense weight table
+    * and the batch selection's admission threshold (the k-th selected
+    * score — a stream cannot rank, so the gate admits score >= cutoff,
+    * i.e. every document that ties the boundary). Both derive
+    * deterministically from the batch corpus, the s14/s15
+    * train-in-batch / apply-at-ingest discipline.
+    */
+  private[graft] def dsirGate(spark: SparkSession, sfDir: String): (Array[Long], Long) = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (col("lang") === "en").as("is_target"), col("text"))
+    val wts = dsirWeights(docs)
+    val cutoff = d45DsirSelect(spark, sfDir)
+      .agg(min(col("score"))).head().getLong(0)
+    (wts, cutoff)
   }
 }
