@@ -106,6 +106,8 @@ object SparkEntry {
       ((s: SparkSession, dir: String) => streaming.StreamingQueries.s14StreamAnnIngest(s, dir)),
     "s15_stream_pq_ingest" ->
       ((s: SparkSession, dir: String) => streaming.StreamingQueries.s15StreamPqIngest(s, dir)),
+    "s16_stream_dsir_gate" ->
+      ((s: SparkSession, dir: String) => streaming.StreamingQueries.s16StreamDsirGate(s, dir)),
     // relational coverage (SURVEY.md §2D → Spark built-ins)
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_revenue_by_nation" -> (ops.RelationalOps.qRevenueByNation _),
@@ -252,6 +254,30 @@ object SparkEntry {
     * against literal quantizers makes streaming == batch regardless of
     * shard interleaving.
     */
+  /** The shared DSIR replay (d45 batch selection / s16 at-ingest gate):
+    * hashed-bucket counts, the 20-step shift-and-square fixed-point
+    * binary log as a recursive CTE (every step an IEEE double multiply /
+    * power-of-two divide — correctly rounded, engine-identical, the same
+    * recurrence as `CorpusOps.log2Fx`), per-bucket log-ratio weights,
+    * per-document scores, and the plain global rank the engine's
+    * bucket-decomposed rank must equal.
+    */
+  private def dsirCteSql: String =
+    "WITH RECURSIVE " +
+      "tok AS (SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents), " +
+      "tb AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS f FROM tok), " +
+      "cnt AS (SELECT f, count(*) AS r, count(*) FILTER (WHERE lang = 'en') AS t FROM tb GROUP BY f), " +
+      "tot AS (SELECT CAST(sum(t) AS BIGINT) + 256 AS tn, CAST(sum(r) AS BIGINT) + 256 AS rn FROM cnt), " +
+      "ns AS (SELECT DISTINCT n FROM (SELECT t + 1 AS n FROM cnt UNION ALL SELECT r + 1 FROM cnt UNION ALL SELECT tn FROM tot UNION ALL SELECT rn FROM tot)), " +
+      "lg AS (SELECT n, CAST(length(bin(n)) - 1 AS BIGINT) AS e, n / power(2.0, length(bin(n)) - 1) AS m, CAST(0 AS BIGINT) AS fr, 0 AS i FROM ns " +
+      "UNION ALL SELECT n, e, CASE WHEN m*m >= 2 THEN m*m/2 ELSE m*m END, fr*2 + CASE WHEN m*m >= 2 THEN 1 ELSE 0 END, i + 1 FROM lg WHERE i < 20), " +
+      "lgf AS (SELECT n, e * 1048576 + fr AS v FROM lg WHERE i = 20), " +
+      "w AS (SELECT cnt.f, (lt.v - (SELECT lgf.v FROM lgf, tot WHERE lgf.n = tot.tn)) - (lr.v - (SELECT lgf.v FROM lgf, tot WHERE lgf.n = tot.rn)) AS wt " +
+      "FROM cnt JOIN lgf lt ON lt.n = cnt.t + 1 JOIN lgf lr ON lr.n = cnt.r + 1), " +
+      "sc AS (SELECT tb.doc_id, CAST(sum(w.wt) AS BIGINT) AS score FROM tb JOIN w ON w.f = tb.f GROUP BY tb.doc_id), " +
+      "k AS (SELECT count(*) // 4 AS k FROM documents), " +
+      "r AS (SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk FROM sc)"
+
   private def streamPqIngestOracleSql: String = {
     val iters = (0 until 3).map { i =>
       s"j$i AS (SELECT s.vec_id, s.m, s.v, c.cid, c.cv FROM sub s JOIN cb$i c ON s.m = c.m), " +
@@ -389,21 +415,12 @@ object SparkEntry {
     // every document, and ranks with the plain global window the
     // engine's bucket-decomposed rank must equal
     "d45_dsir_select" ->
-      ("WITH RECURSIVE " +
-        "tok AS (SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents), " +
-        "tb AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS f FROM tok), " +
-        "cnt AS (SELECT f, count(*) AS r, count(*) FILTER (WHERE lang = 'en') AS t FROM tb GROUP BY f), " +
-        "tot AS (SELECT CAST(sum(t) AS BIGINT) + 256 AS tn, CAST(sum(r) AS BIGINT) + 256 AS rn FROM cnt), " +
-        "ns AS (SELECT DISTINCT n FROM (SELECT t + 1 AS n FROM cnt UNION ALL SELECT r + 1 FROM cnt UNION ALL SELECT tn FROM tot UNION ALL SELECT rn FROM tot)), " +
-        "lg AS (SELECT n, CAST(length(bin(n)) - 1 AS BIGINT) AS e, n / power(2.0, length(bin(n)) - 1) AS m, CAST(0 AS BIGINT) AS fr, 0 AS i FROM ns " +
-        "UNION ALL SELECT n, e, CASE WHEN m*m >= 2 THEN m*m/2 ELSE m*m END, fr*2 + CASE WHEN m*m >= 2 THEN 1 ELSE 0 END, i + 1 FROM lg WHERE i < 20), " +
-        "lgf AS (SELECT n, e * 1048576 + fr AS v FROM lg WHERE i = 20), " +
-        "w AS (SELECT cnt.f, (lt.v - (SELECT lgf.v FROM lgf, tot WHERE lgf.n = tot.tn)) - (lr.v - (SELECT lgf.v FROM lgf, tot WHERE lgf.n = tot.rn)) AS wt " +
-        "FROM cnt JOIN lgf lt ON lt.n = cnt.t + 1 JOIN lgf lr ON lr.n = cnt.r + 1), " +
-        "sc AS (SELECT tb.doc_id, CAST(sum(w.wt) AS BIGINT) AS score FROM tb JOIN w ON w.f = tb.f GROUP BY tb.doc_id), " +
-        "k AS (SELECT count(*) // 4 AS k FROM documents), " +
-        "r AS (SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk FROM sc) " +
-        "SELECT doc_id, score, rk FROM r, k WHERE rk <= k.k"),
+      (dsirCteSql + " SELECT doc_id, score, rk FROM r, k WHERE rk <= k.k"),
+    // the at-ingest twin admits by SCORE >= the batch selection's minimum
+    // (a stream cannot rank; ties at the boundary are admitted)
+    "s16_stream_dsir_gate" ->
+      (dsirCteSql + " SELECT sc.doc_id, sc.score FROM sc WHERE sc.score >= " +
+        "(SELECT min(score) FROM r, k WHERE rk <= k.k)"),
     // the interleave key replayed directly: within-source rank over the
     // seeded md5 draw (the oracle's plain window = what the engine's
     // bucket decomposition must equal), slot = alphabetical source index

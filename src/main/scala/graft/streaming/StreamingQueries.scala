@@ -391,6 +391,44 @@ object StreamingQueries {
     spark.table(mem)
   }
 
+  /** QUALITY GATE at ingest — d45's DSIR importance weights running as an
+    * admission filter: the weight table and the admission threshold (the
+    * k-th selected score of the batch selection) are derived ONCE from
+    * the batch corpus (`CorpusOps.dsirGate` — deterministic, the
+    * s14/s15 train-in-batch/apply-at-ingest discipline), then every
+    * arriving document is scored by the identical zero-shuffle expression
+    * (`CorpusOps.dsirScore` — the dense weight array rides the plan as a
+    * literal) and admitted iff score >= cutoff. A stream cannot rank, so
+    * the gate admits score ties at the boundary — the oracle encodes
+    * exactly that (score >= min(selected score)), which on this corpus
+    * equals the batch selection.
+    *
+    * SCALE: stateless per-row projection + filter — no state store, no
+    * shuffle, no join; the weight table is O(buckets) literals. This is
+    * the shape of a real at-ingest quality gate: retrain the weights
+    * nightly in batch, ship them to the ingest job as a broadcast/literal,
+    * and the 1000-executor stream filters at wire speed.
+    */
+  def s16StreamDsirGate(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+    val shardDir = corpusShardDir(spark, sfDir)
+    val (wts, cutoff) = graft.ops.CorpusOps.dsirGate(spark, sfDir)
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
+    val q = ShardedCorpus.readStream(spark, shardDir, maxFilesPerTrigger)
+      .select(col("doc_id"), graft.ops.CorpusOps.dsirScore(wts, col("text")).as("score"))
+      .filter(col("score") >= cutoff)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
+
   /** INCREMENTAL corpus dedup — `ops.CorpusOps.d1ExactDedup`'s fingerprint
     * running at ingest: documents arrive on a sharded stream, each
     * micro-batch fingerprints its documents (d1's md5-of-sorted-word-set,

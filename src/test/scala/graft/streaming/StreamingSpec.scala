@@ -1510,6 +1510,21 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     total shouldBe graft.Tables.embeddings(spark, sf001).count()
   }
 
+  test("streaming DSIR gate admits exactly the batch selection under 1-file triggers") {
+    // the at-ingest quality gate: weights + cutoff are batch-trained and
+    // FIXED, scoring is a stateless per-row projection — so admissions
+    // must equal the batch d45 selection (scores are unique enough on
+    // this corpus that the >=-cutoff gate and the rank agree) under any
+    // shard interleaving
+    val streamed = StreamingQueries
+      .s16StreamDsirGate(spark, sf001, maxFilesPerTrigger = Some(1))
+      .select(col("doc_id"), col("score"))
+    val batch = graft.ops.CorpusOps.d45DsirSelect(spark, sf001)
+      .select(col("doc_id"), col("score"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("incremental dup-span marking emits the first occurrence RETROACTIVELY across micro-batches") {
     // 1-file triggers: a window shared by docs in different shards has
     // its first sighting stored in state for whole batches before the
