@@ -63,6 +63,7 @@ object SparkEntry {
     "d44_temperature_mix" -> (ops.CorpusOps.d44TemperatureMix _),
     "d45_dsir_select" -> (ops.CorpusOps.d45DsirSelect _),
     "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
+    "d46_semdedup" -> (ops.VectorOps.d46SemDedup _),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
     "d36_ann_ivfpq_full" -> (ops.VectorOps.d36AnnIvfPqFull _),
     "d43_ann_ivfpq_residual" -> (ops.VectorOps.d43AnnIvfPqResidual _),
@@ -421,6 +422,21 @@ object SparkEntry {
     "s16_stream_dsir_gate" ->
       (dsirCteSql + " SELECT sc.doc_id, sc.score FROM sc WHERE sc.score >= " +
         "(SELECT min(score) FROM r, k WHERE rk <= k.k)"),
+    // SemDeDup replay: exact-integer centroids (the d34 table), so the
+    // unrounded centroid-similarity ordering the keep-rule compares is
+    // bit-identical across engines; pairs meet only within their cell
+    "d46_semdedup" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), " +
+        "ex AS (SELECT label, unnest(range(1, len(v) + 1)) AS i, v FROM e), " +
+        "qz AS (SELECT label, i, sum(CAST(floor(v[i] * 1048576) AS BIGINT)) AS sq, count(*) AS n FROM ex GROUP BY 1, 2), " +
+        "cents AS (SELECT label AS c_label, list(sq / (n * 1048576.0) ORDER BY i) AS cv FROM qz GROUP BY label), " +
+        "cs AS (SELECT e.vec_id, e.label, e.v, list_sum([e.v[i] * cv[i] for i in range(1, len(e.v) + 1)]) / (sqrt(list_sum([e.v[i] * e.v[i] for i in range(1, len(e.v) + 1)])) * sqrt(list_sum([cv[i] * cv[i] for i in range(1, len(cv) + 1)]))) AS csim FROM e JOIN cents ON cents.c_label = e.label), " +
+        "dropped AS (SELECT DISTINCT a.vec_id FROM cs a JOIN cs b ON a.label = b.label AND a.vec_id <> b.vec_id " +
+        "WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (sqrt(list_sum([a.v[i] * a.v[i] for i in range(1, len(a.v) + 1)])) * sqrt(list_sum([b.v[i] * b.v[i] for i in range(1, len(b.v) + 1)]))) >= 0.38 " +
+        "AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))) " +
+        "SELECT cs.vec_id, CAST(cs.label AS BIGINT) AS cell, round(cs.csim, 6) AS cent_sim, " +
+        "CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept " +
+        "FROM cs LEFT JOIN dropped d ON d.vec_id = cs.vec_id"),
     // the interleave key replayed directly: within-source rank over the
     // seeded md5 draw (the oracle's plain window = what the engine's
     // bucket decomposition must equal), slot = alphabetical source index

@@ -486,6 +486,62 @@ object VectorOps {
     */
   def vecAsDouble(c: Column): Column = asDouble(c)
 
+  /** SemDeDup pair threshold: below d9's 0.45 tail cut because SemDeDup
+    * prunes WITHIN clusters, where baseline similarity is already
+    * elevated — 0.38 exercises the keep-rule on this corpus at every SF.
+    */
+  private val SemDedupThreshold = 0.38
+
+  /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, public): prune
+    * near-duplicate EMBEDDINGS within each cluster of the corpus. Pairs
+    * are compared only inside their coarse cell (here the label cell =
+    * the d7/d34 IVF convention); a member is dropped when some same-cell
+    * neighbor with cosine >= [[SemDedupThreshold]] precedes it under the
+    * keep order (LOWER similarity-to-centroid first — SemDeDup keeps the
+    * least-redundant member of a dup pair — vec_id breaking exact ties).
+    * Output: every embedding with its cell, rounded centroid similarity,
+    * and kept flag (1/0 — the kept set is the curated corpus).
+    *
+    * Exactness: centroids are d34's exact-integer table, so both the
+    * centroid similarities and the pair similarities are bit-identical
+    * doubles in every engine; the unrounded csim ordering the keep-rule
+    * compares is therefore oracle-replayable (the d34 cell-ranking
+    * precedent).
+    *
+    * SCALE: the quadratic term is confined to each cell — exactly the
+    * SemDeDup design (cluster first so all-pairs is per-cluster) — as a
+    * shuffle equi-join on the cell id: O(Σ cell²) compares spread over
+    * cells × partitions tasks, no broadcast of the corpus, no global
+    * all-pairs. Cell occupancy is the knob: at 100 TB the cell count
+    * scales with corpus size (k-means cells via d13's trained quantizer
+    * instead of the fixture labels), holding per-cell work constant.
+    */
+  def d46SemDedup(spark: SparkSession, sfDir: String): DataFrame =
+    semDedupOver(embeddings(spark, sfDir))
+
+  /** [[d46SemDedup]]'s core over any `(vec_id, v, label)` relation —
+    * parameterized for the ScalaCheck property pin.
+    */
+  private[graft] def semDedupOver(e: DataFrame): DataFrame = {
+    val cs = e.join(broadcast(labelCentroidsExact(e)), col("label") === col("c_label"))
+      .select(col("vec_id"), col("label"), col("v"),
+        cosine(col("v"), col("cv")).as("csim"))
+    val a = cs.select(col("vec_id").as("a_id"), col("label"),
+      col("v").as("va"), col("csim").as("ca"))
+    val b = cs.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("v").as("vb"), col("csim").as("cb"))
+    val dropped = a.join(b,
+        col("label") === col("b_label") && col("a_id") =!= col("b_id"))
+      .filter(cosine(col("va"), col("vb")) >= SemDedupThreshold)
+      .filter(col("cb") < col("ca") ||
+        (col("cb") === col("ca") && col("b_id") < col("a_id")))
+      .select(col("a_id")).distinct()
+    cs.join(dropped, col("vec_id") === col("a_id"), "left")
+      .select(col("vec_id"), col("label").cast("long").as("cell"),
+        round(col("csim"), 6).as("cent_sim"),
+        when(col("a_id").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+  }
+
   private def nearestCidLit(centroids: Seq[(Int, Seq[Double])], vcol: Column = col("v")): Column = {
     val cents = typedlit(centroids.sortBy(_._1).map { case (cid, cv) => (cid, cv) })
     array_min(transform(cents, c =>
