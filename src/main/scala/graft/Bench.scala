@@ -101,6 +101,24 @@ object Bench {
 
   private val userHz = 100.0 // USER_HZ: jiffies per second, 100 on Linux
 
+  /** Reference spin floor for the normalized total: the ~15 ms the fixed
+    * probe work took on this machine class in verified-quiet r8/r9 runs.
+    * The within-run suspect flags compare against the RUN's own minimum
+    * and so cannot see a GLOBAL slowdown (r10's box ran every probe at
+    * ~25 ms — 1.6x — with every within-run signal quiet); `spinNormTotal`
+    * = total x (reference / run-min-spin) rescales the headline total to
+    * reference-floor seconds so cross-round deltas self-correct. It is
+    * ADVISORY (the raw total stays the metric): the rescale assumes the
+    * slowdown hits spin-bound and Spark-bound work equally.
+    */
+  private[graft] val ReferenceSpinFloorMs = 15.0
+
+  /** total seconds rescaled to the reference spin floor (see
+    * [[ReferenceSpinFloorMs]]); -1 when the run floor is unusable.
+    */
+  private[graft] def spinNormTotal(totalSec: Double, runMinSpinMs: Double): Double =
+    if (runMinSpinMs > 0) totalSec * (ReferenceSpinFloorMs / runMinSpinMs) else -1.0
+
   /** The three-signal contention verdict (see class doc): any of
     *  (1) median spin RATIO > 1.5 (guest-OS descheduling; -1 = thread-CPU
     *      accounting unavailable, that probe abstains — all abstained means
@@ -344,6 +362,7 @@ object Bench {
         s""","contention":{"medianSpinWallToCpu":${f(medianSpin)}""" +
         s""","maxSpinWallToCpu":${f(maxSpin)},"minSpinMs":${f(minSpinMs)}""" +
         s""","medianSpinMs":${f(medianSpinMs)},"maxSpinMs":${f(spinWalls.last)}""" +
+        s""","spinNormTotal":${f(spinNormTotal(total, minSpinMs))}""" +
         s""","stealSec":${f(totalSteal)},"cores":$cores,"procCpuSec":${f(totalCpu)}""" +
         s""","gcSec":${f(totalGc)}},"telemetry":$telemetry}"""
     println(json)

@@ -122,6 +122,16 @@ class BenchTelemetrySpec extends AnyFunSuite with Matchers {
     assert(big.length < 1500) // fits any sane tail window
   }
 
+  test("spin-floor-normalized total: rescales to the reference floor, abstains on bad floor") {
+    // a run whose quietest probe took 2x the reference floor measured a
+    // globally-slow box: the normalized total halves the raw one
+    Bench.spinNormTotal(60.0, Bench.ReferenceSpinFloorMs * 2) shouldBe 30.0 +- 1e-9
+    // at the reference floor the rescale is the identity
+    Bench.spinNormTotal(60.0, Bench.ReferenceSpinFloorMs) shouldBe 60.0 +- 1e-9
+    // unusable floor (never produced by spinProbe, defensive) abstains
+    Bench.spinNormTotal(60.0, 0.0) shouldBe -1.0
+  }
+
   test("steal parse: /proc/stat aggregate-cpu line, jiffies to seconds") {
     // cpu user nice system idle iowait irq softirq STEAL guest guest_nice
     Bench.parseStealSec("cpu  3378047 0 1916229 130463598 40238 0 31882 566726 0 0") shouldBe
