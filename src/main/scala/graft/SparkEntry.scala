@@ -62,6 +62,7 @@ object SparkEntry {
     "d42_interleave_order" -> (ops.CorpusOps.d42InterleaveOrder _),
     "d44_temperature_mix" -> (ops.CorpusOps.d44TemperatureMix _),
     "d45_dsir_select" -> (ops.CorpusOps.d45DsirSelect _),
+    "d47_ppl_filter" -> (ops.CorpusOps.d47PplFilter _),
     "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
     "d46_semdedup" -> (ops.VectorOps.d46SemDedup _),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
@@ -422,6 +423,29 @@ object SparkEntry {
     "s16_stream_dsir_gate" ->
       (dsirCteSql + " SELECT sc.doc_id, sc.score FROM sc WHERE sc.score >= " +
         "(SELECT min(score) FROM r, k WHERE rk <= k.k)"),
+    // CCNet tercile replay: the hashed add-one bigram LM retrained in
+    // SQL (bucket counts -> the same fixed-point log2 recursive CTE),
+    // per-doc average log-prob, plain global rank into terciles; the
+    // per-bigram +2^26 offset keeps the integer division nonnegative,
+    // where Spark's truncating div and DuckDB's flooring // agree
+    "d47_ppl_filter" ->
+      ("WITH RECURSIVE " +
+        "w AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+        "bg0 AS (SELECT doc_id, lang, unnest([{'b': ws[i] || ' ' || ws[i+1], 'c': ws[i]} for i in range(1, len(ws))]) AS u FROM w WHERE len(ws) >= 2), " +
+        "bg AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(u.b), 1, 15)) AS BIGINT) % 4096 AS hb, CAST(('0x' || substr(md5(u.c), 1, 15)) AS BIGINT) % 256 AS hc FROM bg0), " +
+        "cb AS (SELECT hb, count(*) AS n FROM bg WHERE lang = 'en' GROUP BY hb), " +
+        "cu AS (SELECT hc, count(*) AS n FROM bg WHERE lang = 'en' GROUP BY hc), " +
+        "ns AS (SELECT DISTINCT n FROM (SELECT n + 1 AS n FROM cb UNION ALL SELECT n + 256 FROM cu)), " +
+        "lg AS (SELECT n, CAST(length(bin(n)) - 1 AS BIGINT) AS e, n / power(2.0, length(bin(n)) - 1) AS m, CAST(0 AS BIGINT) AS fr, 0 AS i FROM ns " +
+        "UNION ALL SELECT n, e, CASE WHEN m*m >= 2 THEN m*m/2 ELSE m*m END, fr*2 + CASE WHEN m*m >= 2 THEN 1 ELSE 0 END, i + 1 FROM lg WHERE i < 20), " +
+        "lgf AS (SELECT n, e * 1048576 + fr AS v FROM lg WHERE i = 20), " +
+        "cbw AS (SELECT cb.hb, lgf.v FROM cb JOIN lgf ON lgf.n = cb.n + 1), " +
+        "cuw AS (SELECT cu.hc, lgf.v FROM cu JOIN lgf ON lgf.n = cu.n + 256), " +
+        "sc AS (SELECT bg.doc_id, count(*) AS n_bigrams, CAST(sum(coalesce(cbw.v, 0) - coalesce(cuw.v, 8388608) + 67108864) AS BIGINT) AS score FROM bg LEFT JOIN cbw ON cbw.hb = bg.hb LEFT JOIN cuw ON cuw.hc = bg.hc GROUP BY bg.doc_id), " +
+        "av AS (SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, (score * 1048576) // n_bigrams AS avg_fx FROM sc), " +
+        "nn AS (SELECT count(*) AS n_docs FROM av), " +
+        "r AS (SELECT doc_id, n_bigrams, avg_fx, row_number() OVER (ORDER BY avg_fx DESC, doc_id) AS rk FROM av) " +
+        "SELECT doc_id, n_bigrams, avg_fx, CASE WHEN rk <= n_docs // 3 THEN 'head' WHEN rk <= (2 * n_docs) // 3 THEN 'middle' ELSE 'tail' END AS ppl_bucket FROM r, nn"),
     // SemDeDup replay: exact-integer centroids (the d34 table), so the
     // unrounded centroid-similarity ordering the keep-rule compares is
     // bit-identical across engines; pairs meet only within their cell

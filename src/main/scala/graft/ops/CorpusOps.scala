@@ -1594,6 +1594,115 @@ object CorpusOps {
     * deterministically from the batch corpus, the s14/s15
     * train-in-batch / apply-at-ingest discipline.
     */
+  /** Hashed-bigram bucket count for [[d47PplFilter]]'s LM. As with
+    * [[DsirBuckets]], deliberately small for the fixture vocabulary; the
+    * production knob is millions of buckets and the model stays O(buckets)
+    * driver state either way.
+    */
+  private[graft] val PplBigramBuckets = 4096
+
+  /** Per-bigram score offset for d47: shifts every (negative) log-prob
+    * term into nonnegative range so the truncating integer division both
+    * engines share IS floor division (Spark's `div` truncates toward
+    * zero, DuckDB's `//` floors — they agree only on nonnegatives). A
+    * per-bigram CONSTANT shift is rank-neutral for the per-bigram
+    * average the terciles order by. 2^26 fixed-point = 64.0 in log2
+    * units, safely above any term's magnitude (|term| <= log2(count)+8
+    * < 64 until per-bucket counts pass 2^56).
+    */
+  private[graft] val PplTermOffset = 1L << 26
+
+  /** Score-space bucket width for d47's tercile [[bucketRank]]: average
+    * fixed-point 2^-40 units (the 2^-20 log quantization divided through
+    * by n_bigrams carries another 2^20 scale), range bounded by the
+    * offset band — corpus-independent like d45's.
+    */
+  private val PplScoreBucketWidth = 1L << 38
+
+  /** CCNet-style LM-perplexity quality bucketing (Wenzek et al. 2020 —
+    * the head/middle/tail split every web-scale curation pipeline runs):
+    * a hashed add-one BIGRAM language model trains on the TARGET slice
+    * (the English documents, as d45), every document is scored by its
+    * per-bigram average log-probability proxy, and documents split into
+    * perplexity terciles by rank — `head` reads most like the target LM.
+    * Scoring term for bigram (w1, w2): log2fx(C(h(w1 w2)) + 1) −
+    * log2fx(C(h(w1)) + 256) in [[log2Fx]] fixed point (+[[PplTermOffset]]
+    * to stay nonnegative), i.e. an add-one-smoothed conditional over
+    * hashed bigram space — the KenLM surrogate that keeps the model
+    * O(buckets) and the oracle bit-exact. Documents under 2 tokens have
+    * no bigram to score and are excluded (CCNet drops unscorable docs).
+    * Output: (doc_id, n_bigrams, avg_fx, ppl_bucket).
+    *
+    * SCALE: training is ONE map-side-combined grouping-sets aggregate
+    * (bigram buckets and context buckets in one shuffle, ≤ 4096+256
+    * output rows, collected like kmeansCentroids); scoring rides a
+    * second scan as a zero-shuffle fold over two dense array literals;
+    * terciles are [[bucketRank]] over the score-space quantization plus
+    * one broadcast single-row count. Document text never shuffles.
+    */
+  def d47PplFilter(spark: SparkSession, sfDir: String): DataFrame =
+    pplFilterOver(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (col("lang") === "en").as("is_target"), col("text")))
+
+  /** [[d47PplFilter]]'s core over any `(doc_id, is_target, text)`
+    * relation — parameterized for the ScalaCheck property pin.
+    */
+  private[graft] def pplFilterOver(docs: DataFrame): DataFrame = {
+    val (bigWts, ctxWts) = pplModel(docs)
+    val bigLit = array(bigWts.map(lit(_)).toIndexedSeq: _*)
+    val ctxLit = array(ctxWts.map(lit(_)).toIndexedSeq: _*)
+    def bucket(c: Column, m: Int): Column =
+      pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(m.toLong))
+    val ws = words(col("text"))
+    val score = aggregate(sequence(lit(0), size(ws) - 2), lit(0L), (acc, i) => acc +
+      element_at(bigLit, (bucket(concat_ws(" ",
+        element_at(ws, i + 1), element_at(ws, i + 2)), PplBigramBuckets) + 1).cast("int")) -
+      element_at(ctxLit, (bucket(element_at(ws, i + 1), DsirBuckets) + 1).cast("int")) +
+      lit(PplTermOffset))
+    val scored = docs
+      .filter(size(words(col("text"))) >= 2)
+      .select(col("doc_id"), (size(ws) - 1).cast("long").as("n_bigrams"), score.as("score"))
+      .withColumn("avg_fx", expr("(score * 1048576) div n_bigrams"))
+      .withColumn("b", expr(s"(-avg_fx) div $PplScoreBucketWidth"))
+    val n = broadcast(scored.agg(count(lit(1)).as("n_docs")))
+    bucketRank(scored, Seq.empty, Seq(col("avg_fx").desc, col("doc_id")))
+      .crossJoin(n)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_fx"),
+        when(col("rk") <= expr("n_docs div 3"), lit("head"))
+          .when(col("rk") <= expr("(2 * n_docs) div 3"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
+  /** The hashed bigram LM: dense per-bucket [[log2Fx]] tables
+    * (bigram-bucket counts + context-bucket counts over the target
+    * slice), from ONE grouping-sets aggregate — both marginals in one
+    * shuffle, O(buckets) rows collected.
+    */
+  private[graft] def pplModel(docs: DataFrame): (Array[Long], Array[Long]) = {
+    def bucket(c: Column, m: Int): Column =
+      pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(m.toLong))
+    val ws = words(col("text"))
+    val pairs = docs.filter(col("is_target") && size(ws) >= 2)
+      .select(explode(transform(sequence(lit(0), size(ws) - 2), i =>
+        struct(concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2)).as("bg"),
+          element_at(ws, i + 1).as("c1")))).as("u"))
+      .select(bucket(col("u.bg"), PplBigramBuckets).as("hb"),
+        bucket(col("u.c1"), DsirBuckets).as("hc"))
+    val rows = pairs
+      .groupingSets(Seq(Seq(col("hb")), Seq(col("hc"))), col("hb"), col("hc"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val bigWts = Array.fill[Long](PplBigramBuckets)(log2Fx(1)) // absent: count 0
+    val ctxWts = Array.fill[Long](DsirBuckets)(log2Fx(256L))   // absent: 0 + 256
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("hb")))
+        bigWts(r.getAs[Long]("hb").toInt) = log2Fx(r.getAs[Long]("n") + 1)
+      else if (!r.isNullAt(r.fieldIndex("hc")))
+        ctxWts(r.getAs[Long]("hc").toInt) = log2Fx(r.getAs[Long]("n") + 256)
+    }
+    (bigWts, ctxWts)
+  }
+
   private[graft] def dsirGate(spark: SparkSession, sfDir: String): (Array[Long], Long) = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), (col("lang") === "en").as("is_target"), col("text"))
