@@ -63,6 +63,7 @@ object SparkEntry {
     "d44_temperature_mix" -> (ops.CorpusOps.d44TemperatureMix _),
     "d45_dsir_select" -> (ops.CorpusOps.d45DsirSelect _),
     "d47_ppl_filter" -> (ops.CorpusOps.d47PplFilter _),
+    "d48_split_leakage" -> (ops.CorpusOps.d48SplitLeakage _),
     "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
     "d46_semdedup" -> (ops.VectorOps.d46SemDedup _),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
@@ -423,6 +424,14 @@ object SparkEntry {
     "s16_stream_dsir_gate" ->
       (dsirCteSql + " SELECT sc.doc_id, sc.score FROM sc WHERE sc.score >= " +
         "(SELECT min(score) FROM r, k WHERE rk <= k.k)"),
+    // cross-split leakage: d19's split hash + d1's fingerprint composed
+    // verbatim, so the contaminated held-out set is exact by construction
+    "d48_split_leakage" ->
+      ("WITH f AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp, " +
+        "CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train' " +
+        "WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM documents), " +
+        "t AS (SELECT fp, count(*) AS n_train_dups, min(doc_id) AS first_train_id FROM f WHERE split = 'train' GROUP BY fp) " +
+        "SELECT f.doc_id, f.split, t.n_train_dups, t.first_train_id FROM f JOIN t USING (fp) WHERE f.split <> 'train'"),
     // CCNet tercile replay: the hashed add-one bigram LM retrained in
     // SQL (bucket counts -> the same fixed-point log2 recursive CTE),
     // per-doc average log-prob, plain global rank into terciles; the

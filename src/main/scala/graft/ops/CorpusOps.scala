@@ -1594,6 +1594,38 @@ object CorpusOps {
     * deterministically from the batch corpus, the s14/s15
     * train-in-batch / apply-at-ingest discipline.
     */
+  /** Cross-split leakage audit — the eval-integrity check run after any
+    * d19-style split: an exact duplicate (d1's canonical fingerprint)
+    * appearing in BOTH train and a held-out split means the held-out
+    * copy measures memorization, not generalization. Emits every
+    * CONTAMINATED held-out document with its split, how many train-side
+    * twins it has, and the smallest such train doc (the witness a triage
+    * UI links to). Composes the two pinned identities verbatim: d19's
+    * seeded split hash and d1's fingerprint — leakage found under any
+    * other definition would not correspond to what those operators
+    * shipped.
+    *
+    * SCALE: the d41/d1 single-shuffle shape — one scan projects
+    * (doc_id, fp, split), the fp-partitioned window computes the
+    * train-side count and witness with conditional aggregates, and the
+    * held-out filter is a pipelined projection on top. Only the 32-byte
+    * fingerprint + split shuffle; text never moves, no join, no second
+    * pass.
+    */
+  def d48SplitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val h = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 15), 16, 10).cast("long")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        when((h % 100) < 80, "train").when((h % 100) < 90, "val")
+          .otherwise("test").as("split"))
+      .select(col("doc_id"), col("split"),
+        count_if(col("split") === "train").over(w).as("n_train_dups"),
+        min(when(col("split") === "train", col("doc_id"))).over(w).as("first_train_id"))
+      .filter(col("split") =!= "train" && col("n_train_dups") >= 1)
+  }
+
   /** Hashed-bigram bucket count for [[d47PplFilter]]'s LM. As with
     * [[DsirBuckets]], deliberately small for the fixture vocabulary; the
     * production knob is millions of buckets and the model stays O(buckets)

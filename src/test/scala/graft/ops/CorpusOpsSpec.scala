@@ -459,6 +459,33 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(nsel <= ntot / 2 && nsel >= ntot / 4)
   }
 
+  test("d48 leakage rows are exactly the held-out members of d1 dup groups with a train twin") {
+    import spark.implicits._
+    val leaked = CorpusOps.d48SplitLeakage(spark, sf001).collect()
+    assert(leaked.nonEmpty) // the fixture corpus plants cross-split dups
+    val split = CorpusOps.d19SplitAssign(spark, sf001)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    val dupGroup = CorpusOps.d1ExactDedup(spark, sf001)
+      .select(col("doc_id"), col("canonical_id")).as[(Long, Long)].collect().toMap
+    // every emitted row: held-out split consistent with d19, witness is a
+    // genuine train-side member of the SAME d1 fingerprint group
+    leaked.foreach { r =>
+      val (id, s) = (r.getAs[Long]("doc_id"), r.getAs[String]("split"))
+      s should not be "train"
+      split(id) shouldBe s
+      val w = r.getAs[Long]("first_train_id")
+      split(w) shouldBe "train"
+      dupGroup(w) shouldBe dupGroup(id)
+      r.getAs[Long]("n_train_dups") should be >= 1L
+    }
+    // and complete: no held-out doc sharing a group with a train doc is missed
+    val trainGroups = dupGroup.collect { case (id, g) if split(id) == "train" => g }.toSet
+    val expected = dupGroup.collect {
+      case (id, g) if split(id) != "train" && trainGroups(g) => id
+    }.toSet
+    leaked.map(_.getAs[Long]("doc_id")).toSet shouldBe expected
+  }
+
   test("d42 interleave rank equals the naive per-source window; schedule is a valid interleave") {
     import spark.implicits._
     // naive truth: ONE window partitioned by source over (draw, doc_id) —
