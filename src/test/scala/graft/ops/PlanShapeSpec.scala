@@ -167,7 +167,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
       // bounded build side, the asymmetric-distance scoring pass
       "d35_ann_ivf_pq",
       // same bounded build sides composed (cell ranking + ADC tables)
-      "d36_ann_ivfpq_full")
+      "d36_ann_ivfpq_full",
+      // single-row scored-doc count cross-joined for the tercile split —
+      // the d23/d29 scalar pattern
+      "d47_ppl_filter")
     SparkEntry.queries.keys.filterNot(_.startsWith("s")).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
@@ -244,6 +247,56 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert("Exchange SinglePartition".r.findAllIn(p).length == 1, p)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
       s"document scan must prune to (doc_id, lang):\n$p")
+  }
+
+  test("d45_dsir_select: zero-shuffle literal scoring; rank window is score-bucket-partitioned; pruned scan") {
+    val p = plan("d45_dsir_select")
+    // selection rank partitions by the score-space bucket, never a
+    // global order over all documents
+    assert("windowspecdefinition\\(b#\\d+L, score#\\d+L DESC".r.findFirstIn(p).isDefined,
+      s"rank must partition by the score bucket:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort leaked into the selection:\n$p")
+    // only the O(buckets) offset table joins back — and it broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 1,
+      s"exactly the offsets join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"document rows must never join-shuffle:\n$p")
+    // the scoring scan reads only (doc_id, text): the weight table is a
+    // literal in the fold, not a joined relation
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scoring scan must prune to (doc_id, text):\n$p")
+  }
+
+  test("d46_semdedup: pairs meet in an equi-join on the cell — no cartesian, no corpus BNLJ") {
+    val p = plan("d46_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the within-cell pair join must stay an equi-join:\n$p")
+    // embeddings scan stays 3 columns; centroids come from the tiny
+    // aggregate, never a re-scan of a wider projection
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>,label:int>"),
+      s"embeddings scan must stay (vec_id, embedding, label):\n$p")
+  }
+
+  test("d47_ppl_filter: zero-shuffle literal scoring; tercile rank is score-bucket-partitioned") {
+    val p = plan("d47_ppl_filter")
+    assert("windowspecdefinition\\(b#\\d+L, avg_fx#\\d+L DESC".r.findFirstIn(p).isDefined,
+      s"tercile rank must partition by the score bucket:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort leaked into the terciles:\n$p")
+    // LM tables are literals in the scoring fold: no join carries them,
+    // and the scan feeding the fold reads only (doc_id, text)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"document rows must never join-shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scoring scan must prune to (doc_id, text):\n$p")
+  }
+
+  test("d48_split_leakage: one fp-keyed shuffle, no join — the d1/d41 window shape") {
+    val p = plan("d48_split_leakage")
+    assert("windowspecdefinition\\(fp#\\d+".r.findFirstIn(p).isDefined,
+      s"leakage must ride the fp-partitioned window:\n$p")
+    assert(!p.contains("Join"), s"no join may appear (window composition only):\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"exactly one shuffle (the fp window):\n$p")
   }
 
   test("d42_interleave_order: rank window is bucket-partitioned; offsets and slots broadcast; no global sort") {
