@@ -64,6 +64,7 @@ object SparkEntry {
     "d45_dsir_select" -> (ops.CorpusOps.d45DsirSelect _),
     "d47_ppl_filter" -> (ops.CorpusOps.d47PplFilter _),
     "d48_split_leakage" -> (ops.CorpusOps.d48SplitLeakage _),
+    "d49_containment" -> (ops.CorpusOps.d49Containment _),
     "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
     "d46_semdedup" -> (ops.VectorOps.d46SemDedup _),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
@@ -424,6 +425,17 @@ object SparkEntry {
     "s16_stream_dsir_gate" ->
       (dsirCteSql + " SELECT sc.doc_id, sc.score FROM sc WHERE sc.score >= " +
         "(SELECT min(score) FROM r, k WHERE rk <= k.k)"),
+    // asymmetric containment: both engines hash the same 8-word windows
+    // to 60-bit md5 prefixes (the d28 identity), so shared-window counts
+    // and the integer ppm ratio are exact by construction
+    "d49_containment" ->
+      ("WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+        "g0 AS (SELECT doc_id, unnest([array_to_string(ws[i:i+7], ' ') for i in range(1, len(ws) - 6)]) AS s FROM w WHERE len(ws) >= 8), " +
+        "g AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS gh FROM g0), " +
+        "na AS (SELECT doc_id, count(*) AS n_a FROM g GROUP BY doc_id), " +
+        "sh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, na.n_a, sh.n_shared, (1000000 * sh.n_shared) // na.n_a AS cont_ppm " +
+        "FROM sh JOIN na ON na.doc_id = sh.a_id WHERE (1000000 * sh.n_shared) // na.n_a >= 800000"),
     // cross-split leakage: d19's split hash + d1's fingerprint composed
     // verbatim, so the contaminated held-out set is exact by construction
     "d48_split_leakage" ->

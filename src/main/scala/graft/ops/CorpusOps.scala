@@ -1594,6 +1594,53 @@ object CorpusOps {
     * deterministically from the batch corpus, the s14/s15
     * train-in-batch / apply-at-ingest discipline.
     */
+  /** Containment threshold for [[d49Containment]] (ppm): a document 80%
+    * of whose windows appear in another is a subset-duplicate.
+    */
+  private[graft] val ContainmentPpm = 800000L
+
+  /** Containment (asymmetric near-dup) detection — the subset-duplicate
+    * case symmetric Jaccard misses by construction: a short document
+    * embedded in a much longer one (wire-story reprints inside portals,
+    * quoted posts, boilerplate-wrapped articles) can have Jaccard ~0
+    * against its superset while being 100% redundant. Containment of A
+    * in B = |windows(A) ∩ windows(B)| / |windows(A)| over d28's 8-word
+    * rolling windows; emit ordered pairs at ≥ [[ContainmentPpm]], the
+    * contained side first. Exact integer ppm; the oracle replays it
+    * from the same 60-bit window hashes.
+    *
+    * SCALE: candidate pairs come from the window-hash EQUI-join (only
+    * hashes shuffle, the d28/d20 discipline) — a pair must share an
+    * 8-word window to be considered, which at 0.8 containment it
+    * provably does (any A with ≥1 window has ≥0.8·|windows| shared). The
+    * per-hash fan-out is the d28 duplication profile: bounded by how
+    * often one exact window recurs corpus-wide; a pathological
+    * boilerplate window (shared by millions of docs) is the d2-banding
+    * analog of a stop-gram — cap-and-log per-hash group size at
+    * deployment, exactly as the dup-span family documents.
+    */
+  def d49Containment(spark: SparkSession, sfDir: String): DataFrame =
+    containmentOver(Tables.documents(spark, sfDir))
+
+  /** [[d49Containment]]'s core over any `(doc_id, text)` relation —
+    * parameterized for the planted-subset spec.
+    */
+  private[graft] def containmentOver(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.WordWindowMd5.wordWindowMd5(
+          lower(trim(col("text"))), SpanW))).as("gh"))
+    val na = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    val shared = grams.select(col("doc_id").as("a_id"), col("gh"))
+      .join(grams.select(col("doc_id").as("b_id"), col("gh")), "gh")
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_shared"))
+    shared.join(na.withColumnRenamed("doc_id", "a_id"), "a_id")
+      .withColumn("cont_ppm", expr("(1000000 * n_shared) div n_a"))
+      .filter(col("cont_ppm") >= ContainmentPpm)
+      .select(col("a_id"), col("b_id"), col("n_a"), col("n_shared"), col("cont_ppm"))
+  }
+
   /** Cross-split leakage audit — the eval-integrity check run after any
     * d19-style split: an exact duplicate (d1's canonical fingerprint)
     * appearing in BOTH train and a held-out split means the held-out

@@ -486,6 +486,31 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     leaked.map(_.getAs[Long]("doc_id")).toSet shouldBe expected
   }
 
+  test("d49 containment: planted subsets detected asymmetrically, Jaccard-blind pairs included") {
+    import spark.implicits._
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val long = base + " " + (13 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),             // 12 tokens -> 5 windows, ALL inside doc 2
+      (2L, long),             // 60 tokens: superset
+      (3L, "a b c d e f g h i j"), // unrelated
+      (4L, long)              // exact dup of 2
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.containmentOver(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // 1 ⊂ 2: full containment one way only — the pair symmetric Jaccard
+    // misses (5 shared / 53 union windows ≈ 0.09)
+    out((1L, 2L))._5 shouldBe 1000000L
+    out.get((2L, 1L)) shouldBe None
+    // exact dups contain each other at exactly 1.0 in both directions
+    out((2L, 4L))._5 shouldBe 1000000L
+    out((4L, 2L))._5 shouldBe 1000000L
+    // the unrelated doc appears in no pair; shared counts stay bounded
+    out.keys.flatMap(k => Seq(k._1, k._2)) should not contain 3L
+    out.values.foreach(r => r._4 should be <= r._3)
+  }
+
   test("d42 interleave rank equals the naive per-source window; schedule is a valid interleave") {
     import spark.implicits._
     // naive truth: ONE window partitioned by source over (draw, doc_id) —
