@@ -1538,8 +1538,12 @@ object CorpusOps {
   private[graft] def dsirSelectOver(docs: DataFrame): DataFrame = {
     val wts = dsirWeights(docs)
     val k = docs.count() / 4
+    // persist the O(docs)-row scored projection (the d13 persisted-cell-
+    // assignment pattern): bucketRank consumes it twice (offsets + rank
+    // join) and re-deriving it re-runs the md5-per-token scoring scan
     val scored = docs.select(col("doc_id"), dsirScore(wts, col("text")).as("score"))
       .withColumn("b", expr(s"(-score) div $DsirScoreBucketWidth"))
+      .persist()
     bucketRank(scored, Seq.empty, Seq(col("score").desc, col("doc_id")))
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("score"), col("rk"))
@@ -1580,7 +1584,9 @@ object CorpusOps {
     */
   private[graft] def dsirScore(wts: Array[Long], text: Column): Column = {
     val B = DsirBuckets
-    val wlit = array(wts.map(lit(_)).toIndexedSeq: _*)
+    // ONE literal node (the d13 lesson): array(lit, lit, ...) builds an
+    // O(buckets)-node expression tree that codegen chokes on
+    val wlit = typedlit(wts.toSeq)
     aggregate(words(text), lit(0L), (acc, w) => acc +
       element_at(wlit,
         (pmod(conv(substring(md5(w), 1, 15), 16, 10).cast("long"), lit(B.toLong)) + 1)
@@ -1728,21 +1734,31 @@ object CorpusOps {
     */
   private[graft] def pplFilterOver(docs: DataFrame): DataFrame = {
     val (bigWts, ctxWts) = pplModel(docs)
-    val bigLit = array(bigWts.map(lit(_)).toIndexedSeq: _*)
-    val ctxLit = array(ctxWts.map(lit(_)).toIndexedSeq: _*)
+    // ONE literal node apiece (the d13 lesson): an element-wise
+    // array(lit...) of 4096 weights builds an O(buckets)-node tree
+    val bigLit = typedlit(bigWts.toSeq)
+    val ctxLit = typedlit(ctxWts.toSeq)
     def bucket(c: Column, m: Int): Column =
       pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(m.toLong))
-    val ws = words(col("text"))
-    val score = aggregate(sequence(lit(0), size(ws) - 2), lit(0L), (acc, i) => acc +
+    // ws MUST be a bound column, not the words(text) expression repeated
+    // inside the fold: element_at(words(text), i) re-tokenizes the whole
+    // document per bigram access — O(tokens^2)/doc, measured 10x on the
+    // fixture corpus
+    val score = aggregate(sequence(lit(0), size(col("ws")) - 2), lit(0L), (acc, i) => acc +
       element_at(bigLit, (bucket(concat_ws(" ",
-        element_at(ws, i + 1), element_at(ws, i + 2)), PplBigramBuckets) + 1).cast("int")) -
-      element_at(ctxLit, (bucket(element_at(ws, i + 1), DsirBuckets) + 1).cast("int")) +
+        element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)), PplBigramBuckets) + 1).cast("int")) -
+      element_at(ctxLit, (bucket(element_at(col("ws"), i + 1), DsirBuckets) + 1).cast("int")) +
       lit(PplTermOffset))
+    // persisted O(docs)-row projection (see d45): consumed three times —
+    // offsets, rank join, and the tercile count — and each re-derivation
+    // would re-run the two-md5s-per-token scoring scan
     val scored = docs
-      .filter(size(words(col("text"))) >= 2)
-      .select(col("doc_id"), (size(ws) - 1).cast("long").as("n_bigrams"), score.as("score"))
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), (size(col("ws")) - 1).cast("long").as("n_bigrams"), score.as("score"))
       .withColumn("avg_fx", expr("(score * 1048576) div n_bigrams"))
       .withColumn("b", expr(s"(-avg_fx) div $PplScoreBucketWidth"))
+      .persist()
     val n = broadcast(scored.agg(count(lit(1)).as("n_docs")))
     bucketRank(scored, Seq.empty, Seq(col("avg_fx").desc, col("doc_id")))
       .crossJoin(n)
@@ -1760,11 +1776,14 @@ object CorpusOps {
   private[graft] def pplModel(docs: DataFrame): (Array[Long], Array[Long]) = {
     def bucket(c: Column, m: Int): Column =
       pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(m.toLong))
-    val ws = words(col("text"))
-    val pairs = docs.filter(col("is_target") && size(ws) >= 2)
-      .select(explode(transform(sequence(lit(0), size(ws) - 2), i =>
-        struct(concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2)).as("bg"),
-          element_at(ws, i + 1).as("c1")))).as("u"))
+    // bind ws before the per-index lambda (same O(tokens^2) trap as the
+    // scoring fold — see pplFilterOver)
+    val pairs = docs.filter(col("is_target"))
+      .select(words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("ws")) - 2), i =>
+        struct(concat_ws(" ", element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)).as("bg"),
+          element_at(col("ws"), i + 1).as("c1")))).as("u"))
       .select(bucket(col("u.bg"), PplBigramBuckets).as("hb"),
         bucket(col("u.c1"), DsirBuckets).as("hc"))
     val rows = pairs
