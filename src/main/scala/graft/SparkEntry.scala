@@ -65,6 +65,7 @@ object SparkEntry {
     "d47_ppl_filter" -> (ops.CorpusOps.d47PplFilter _),
     "d48_split_leakage" -> (ops.CorpusOps.d48SplitLeakage _),
     "d49_containment" -> (ops.CorpusOps.d49Containment _),
+    "d50_training_plan" -> (ops.CorpusOps.d50TrainingPlan _),
     "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
     "d46_semdedup" -> (ops.VectorOps.d46SemDedup _),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
@@ -425,6 +426,27 @@ object SparkEntry {
     "s16_stream_dsir_gate" ->
       (dsirCteSql + " SELECT sc.doc_id, sc.score FROM sc WHERE sc.score >= " +
         "(SELECT min(score) FROM r, k WHERE rk <= k.k)"),
+    // the composed training plan: dedup -> temperature selection ->
+    // stratified interleave -> token packing, each stage replayed with
+    // the plain global window the engine's decomposition must equal
+    "d50_training_plan" ->
+      ("WITH f AS (SELECT doc_id, lang, source, " +
+        "md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp, " +
+        "CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 15)) AS BIGINT) AS dtemp, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':order'), 1, 15)) AS BIGINT) AS dorder FROM documents), " +
+        "canon AS (SELECT f.* FROM f JOIN (SELECT fp, min(doc_id) AS m FROM f GROUP BY fp) g ON f.fp = g.fp AND f.doc_id = g.m), " +
+        "c AS (SELECT lang, count(*) AS n_docs FROM canon GROUP BY lang), " +
+        "t AS (SELECT lang, n_docs, CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS s FROM c), " +
+        "g2 AS (SELECT lang, n_docs, s, sum(s) OVER () AS stot, sum(n_docs) OVER () AS ntot FROM t), " +
+        "tg AS (SELECT lang, least(n_docs, ((ntot // 2) * s) // stot) AS target FROM g2), " +
+        "sel AS (SELECT canon.*, row_number() OVER (PARTITION BY lang ORDER BY dtemp, doc_id) AS rk FROM canon), " +
+        "s2 AS (SELECT sel.doc_id, sel.lang, sel.source, sel.n_tokens, sel.dorder FROM sel JOIN tg USING (lang) WHERE sel.rk <= tg.target), " +
+        "sl AS (SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS slot FROM (SELECT DISTINCT source FROM s2)), " +
+        "o AS (SELECT s2.doc_id, s2.lang, s2.source, s2.n_tokens, CAST(row_number() OVER (PARTITION BY s2.source ORDER BY s2.dorder, s2.doc_id) AS BIGINT) AS round FROM s2), " +
+        "o2 AS (SELECT o.*, sl.slot FROM o JOIN sl USING (source)), " +
+        "p AS (SELECT o2.*, coalesce(sum(n_tokens) OVER (ORDER BY round, slot ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM o2) " +
+        "SELECT doc_id, lang, source, round, slot, CAST(cum_before // 2048 AS BIGINT) AS chunk_id FROM p"),
     // asymmetric containment: both engines hash the same 8-word windows
     // to 60-bit md5 prefixes (the d28 identity), so shared-window counts
     // and the integer ppm ratio are exact by construction

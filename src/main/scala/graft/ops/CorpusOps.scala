@@ -1423,6 +1423,11 @@ object CorpusOps {
     * corpus size, and data rows shuffle exactly once (into their rank
     * partition). Returns `df` plus `rk` (1-based rank within the group).
     *
+    * `df` is consumed TWICE (the offsets aggregate and the rank join):
+    * callers whose input derives from an expensive scan must persist it
+    * first (d45/d47 persist their O(docs)-row scored projections; d42/
+    * d44's draw projection is one md5 per ROW and re-derives cheaply).
+    *
     * [[tokenBudgetOver]] (d39) is the weighted sibling: same
     * decomposition with a SUM accumulator instead of a count.
     */
@@ -1441,6 +1446,7 @@ object CorpusOps {
       .partitionBy((group :+ col("b")): _*).orderBy(orderCols: _*)
     df.join(broadcast(offsets), groupCols :+ "b")
       .withColumn("rk", col("off") + row_number().over(localW))
+      .drop("off") // internal: a chained bucketRank must not collide on it
   }
 
   def d42InterleaveOrder(spark: SparkSession, sfDir: String): DataFrame =
@@ -1600,6 +1606,99 @@ object CorpusOps {
     * deterministically from the batch corpus, the s14/s15
     * train-in-batch / apply-at-ingest discipline.
     */
+  /** Token capacity of one training chunk in [[d50TrainingPlan]]. */
+  private[graft] val PlanChunkTokens = 2048L
+
+  /** Draw-bucket width for d50's packing prefix sum: the (round, slot)
+    * training order is monotone in `round`, so rounds quantize into the
+    * parallel cumsum buckets (the d39 monotone-bucket requirement, met
+    * by construction).
+    */
+  private val PlanRoundBucket = 64L
+
+  /** The composed TRAINING PLAN — the d18 composition idea applied to
+    * the curation-to-loader handoff, end to end in one query: exact-dup
+    * canonicals (d1's fingerprint identity) → temperature-scaled
+    * per-language selection over the survivors (d44's α = 0.5 integer
+    * targets against a half-budget) → the reproducible stratified
+    * interleave order (d42's seeded draw: round k holds every source's
+    * k-th surviving pick) → token packing of that order into
+    * fixed-capacity chunks (d27's greedy prefix rule at
+    * [[PlanChunkTokens]]). Output: (doc_id, lang, source, round, slot,
+    * chunk_id) — the materialized schedule a training loader consumes
+    * directly: ORDER BY (round, slot) is the read order, chunk_id the
+    * batch boundary.
+    *
+    * SCALE: four data shuffles end to end, each O(selected rows) of
+    * fixed-width integers (fp window; lang-rank; source-rank; pack
+    * cumsum) — text is read once in the first projection and never
+    * moves. Every rank/cumsum runs bucket-decomposed ([[bucketRank]] /
+    * the d39 two-level prefix sum with bucket = round div
+    * [[PlanRoundBucket]], monotone in the order by construction); the
+    * only single-partition windows are the O(buckets) offset tables,
+    * broadcast back. The DuckDB oracle replays all four stages with
+    * plain global windows — matching it proves every decomposition.
+    */
+  def d50TrainingPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val fpW = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    def draw(salt: String): Column = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 15), 16, 10).cast("long")
+    // one text-reading projection; 32-byte fp + integers from here on
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        fingerprint(col("text")).as("fp"),
+        size(words(col("text"))).cast("long").as("n_tokens"),
+        draw(":temp").as("dtemp"), draw(":order").as("dorder"))
+    val canon = base
+      .withColumn("min_id", min(col("doc_id")).over(fpW))
+      .filter(col("doc_id") === col("min_id"))
+      .drop("fp", "min_id")
+      .persist() // consumed by targets + both ranks + the pack cumsum
+    val allW = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    val targets = canon.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("s", floor(sqrt(col("n_docs").cast("double")) * lit(1000000L)).cast("long"))
+      .withColumn("stot", sum(col("s")).over(allW))
+      .withColumn("ntot", sum(col("n_docs")).over(allW))
+      .withColumn("target", least(col("n_docs"), expr("((ntot div 2) * s) div stot")))
+      .select(col("lang"), col("target"))
+    val selected = bucketRank(
+        canon.withColumn("b", expr(s"dtemp div $OrderBucketWidth")),
+        Seq("lang"), Seq(col("dtemp"), col("doc_id")))
+      .join(broadcast(targets), Seq("lang"))
+      .filter(col("rk") <= col("target"))
+      .drop("rk", "b", "target")
+      .persist()
+    val slots = selected.select(col("source")).distinct()
+      .withColumn("slot", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("source"))).cast("long"))
+    val ordered = bucketRank(
+        selected.withColumn("b", expr(s"dorder div $OrderBucketWidth")),
+        Seq("source"), Seq(col("dorder"), col("doc_id")))
+      .withColumnRenamed("rk", "round")
+      .join(broadcast(slots), Seq("source"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), col("round"), col("slot"))
+      .persist()
+    // d39's two-level prefix sum over the (round, slot) total order,
+    // bucketed by round ranges (monotone in the order by construction)
+    val pb = ordered.withColumn("pb", expr(s"round div $PlanRoundBucket"))
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pb")).orderBy(col("round"), col("slot"))
+      .rowsBetween(w.unboundedPreceding, -1)
+    val prefW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pb")).rowsBetween(w.unboundedPreceding, -1)
+    val prefix = pb.groupBy(col("pb")).agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("prefix", coalesce(sum(col("btot")).over(prefW), lit(0L)))
+      .select(col("pb"), col("prefix"))
+    pb.withColumn("local_before", coalesce(sum(col("n_tokens")).over(localW), lit(0L)))
+      .join(broadcast(prefix), Seq("pb"))
+      .withColumn("chunk_id", expr(s"(prefix + local_before) div $PlanChunkTokens"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("round"), col("slot"), col("chunk_id"))
+  }
+
   /** Containment threshold for [[d49Containment]] (ppm): a document 80%
     * of whose windows appear in another is a subset-duplicate.
     */

@@ -511,6 +511,48 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     out.values.foreach(r => r._4 should be <= r._3)
   }
 
+  test("d50 training plan equals a full in-memory replay of all four stages") {
+    import spark.implicits._
+    def drawOf(id: Long, salt: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id$salt".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .as[(Long, String, String, String)].collect()
+    // stage 1: exact-dup canonicals
+    val canon = docs.groupBy { case (_, _, _, t) =>
+      t.trim.toLowerCase.split(" ", -1).distinct.sorted.mkString(" ")
+    }.values.map(_.minBy(_._1)).toSeq
+    def nTokens(t: String): Long = t.trim.toLowerCase.split(" ", -1).length.toLong
+    // stage 2: temperature targets over the canon survivors
+    val counts = canon.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val s = counts.map { case (l, n) => l -> math.floor(math.sqrt(n.toDouble) * 1e6).toLong }
+    val (stot, ntot) = (s.values.sum, counts.values.sum)
+    val target = counts.map { case (l, n) => l -> math.min(n, (ntot / 2) * s(l) / stot) }
+    val selected = canon.groupBy(_._2).toSeq.flatMap { case (lang, members) =>
+      members.sortBy(m => (drawOf(m._1, ":temp"), m._1)).take(target(lang).toInt)
+    }
+    // stage 3: stratified interleave over the selected set
+    val slots = selected.map(_._3).distinct.sorted.zipWithIndex
+      .map { case (src, i) => src -> (i + 1L) }.toMap
+    val ordered = selected.groupBy(_._3).toSeq.flatMap { case (src, members) =>
+      members.sortBy(m => (drawOf(m._1, ":order"), m._1)).zipWithIndex
+        .map { case (m, i) => (m._1, m._2, src, nTokens(m._4), i + 1L, slots(src)) }
+    }.sortBy { case (_, _, _, _, round, slot) => (round, slot) }
+    // stage 4: greedy token packing of that order
+    var cum = 0L
+    val expected = ordered.map { case (id, lang, src, nt, round, slot) =>
+      val chunk = cum / CorpusOps.PlanChunkTokens; cum += nt
+      (id, lang, src, round, slot, chunk)
+    }.toSet
+    val got = CorpusOps.d50TrainingPlan(spark, sf001)
+      .as[(Long, String, String, Long, Long, Long)].collect().toSet
+    got shouldBe expected
+    assert(got.nonEmpty)
+  }
+
   test("d42 interleave rank equals the naive per-source window; schedule is a valid interleave") {
     import spark.implicits._
     // naive truth: ONE window partitioned by source over (draw, doc_id) —

@@ -299,6 +299,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
       s"exactly one shuffle (the fp window):\n$p")
   }
 
+  test("d50_training_plan: every stage stays decomposed — no global sort, no cartesian, bucketed windows") {
+    val p = plan("d50_training_plan")
+    assert(!p.contains("Exchange rangepartitioning"), s"a global sort leaked into the plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no stage may nested-loop:\n$p")
+    // the selection and interleave ranks partition by (group, bucket),
+    // the packing cumsum by its round bucket — never a single partition
+    // over document rows
+    assert("windowspecdefinition\\(lang#\\d+, b#\\d+L, dtemp#\\d+L ASC".r.findFirstIn(p).isDefined,
+      s"temperature rank must partition by (lang, bucket):\n$p")
+    assert("windowspecdefinition\\(source#\\d+, b#\\d+L, dorder#\\d+L ASC".r.findFirstIn(p).isDefined,
+      s"interleave rank must partition by (source, bucket):\n$p")
+    assert("windowspecdefinition\\(pb#\\d+L, round#\\d+L ASC".r.findFirstIn(p).isDefined,
+      s"packing cumsum must partition by the round bucket:\n$p")
+    // the staged frames are persisted, not re-derived from the text scan
+    assert(p.contains("InMemoryTableScan"), s"staged frames must persist:\n$p")
+  }
+
   test("d42_interleave_order: rank window is bucket-partitioned; offsets and slots broadcast; no global sort") {
     val p = plan("d42_interleave_order")
     // the document-row rank must partition by (source, draw-bucket) —
