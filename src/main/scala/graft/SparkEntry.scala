@@ -66,6 +66,7 @@ object SparkEntry {
     "d48_split_leakage" -> (ops.CorpusOps.d48SplitLeakage _),
     "d49_containment" -> (ops.CorpusOps.d49Containment _),
     "d50_training_plan" -> (ops.CorpusOps.d50TrainingPlan _),
+    "d51_containment_clusters" -> (ops.CorpusOps.d51ContainmentClusters _),
     "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
     "d46_semdedup" -> (ops.VectorOps.d46SemDedup _),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
@@ -259,6 +260,19 @@ object SparkEntry {
     * against literal quantizers makes streaming == batch regardless of
     * shard interleaving.
     */
+  /** The shared containment replay (d49 pairs / d51 clusters): the same
+    * 8-word windows hashed to 60-bit md5 prefixes (the d28 identity),
+    * stop-windows above the 256-doc cap excluded from both sides of the
+    * ratio, shared-window counts per ordered pair.
+    */
+  private def containmentCteSql: String =
+    "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+      "g0 AS (SELECT doc_id, unnest([array_to_string(ws[i:i+7], ' ') for i in range(1, len(ws) - 6)]) AS s FROM w WHERE len(ws) >= 8), " +
+      "graw AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS gh FROM g0), " +
+      "g AS (SELECT * FROM graw WHERE gh NOT IN (SELECT gh FROM graw GROUP BY gh HAVING count(*) > 256)), " +
+      "na AS (SELECT doc_id, count(*) AS n_a FROM g GROUP BY doc_id), " +
+      "sh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id <> b.doc_id GROUP BY 1, 2) "
+
   /** The shared DSIR replay (d45 batch selection / s16 at-ingest gate):
     * hashed-bucket counts, the 20-step shift-and-square fixed-point
     * binary log as a recursive CTE (every step an IEEE double multiply /
@@ -450,14 +464,17 @@ object SparkEntry {
     // asymmetric containment: both engines hash the same 8-word windows
     // to 60-bit md5 prefixes (the d28 identity), so shared-window counts
     // and the integer ppm ratio are exact by construction
-    "d49_containment" ->
-      ("WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), " +
-        "g0 AS (SELECT doc_id, unnest([array_to_string(ws[i:i+7], ' ') for i in range(1, len(ws) - 6)]) AS s FROM w WHERE len(ws) >= 8), " +
-        "g AS (SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS gh FROM g0), " +
-        "na AS (SELECT doc_id, count(*) AS n_a FROM g GROUP BY doc_id), " +
-        "sh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
+    "d49_containment" -> (containmentCteSql +
         "SELECT a_id, b_id, na.n_a, sh.n_shared, (1000000 * sh.n_shared) // na.n_a AS cont_ppm " +
         "FROM sh JOIN na ON na.doc_id = sh.a_id WHERE (1000000 * sh.n_shared) // na.n_a >= 800000"),
+    // undirected components over the containment pairs (the d25 reach CTE
+    // over d49's edge set)
+    "d51_containment_clusters" -> ("WITH RECURSIVE " + containmentCteSql.stripPrefix("WITH ") +
+        ", p AS (SELECT DISTINCT least(a_id, b_id) AS a_id, greatest(a_id, b_id) AS b_id FROM sh JOIN na ON na.doc_id = sh.a_id WHERE (1000000 * sh.n_shared) // na.n_a >= 800000), " +
+        "e AS (SELECT a_id AS src, b_id AS dst FROM p UNION ALL SELECT b_id, a_id FROM p), " +
+        "reach(src, dst) AS (SELECT src, dst FROM e UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src), " +
+        "lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src) " +
+        "SELECT doc_id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size FROM lab"),
     // cross-split leakage: d19's split hash + d1's fingerprint composed
     // verbatim, so the contaminated held-out set is exact by construction
     "d48_split_leakage" ->

@@ -1704,6 +1704,16 @@ object CorpusOps {
     */
   private[graft] val ContainmentPpm = 800000L
 
+  /** Stop-window cap for [[d49Containment]]: a window shared by more
+    * documents than this is boilerplate (navigation chrome, license
+    * headers), not evidence of containment — it would fan the candidate
+    * join out by its occurrence count SQUARED while carrying no signal.
+    * Such windows are excluded from BOTH sides of the ratio (the
+    * stopword-removal convention), which also bounds every per-hash join
+    * group: the d2-banding stop-gram analog, materialized as code.
+    */
+  private[graft] val ContainmentHotCap = 256L
+
   /** Containment (asymmetric near-dup) detection — the subset-duplicate
     * case symmetric Jaccard misses by construction: a short document
     * embedded in a much longer one (wire-story reprints inside portals,
@@ -1731,10 +1741,15 @@ object CorpusOps {
     * parameterized for the planted-subset spec.
     */
   private[graft] def containmentOver(docs: DataFrame): DataFrame = {
-    val grams = docs
+    val raw = docs
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.WordWindowMd5.wordWindowMd5(
           lower(trim(col("text"))), SpanW))).as("gh"))
+    // the hot list is tiny (windows above the cap), so excluding
+    // stop-windows is one broadcast anti join — no second corpus shuffle
+    val hot = raw.groupBy(col("gh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > ContainmentHotCap).select(col("gh"))
+    val grams = raw.join(broadcast(hot), Seq("gh"), "left_anti")
     val na = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     val shared = grams.select(col("doc_id").as("a_id"), col("gh"))
       .join(grams.select(col("doc_id").as("b_id"), col("gh")), "gh")
@@ -1744,6 +1759,38 @@ object CorpusOps {
       .withColumn("cont_ppm", expr("(1000000 * n_shared) div n_a"))
       .filter(col("cont_ppm") >= ContainmentPpm)
       .select(col("a_id"), col("b_id"), col("n_a"), col("n_shared"), col("cont_ppm"))
+  }
+
+  /** Containment CLUSTERS — the dedup-actionable rollup of [[d49Containment]]
+    * (d25's move applied to the asymmetric edge set): connected components
+    * over the undirected containment graph, labeling every involved
+    * document with its component's smallest doc_id. A reprint CHAIN
+    * (A ⊂ B, B duplicated as C, C ⊂ D) becomes ONE cluster to keep one
+    * representative from — pairwise output alone would deduplicate it
+    * piecemeal. Output: (doc_id, cluster_id, cluster_size) for documents
+    * in at least one containment pair.
+    *
+    * SCALE: edges are d49's (already hot-capped) pairs normalized to
+    * undirected form; components run GraphOps' min-label propagation
+    * (O(log n) rounds, checkpointed — the d25 machinery verbatim); the
+    * size window partitions by cluster over O(involved docs) rows.
+    */
+  def d51ContainmentClusters(spark: SparkSession, sfDir: String): DataFrame =
+    containmentClustersOver(Tables.documents(spark, sfDir))
+
+  /** [[d51ContainmentClusters]]'s core over any `(doc_id, text)` relation
+    * — parameterized for the planted-chain spec.
+    */
+  private[graft] def containmentClustersOver(docs: DataFrame): DataFrame = {
+    val pairs = containmentOver(docs)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    GraphOps.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        count(lit(1)).over(w).cast("long").as("cluster_size"))
   }
 
   /** Cross-split leakage audit — the eval-integrity check run after any

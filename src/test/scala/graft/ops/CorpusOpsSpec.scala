@@ -553,6 +553,43 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(got.nonEmpty)
   }
 
+  test("d49 hot-window cap: boilerplate shared beyond the cap is a stop-window; real subsets survive") {
+    import spark.implicits._
+    // 300 docs that ARE one identical 8-word boilerplate window: uncapped,
+    // every pair would score containment 1.0 (300 x 299 bogus pairs); the
+    // cap classifies the window as boilerplate and emits none of them
+    val boiler = "click here to accept all our cookie terms"
+    val hot = (1000 to 1299).map(i => (i.toLong, boiler))
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val long = base + " " + (13 to 60).map(i => s"w$i").mkString(" ")
+    val out = CorpusOps.containmentOver(
+      (hot ++ Seq((1L, base), (2L, long))).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // the genuine subset pair still detected at full containment
+    out.find(r => r._1 == 1L && r._2 == 2L).get._5 shouldBe 1000000L
+    // and not one pair among the boilerplate docs
+    out.count(r => r._1 >= 1000L && r._2 >= 1000L) shouldBe 0
+  }
+
+  test("d51 containment clusters: a reprint chain rolls into one cluster") {
+    import spark.implicits._
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val long = base + " " + (13 to 60).map(i => s"w$i").mkString(" ")
+    val tail8 = (53 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),              // 1 ⊂ 2
+      (2L, long),
+      (3L, long),              // exact dup of 2
+      (4L, tail8),             // 4 ⊂ 2 (the last window of `long`)
+      (7L, "a b c d e f g h i j"),  // unrelated: no containment edge
+      (8L, "p q r s t u v x y z")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.containmentClustersOver(docs)
+      .as[(Long, Long, Long)].collect().toSet
+    // the chain {1 ⊂ 2, 2 = 3, 4 ⊂ 2} is ONE cluster labeled by its min
+    got shouldBe Set((1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L))
+  }
+
   test("d42 interleave rank equals the naive per-source window; schedule is a valid interleave") {
     import spark.implicits._
     // naive truth: ONE window partitioned by source over (draw, doc_id) —
