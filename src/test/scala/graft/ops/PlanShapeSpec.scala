@@ -299,6 +299,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
       s"exactly one shuffle (the fp window):\n$p")
   }
 
+  test("d49_containment: candidates from the window-hash equi-join; hot list excluded via broadcast anti join") {
+    val p = plan("d49_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join:\n$p")
+    // the stop-window exclusion is a broadcast ANTI join — the corpus
+    // gram stream must not shuffle a second time to subtract the tiny
+    // hot list
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      s"hot-window exclusion must be a broadcast anti join:\n$p")
+  }
+
   test("d50_training_plan: every stage stays decomposed — no global sort, no cartesian, bucketed windows") {
     val p = plan("d50_training_plan")
     assert(!p.contains("Exchange rangepartitioning"), s"a global sort leaked into the plan:\n$p")
