@@ -67,6 +67,8 @@ object SparkEntry {
     "d49_containment" -> (ops.CorpusOps.d49Containment _),
     "d50_training_plan" -> (ops.CorpusOps.d50TrainingPlan _),
     "d51_containment_clusters" -> (ops.CorpusOps.d51ContainmentClusters _),
+    "d52_winnow" -> (ops.CorpusOps.d52Winnow _),
+    "d53_winnow_overlap" -> (ops.CorpusOps.d53WinnowOverlap _),
     "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
     "d46_semdedup" -> (ops.VectorOps.d46SemDedup _),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
@@ -273,6 +275,19 @@ object SparkEntry {
       "na AS (SELECT doc_id, count(*) AS n_a FROM g GROUP BY doc_id), " +
       "sh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id <> b.doc_id GROUP BY 1, 2) "
 
+  /** The shared winnowing replay (d52 sketch / d53 overlap): the d28
+    * 8-word gram hashes per document as an ORDERED list, the packed
+    * (hash-high-bits, inverted-position) selection keys, and the
+    * distinct window minima over every full [[ops.CorpusOps.WinnowW]]-
+    * gram window — all integer arithmetic, list-comprehension replay of
+    * the row-local Spark selection.
+    */
+  private def winnowCteSql: String =
+    "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+      "g AS (SELECT doc_id, [CAST(('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15)) AS BIGINT) for i in range(1, len(ws) - 6)] AS ghs FROM w WHERE len(ws) >= 8), " +
+      "k AS (SELECT doc_id, ghs, [ghs[i] - (ghs[i] % 1048576) + (1048576 - i) for i in range(1, len(ghs) + 1)] AS keys FROM g), " +
+      "s AS (SELECT doc_id, ghs, list_distinct([list_min(keys[i:i+3]) for i in range(1, len(keys) - 2)]) AS sel FROM k WHERE len(keys) >= 4), "
+
   /** The shared DSIR replay (d45 batch selection / s16 at-ingest gate):
     * hashed-bucket counts, the 20-step shift-and-square fixed-point
     * binary log as a recursive CTE (every step an IEEE double multiply /
@@ -475,6 +490,19 @@ object SparkEntry {
         "reach(src, dst) AS (SELECT src, dst FROM e UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src), " +
         "lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src) " +
         "SELECT doc_id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size FROM lab"),
+    // winnowing: both engines hash the same 8-word windows (the d28
+    // identity) and pack (hash-high-bits, inverted position) into one
+    // int64 key, so window minima — and therefore the selected sketch —
+    // are exact integer arithmetic on both sides
+    "d52_winnow" -> (winnowCteSql +
+        "x AS (SELECT doc_id, ghs, unnest(sel) AS key FROM s) " +
+        "SELECT doc_id, 1048575 - (key % 1048576) AS pos, ghs[CAST(1048576 - (key % 1048576) AS INTEGER)] AS gh FROM x"),
+    "d53_winnow_overlap" -> (winnowCteSql +
+        "f AS (SELECT DISTINCT doc_id, ghs[CAST(1048576 - (key % 1048576) AS INTEGER)] AS gh FROM (SELECT doc_id, ghs, unnest(sel) AS key FROM s)), " +
+        "hot AS (SELECT gh FROM f GROUP BY gh HAVING count(*) > 256), " +
+        "kept AS (SELECT doc_id, gh FROM f WHERE gh NOT IN (SELECT gh FROM hot)) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared " +
+        "FROM kept a JOIN kept b USING (gh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2"),
     // cross-split leakage: d19's split hash + d1's fingerprint composed
     // verbatim, so the contaminated held-out set is exact by construction
     "d48_split_leakage" ->

@@ -1955,4 +1955,132 @@ object CorpusOps {
       .agg(min(col("score"))).head().getLong(0)
     (wts, cutoff)
   }
+
+  /** Winnowing window: the number of consecutive [[SpanW]]-word-gram
+    * hashes one selection window spans. Guarantee threshold: any shared
+    * run of at least [[WinnowW]] + [[SpanW]] − 1 words (= 11) contains a
+    * full selection window inside the shared region, so BOTH documents
+    * select the same gram there — overlap detection cannot miss it.
+    * Expected sketch density is 2/([[WinnowW]]+1) of all gram positions.
+    */
+  private[graft] val WinnowW = 4
+
+  /** Positions-per-document cap for the winnow tiebreak encoding: the
+    * selection key packs (hash-high-bits, inverted position) into one
+    * int64 by replacing the gram hash's low 20 bits with 2^20−1−pos, so
+    * a single `array_min` implements "smallest hash, RIGHTMOST position
+    * on ties" — the tiebreak that keeps selections position-shift
+    * invariant (two documents sharing a region pick the same gram
+    * regardless of where the region sits). Documents are capped at 2^20
+    * gram positions (a ~1M-word document; longer inputs fail loudly in
+    * [[winnowSelected]] rather than silently mis-ranking).
+    */
+  private val WinnowPosCap = 1L << 20
+
+  /** Per-document winnow selection, entirely ROW-LOCAL: `(doc_id, ghs,
+    * selkeys)` where `ghs` is the d28 gram-hash array and `selkeys` the
+    * distinct window minima of the packed keys. Winnowing is a
+    * per-document computation, so unlike d28's corpus-wide window
+    * functions NOTHING here shuffles — the whole selection runs inside
+    * the scan projection (the correct 100 TB shape: fingerprinting is
+    * embarrassingly row-parallel; only what a caller JOINS afterwards
+    * ever moves). `ghs` is bound as a real column once — the d47 lesson:
+    * referencing the kernel in two expressions would hash every window
+    * twice.
+    */
+  private[graft] def winnowSelected(docs: DataFrame): DataFrame = {
+    val w = WinnowW
+    val cap = WinnowPosCap
+    docs
+      .select(col("doc_id"),
+        graft.functions.WordWindowMd5.wordWindowMd5(
+          lower(trim(col("text"))), SpanW).as("ghs"))
+      .withColumn("keys",
+        when(size(col("ghs")) >= lit(cap), raise_error(
+          concat(lit("winnow: document exceeds 2^20 gram positions: doc_id="),
+            col("doc_id").cast("string"))).cast("array<bigint>"))
+          .otherwise(transform(col("ghs"), (g, i) =>
+            g - pmod(g, lit(cap)) + (lit(cap - 1) - i.cast("long")))))
+      .withColumn("selkeys",
+        when(size(col("keys")) >= w,
+          array_distinct(transform(sequence(lit(0), size(col("keys")) - w),
+            i => array_min(slice(col("keys"), i + 1, lit(w))))))
+          .otherwise(typedlit(Seq.empty[Long])))
+      .select(col("doc_id"), col("ghs"), col("selkeys"))
+  }
+
+  /** d52: WINNOWING document fingerprints (Schleimer–Wilkerson–Aiken,
+    * SIGMOD 2003 — the MOSS sketch): over each sliding window of
+    * [[WinnowW]] consecutive gram hashes, select the minimum (rightmost
+    * on ties); the distinct selected grams are the document's
+    * fingerprint sketch. The point at 100 TB: the sketch carries d28's
+    * guarantee for matches of length ≥ [[WinnowW]]+[[SpanW]]−1 at
+    * ~2/([[WinnowW]]+1) ≈ 40% of the gram volume — downstream overlap
+    * joins (d53) shuffle a provably-thinned subset instead of every
+    * window hash, chosen content-locally so both copies of a shared
+    * region thin IDENTICALLY (random sampling would not).
+    *
+    * Output: `(doc_id, pos, gh)` — the selected gram positions and their
+    * 60-bit hashes. Sub-11-word documents produce no rows (no full
+    * selection window exists; the guarantee threshold is documented on
+    * [[WinnowW]]).
+    *
+    * SCALE: zero shuffle — selection is a per-row array fold inside the
+    * scan projection (see [[winnowSelected]]); the output explode is
+    * pipelined. The oracle replays the same packed-key arithmetic with
+    * DuckDB list comprehensions.
+    */
+  def d52Winnow(spark: SparkSession, sfDir: String): DataFrame =
+    winnowOver(Tables.documents(spark, sfDir))
+
+  /** [[d52Winnow]]'s core over any `(doc_id, text)` relation. */
+  private[graft] def winnowOver(docs: DataFrame): DataFrame = {
+    val cap = WinnowPosCap
+    winnowSelected(docs)
+      .select(col("doc_id"), col("ghs"), explode(col("selkeys")).as("key"))
+      .withColumn("pos", lit(cap - 1) - pmod(col("key"), lit(cap)))
+      .select(col("doc_id"), col("pos"),
+        element_at(col("ghs"), (col("pos") + 1).cast("int")).as("gh"))
+  }
+
+  /** d53: WINNOW-SKETCH overlap pairs — d28's cross-document duplicate
+    * detection run on the [[d52Winnow]] sketches instead of every window
+    * hash: documents sharing at least one selected gram, with the count
+    * of distinct shared selected grams as the overlap weight. By the
+    * winnowing guarantee this detects every shared run of ≥
+    * [[WinnowW]]+[[SpanW]]−1 words while joining ~40% of the gram
+    * volume; d28 remains the exact-span tool, d53 the screening pass a
+    * 100 TB corpus runs first.
+    *
+    * Output: `(a_id, b_id, n_shared)`, a_id < b_id.
+    *
+    * SCALE: the join input is the per-doc DISTINCT selected-gram set,
+    * deduplicated row-locally (an array_distinct over the selection,
+    * zero shuffle); stop-grams above [[ContainmentHotCap]] are removed
+    * by the d49 broadcast-anti-join guard BEFORE the self-join, so every
+    * per-hash join group is bounded and boilerplate cannot fan out
+    * quadratically. One shuffle for the hot count, one for the pair
+    * aggregation.
+    */
+  def d53WinnowOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    winnowOverlapOver(Tables.documents(spark, sfDir))
+
+  /** [[d53WinnowOverlap]]'s core over any `(doc_id, text)` relation. */
+  private[graft] def winnowOverlapOver(docs: DataFrame): DataFrame = {
+    val cap = WinnowPosCap
+    // distinct selected grams per doc, still row-local: map keys back to
+    // hashes inside the array, distinct, THEN explode
+    val fps = winnowSelected(docs)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(col("selkeys"), k =>
+          element_at(col("ghs"),
+            (lit(cap) - pmod(k, lit(cap))).cast("int"))))).as("gh"))
+    val hot = fps.groupBy(col("gh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > ContainmentHotCap).select(col("gh"))
+    val kept = fps.join(broadcast(hot), Seq("gh"), "left_anti")
+    kept.select(col("doc_id").as("a_id"), col("gh"))
+      .join(kept.select(col("doc_id").as("b_id"), col("gh")), "gh")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_shared"))
+  }
 }
