@@ -1977,18 +1977,31 @@ object CorpusOps {
     */
   private val WinnowPosCap = 1L << 20
 
-  /** Per-document winnow selection, entirely ROW-LOCAL: `(doc_id, ghs,
-    * selkeys)` where `ghs` is the d28 gram-hash array and `selkeys` the
-    * distinct window minima of the packed keys. Winnowing is a
+  /** Per-document winnow selection, entirely ROW-LOCAL: `(doc_id, sel)`
+    * where `sel` is the array of selected `(pos, gh)` grams from the
+    * fused [[graft.functions.WinnowMd5]] kernel. Winnowing is a
     * per-document computation, so unlike d28's corpus-wide window
     * functions NOTHING here shuffles — the whole selection runs inside
     * the scan projection (the correct 100 TB shape: fingerprinting is
     * embarrassingly row-parallel; only what a caller JOINS afterwards
-    * ever moves). `ghs` is bound as a real column once — the d47 lesson:
-    * referencing the kernel in two expressions would hash every window
-    * twice.
+    * ever moves). The kernel exists because the composed column form
+    * (kept below as [[winnowSelectedComposed]], the spec reference) gets
+    * INLINED into InferFiltersFromGenerate's pre-explode filter and
+    * re-evaluated interpreted several times per document — measured 13 s
+    * vs sub-second at sf0.1.
     */
-  private[graft] def winnowSelected(docs: DataFrame): DataFrame = {
+  private[graft] def winnowSelected(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.WinnowMd5.winnowMd5(
+        lower(trim(col("text"))), SpanW, WinnowW).as("sel"))
+
+  /** The composed-columns reference implementation of the winnow
+    * selection — `(doc_id, ghs, selkeys)` with `selkeys` the distinct
+    * window minima of the packed keys. WinnowSpec pins the kernel
+    * bit-identical to this form; it is NOT on the query path (see
+    * [[winnowSelected]] for why).
+    */
+  private[graft] def winnowSelectedComposed(docs: DataFrame): DataFrame = {
     val w = WinnowW
     val cap = WinnowPosCap
     docs
@@ -2034,14 +2047,10 @@ object CorpusOps {
     winnowOver(Tables.documents(spark, sfDir))
 
   /** [[d52Winnow]]'s core over any `(doc_id, text)` relation. */
-  private[graft] def winnowOver(docs: DataFrame): DataFrame = {
-    val cap = WinnowPosCap
+  private[graft] def winnowOver(docs: DataFrame): DataFrame =
     winnowSelected(docs)
-      .select(col("doc_id"), col("ghs"), explode(col("selkeys")).as("key"))
-      .withColumn("pos", lit(cap - 1) - pmod(col("key"), lit(cap)))
-      .select(col("doc_id"), col("pos"),
-        element_at(col("ghs"), (col("pos") + 1).cast("int")).as("gh"))
-  }
+      .select(col("doc_id"), explode(col("sel")).as("sg"))
+      .select(col("doc_id"), col("sg.pos").as("pos"), col("sg.gh").as("gh"))
 
   /** d53: WINNOW-SKETCH overlap pairs — d28's cross-document duplicate
     * detection run on the [[d52Winnow]] sketches instead of every window
@@ -2067,14 +2076,12 @@ object CorpusOps {
 
   /** [[d53WinnowOverlap]]'s core over any `(doc_id, text)` relation. */
   private[graft] def winnowOverlapOver(docs: DataFrame): DataFrame = {
-    val cap = WinnowPosCap
-    // distinct selected grams per doc, still row-local: map keys back to
-    // hashes inside the array, distinct, THEN explode
+    // distinct selected grams per doc, still row-local: project the
+    // hashes out of the selection structs, distinct, THEN explode
     val fps = winnowSelected(docs)
       .select(col("doc_id"),
-        explode(array_distinct(transform(col("selkeys"), k =>
-          element_at(col("ghs"),
-            (lit(cap) - pmod(k, lit(cap))).cast("int"))))).as("gh"))
+        explode(array_distinct(transform(col("sel"),
+          g => g.getField("gh")))).as("gh"))
     val hot = fps.groupBy(col("gh")).agg(count(lit(1)).as("n"))
       .filter(col("n") > ContainmentHotCap).select(col("gh"))
     val kept = fps.join(broadcast(hot), Seq("gh"), "left_anti")

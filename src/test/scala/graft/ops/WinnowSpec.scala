@@ -46,6 +46,30 @@ class WinnowSpec extends AnyFunSuite with SparkSpec with Matchers {
   private def soup(rnd: scala.util.Random, n: Int): String =
     Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
 
+  test("the fused WinnowMd5 kernel is bit-identical to the composed column form") {
+    // random corpora + the real sf0.001 table: the kernel's deque
+    // selection must reproduce the transform/sequence/slice/array_min
+    // reference exactly — same packed keys, same distinct minima
+    val rnd = new scala.util.Random(314)
+    val docs = (0L until 80L).map(i => (i, soup(rnd, rnd.nextInt(90))))
+      .toDF("doc_id", "text")
+      .union(graft.Tables.documents(spark, sf001).select("doc_id", "text")
+        .withColumn("doc_id", $"doc_id" + 1000000L))
+    val cap = 1L << 20
+    val got = CorpusOps.winnowSelected(docs)
+      .select($"doc_id", org.apache.spark.sql.functions.explode($"sel").as("sg"))
+      .select($"doc_id", $"sg.pos", $"sg.gh")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = CorpusOps.winnowSelectedComposed(docs)
+      .select($"doc_id", $"ghs", org.apache.spark.sql.functions.explode($"selkeys").as("key"))
+      .collect().map { r =>
+        val pos = cap - 1 - java.lang.Math.floorMod(r.getLong(2), cap)
+        (r.getLong(0), pos, r.getSeq[Long](1)(pos.toInt))
+      }.toSet
+    got shouldBe want
+    assert(want.nonEmpty)
+  }
+
   test("d52 selection equals the in-memory reference on random corpora") {
     val rnd = new scala.util.Random(421)
     val docs = (0L until 60L).map(i => (i, soup(rnd, rnd.nextInt(60))))
