@@ -69,6 +69,7 @@ object SparkEntry {
     "d51_containment_clusters" -> (ops.CorpusOps.d51ContainmentClusters _),
     "d52_winnow" -> (ops.CorpusOps.d52Winnow _),
     "d53_winnow_overlap" -> (ops.CorpusOps.d53WinnowOverlap _),
+    "d54_bm25" -> (ops.CorpusOps.d54Bm25 _),
     "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
     "d46_semdedup" -> (ops.VectorOps.d46SemDedup _),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
@@ -274,6 +275,39 @@ object SparkEntry {
       "g AS (SELECT * FROM graw WHERE gh NOT IN (SELECT gh FROM graw GROUP BY gh HAVING count(*) > 256)), " +
       "na AS (SELECT doc_id, count(*) AS n_a FROM g GROUP BY doc_id), " +
       "sh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id <> b.doc_id GROUP BY 1, 2) "
+
+  /** The d54 BM25 replay: per-doc (dl, tf_t) projections, the one-row
+    * corpus statistics, Lucene-variant idf through the SAME 20-step
+    * fixed-point log recurrence as the DSIR oracle, and the all-integer
+    * scoring — generated over the [[ops.CorpusOps.Bm25Query]] terms.
+    */
+  private def bm25OracleSql: String = {
+    val terms = ops.CorpusOps.Bm25Query
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ws, w -> w = '$t')) AS BIGINT) AS tf$i" }.mkString(", ")
+    val dfs = terms.indices.map(i =>
+      s"CAST(count(*) FILTER (WHERE tf$i > 0) AS BIGINT) AS df$i").mkString(", ")
+    val nsBranches = (Seq("SELECT 2*n + 2 AS nn FROM st") ++
+      terms.indices.map(i => s"SELECT 2*df$i + 1 FROM st")).mkString(" UNION ALL ")
+    val idfs = terms.indices.map(i =>
+      s"(SELECT v FROM lgf, st WHERE lgf.n = 2*st.n + 2) - " +
+        s"(SELECT v FROM lgf, st WHERE lgf.n = 2*st.df$i + 1) AS idf$i").mkString(", ")
+    val contribs = terms.indices.map(i =>
+      s"(i.idf$i * 44 * a.a * b.tf$i) // (20 * a.a * b.tf$i + 6 * a.a + 18 * b.dl)")
+      .mkString(" + ")
+    "WITH RECURSIVE tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+      s"base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, $tfs FROM tok), " +
+      s"st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t, $dfs FROM base), " +
+      s"ns AS (SELECT DISTINCT nn FROM ($nsBranches)), " +
+      "lg AS (SELECT nn AS n, CAST(length(bin(nn)) - 1 AS BIGINT) AS e, nn / power(2.0, length(bin(nn)) - 1) AS m, CAST(0 AS BIGINT) AS fr, 0 AS i FROM ns " +
+      "UNION ALL SELECT n, e, CASE WHEN m*m >= 2 THEN m*m/2 ELSE m*m END, fr*2 + CASE WHEN m*m >= 2 THEN 1 ELSE 0 END, i + 1 FROM lg WHERE i < 20), " +
+      "lgf AS (SELECT n, e * 1048576 + fr AS v FROM lg WHERE i = 20), " +
+      s"idf AS (SELECT $idfs), " +
+      "av AS (SELECT t // n AS a FROM st), " +
+      s"sc AS (SELECT b.doc_id, $contribs AS score FROM base b, idf i, av a) " +
+      "SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk " +
+      "FROM sc ORDER BY score DESC, doc_id LIMIT 20"
+  }
 
   /** The shared winnowing replay (d52 sketch / d53 overlap): the d28
     * 8-word gram hashes per document as an ORDERED list, the packed
@@ -503,6 +537,9 @@ object SparkEntry {
         "kept AS (SELECT doc_id, gh FROM f WHERE gh NOT IN (SELECT gh FROM hot)) " +
         "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared " +
         "FROM kept a JOIN kept b USING (gh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2"),
+    // BM25: Lucene-variant idf through the shared fixed-point log
+    // recurrence; all scoring arithmetic nonneg int64 on both engines
+    "d54_bm25" -> bm25OracleSql,
     // cross-split leakage: d19's split hash + d1's fingerprint composed
     // verbatim, so the contaminated held-out set is exact by construction
     "d48_split_leakage" ->

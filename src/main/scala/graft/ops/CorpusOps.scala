@@ -2074,6 +2074,78 @@ object CorpusOps {
   def d53WinnowOverlap(spark: SparkSession, sfDir: String): DataFrame =
     winnowOverlapOver(Tables.documents(spark, sfDir))
 
+  /** The fixed query of [[d54Bm25]]: a literal five-term keyword query
+    * over the corpus vocabulary — "dup" is the discriminative rare term
+    * (df ≈ 5% of docs), the rest are common terms whose idf the Lucene
+    * variant keeps positive. BM25 parameters are the standard k1 = 1.2,
+    * b = 0.75, carried EXACTLY as the rationals 6/5 and 3/4 — see
+    * [[bm25Over]] for how they disappear into integer arithmetic.
+    */
+  private[graft] val Bm25Query = Seq("dup", "spark", "join", "window", "stream")
+
+  /** d54: BM25 KEYWORD RETRIEVAL — the classic sparse ranking function
+    * (Robertson–Spärck Jones / Okapi), the retrieval side of a corpus
+    * engine: score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * for the fixed query [[Bm25Query]]; output the top 20 documents.
+    *
+    * ENGINE-EXACT despite logs and rationals, the d45/d44 discipline:
+    *  - idf(t) is the LUCENE BM25 variant log(1 + (N−df+½)/(df+½)) =
+    *    log((N+1)/(df+½)) = log2Fx(2N+2) − log2Fx(2df+1) in 2^20 fixed
+    *    point (the ratio of half-integers is a ratio of integers;
+    *    [[log2Fx]] is the correctly-rounded shift-and-square recurrence
+    *    both engines replay bit-identically). Unlike the raw
+    *    Robertson–Spärck Jones form this is STRICTLY POSITIVE even for
+    *    df > N/2 — no clamp, common terms still discriminate by tf/dl,
+    *    and every operand stays nonnegative so `div` truncation and
+    *    `//` flooring agree.
+    *  - the tf part with k1 = 6/5, b = 3/4 and INTEGER-FLOORED avgdl
+    *    A = T div N multiplies out to 44·A·tf / (20·A·tf + 6·A + 18·dl)
+    *    — a ratio of int64s. Doc contribution = (idf_fx·44·A·tf) div
+    *    (20·A·tf + 6·A + 18·dl); score = Σ contributions, an exact
+    *    int64 in 2^20 fixed point.
+    *
+    * SCALE: one text-reading projection computes (dl, tf_t) per doc
+    * row-locally (the token array bound ONCE — the d47 lesson) and is
+    * persisted; the corpus statistics (N, T, df_t) are ONE map-side-
+    * combined aggregate to a single driver row (the kmeansCentroids
+    * small-model precedent); scoring is a zero-shuffle codegen'd
+    * integer projection with the idf weights as literals; top-20 is
+    * TakeOrderedAndProject (no global sort). Nothing but the O(1)
+    * stats row ever leaves the executors before the final 20 rows.
+    */
+  def d54Bm25(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Over(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** [[d54Bm25]]'s core over any `(doc_id, text)` relation —
+    * parameterized for the in-memory-reference spec.
+    */
+  private[graft] def bm25Over(docs: DataFrame): DataFrame = {
+    val q = Bm25Query
+    val toks = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val base = toks.select(
+      col("doc_id") +: size(col("ws")).cast("long").as("dl") +:
+        q.zipWithIndex.map { case (t, i) =>
+          size(filter(col("ws"), w => w === lit(t))).cast("long").as(s"tf$i")
+        }: _*).persist()
+    val st = base.agg(count(lit(1)).as("n"),
+      sum(col("dl")).as("t") +:
+        q.indices.map(i => count_if(col(s"tf$i") > 0).as(s"df$i")): _*).head()
+    val n = st.getAs[Long]("n")
+    val t = st.getAs[Long]("t")
+    val a = t / n
+    val score = q.indices.map { i =>
+      val df = st.getAs[Long](s"df$i")
+      val idf = log2Fx(2 * n + 2) - log2Fx(2 * df + 1)
+      expr(s"(${idf}L * ${44 * a}L * tf$i) div (${20 * a}L * tf$i + ${6 * a}L + 18L * dl)")
+    }.reduce(_ + _)
+    val top = base.select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+    // rank window runs over the already-taken 20 rows only
+    top.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+  }
+
   /** [[d53WinnowOverlap]]'s core over any `(doc_id, text)` relation. */
   private[graft] def winnowOverlapOver(docs: DataFrame): DataFrame = {
     // distinct selected grams per doc, still row-local: project the
