@@ -72,6 +72,7 @@ object SparkEntry {
     "d54_bm25" -> (ops.CorpusOps.d54Bm25 _),
     "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
     "d46_semdedup" -> (ops.VectorOps.d46SemDedup _),
+    "d55_d4_select" -> (ops.VectorOps.d55D4Select _),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
     "d36_ann_ivfpq_full" -> (ops.VectorOps.d36AnnIvfPqFull _),
     "d43_ann_ivfpq_residual" -> (ops.VectorOps.d43AnnIvfPqResidual _),
@@ -117,6 +118,8 @@ object SparkEntry {
       ((s: SparkSession, dir: String) => streaming.StreamingQueries.s15StreamPqIngest(s, dir)),
     "s16_stream_dsir_gate" ->
       ((s: SparkSession, dir: String) => streaming.StreamingQueries.s16StreamDsirGate(s, dir)),
+    "s17_stream_winnow_ingest" ->
+      ((s: SparkSession, dir: String) => streaming.StreamingQueries.s17StreamWinnowIngest(s, dir)),
     // relational coverage (SURVEY.md §2D → Spark built-ins)
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_revenue_by_nation" -> (ops.RelationalOps.qRevenueByNation _),
@@ -275,6 +278,21 @@ object SparkEntry {
       "g AS (SELECT * FROM graw WHERE gh NOT IN (SELECT gh FROM graw GROUP BY gh HAVING count(*) > 256)), " +
       "na AS (SELECT doc_id, count(*) AS n_a FROM g GROUP BY doc_id), " +
       "sh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id <> b.doc_id GROUP BY 1, 2) "
+
+  /** The shared SemDeDup replay (d46 / d55): exact-integer label
+    * centroids, unrounded centroid similarities, and the per-cell
+    * near-dup drop set under the lowest-centroid-similarity-first keep
+    * rule.
+    */
+  private def semdedupCteSql: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), " +
+      "ex AS (SELECT label, unnest(range(1, len(v) + 1)) AS i, v FROM e), " +
+      "qz AS (SELECT label, i, sum(CAST(floor(v[i] * 1048576) AS BIGINT)) AS sq, count(*) AS n FROM ex GROUP BY 1, 2), " +
+      "cents AS (SELECT label AS c_label, list(sq / (n * 1048576.0) ORDER BY i) AS cv FROM qz GROUP BY label), " +
+      "cs AS (SELECT e.vec_id, e.label, e.v, list_sum([e.v[i] * cv[i] for i in range(1, len(e.v) + 1)]) / (sqrt(list_sum([e.v[i] * e.v[i] for i in range(1, len(e.v) + 1)])) * sqrt(list_sum([cv[i] * cv[i] for i in range(1, len(cv) + 1)]))) AS csim FROM e JOIN cents ON cents.c_label = e.label), " +
+      "dropped AS (SELECT DISTINCT a.vec_id FROM cs a JOIN cs b ON a.label = b.label AND a.vec_id <> b.vec_id " +
+      "WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (sqrt(list_sum([a.v[i] * a.v[i] for i in range(1, len(a.v) + 1)])) * sqrt(list_sum([b.v[i] * b.v[i] for i in range(1, len(b.v) + 1)]))) >= 0.38 " +
+      "AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))) "
 
   /** The d54 BM25 replay: per-doc (dl, tf_t) projections, the one-row
     * corpus statistics, Lucene-variant idf through the SAME 20-step
@@ -540,6 +558,13 @@ object SparkEntry {
     // BM25: Lucene-variant idf through the shared fixed-point log
     // recurrence; all scoring arithmetic nonneg int64 on both engines
     "d54_bm25" -> bm25OracleSql,
+    // at-ingest winnow sketches are stateless per-row selections, so the
+    // streamed index rows equal the batch replay's per-doc summaries
+    // under any shard interleaving
+    "s17_stream_winnow_ingest" -> (winnowCteSql +
+        "x AS (SELECT doc_id, ghs, unnest(sel) AS key FROM s), " +
+        "p AS (SELECT doc_id, 1048575 - (key % 1048576) AS pos, ghs[CAST(1048576 - (key % 1048576) AS INTEGER)] AS gh FROM x) " +
+        "SELECT doc_id, count(*) AS n_sel, CAST(sum(gh % 1099511627776) AS BIGINT) AS gh_sum, CAST(sum(pos) AS BIGINT) AS pos_sum FROM p GROUP BY doc_id"),
     // cross-split leakage: d19's split hash + d1's fingerprint composed
     // verbatim, so the contaminated held-out set is exact by construction
     "d48_split_leakage" ->
@@ -575,17 +600,17 @@ object SparkEntry {
     // unrounded centroid-similarity ordering the keep-rule compares is
     // bit-identical across engines; pairs meet only within their cell
     "d46_semdedup" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), " +
-        "ex AS (SELECT label, unnest(range(1, len(v) + 1)) AS i, v FROM e), " +
-        "qz AS (SELECT label, i, sum(CAST(floor(v[i] * 1048576) AS BIGINT)) AS sq, count(*) AS n FROM ex GROUP BY 1, 2), " +
-        "cents AS (SELECT label AS c_label, list(sq / (n * 1048576.0) ORDER BY i) AS cv FROM qz GROUP BY label), " +
-        "cs AS (SELECT e.vec_id, e.label, e.v, list_sum([e.v[i] * cv[i] for i in range(1, len(e.v) + 1)]) / (sqrt(list_sum([e.v[i] * e.v[i] for i in range(1, len(e.v) + 1)])) * sqrt(list_sum([cv[i] * cv[i] for i in range(1, len(cv) + 1)]))) AS csim FROM e JOIN cents ON cents.c_label = e.label), " +
-        "dropped AS (SELECT DISTINCT a.vec_id FROM cs a JOIN cs b ON a.label = b.label AND a.vec_id <> b.vec_id " +
-        "WHERE list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (sqrt(list_sum([a.v[i] * a.v[i] for i in range(1, len(a.v) + 1)])) * sqrt(list_sum([b.v[i] * b.v[i] for i in range(1, len(b.v) + 1)]))) >= 0.38 " +
-        "AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))) " +
+      (semdedupCteSql +
         "SELECT cs.vec_id, CAST(cs.label AS BIGINT) AS cell, round(cs.csim, 6) AS cent_sim, " +
         "CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept " +
         "FROM cs LEFT JOIN dropped d ON d.vec_id = cs.vec_id"),
+    // D4: SemDeDup survivors, then drop the most-prototypical quarter
+    // per cell (rank on the 6-dp centroid similarity, vec_id tiebreak)
+    "d55_d4_select" ->
+      (semdedupCteSql +
+        ", keptr AS (SELECT cs.vec_id, CAST(cs.label AS BIGINT) AS cell, round(cs.csim, 6) AS cent_sim FROM cs WHERE cs.vec_id NOT IN (SELECT vec_id FROM dropped)), " +
+        "rk AS (SELECT vec_id, cell, cent_sim, CAST(row_number() OVER (PARTITION BY cell ORDER BY cent_sim DESC, vec_id) AS BIGINT) AS prot_rk, count(*) OVER (PARTITION BY cell) AS n_cell FROM keptr) " +
+        "SELECT vec_id, cell, cent_sim, prot_rk FROM rk WHERE prot_rk > n_cell // 4"),
     // the interleave key replayed directly: within-source rank over the
     // seeded md5 draw (the oracle's plain window = what the engine's
     // bucket decomposition must equal), slot = alphabetical source index

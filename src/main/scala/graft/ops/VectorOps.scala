@@ -542,6 +542,53 @@ object VectorOps {
         when(col("a_id").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
   }
 
+  /** d55: D4-STYLE SELECTION (Tirumala et al. 2023 — "Improving LLM
+    * Pretraining via Document De-Duplication and Diversification"):
+    * SemDeDup first ([[d46SemDedup]]'s keep set, composed VERBATIM),
+    * then SSL-PROTOTYPES pruning over the survivors — in every cell,
+    * DROP the most prototypical quarter (highest centroid similarity:
+    * near-centroid points are the cluster's redundant "prototypes";
+    * what remains is the diverse tail that adds information). Output:
+    * the selected vectors `(vec_id, cell, cent_sim, prot_rk)` with
+    * their within-cell prototype rank (rank 1 = most prototypical,
+    * selected iff rank > n_cell div 4).
+    *
+    * ENGINE-EXACT: ranking is on d46's 6-dp-rounded centroid
+    * similarity (centroids are the exact-integer table, so the rounded
+    * value is bit-identical on both engines) with vec_id tiebreak; the
+    * drop count is integer division. The oracle replays both stages.
+    *
+    * SCALE: the expensive stage is d46's per-cell quadratic join (its
+    * own documented bound); everything added here is O(survivors) —
+    * the within-cell rank runs through the shared `bucketRank`
+    * decomposition (cells × 33 similarity buckets of parallelism, no
+    * per-cell global window), the per-cell counts are an O(cells)
+    * broadcast. The survivor projection is persisted: rank offsets and
+    * the count join both consume it (the d13 pattern — re-deriving it
+    * would re-run the SemDeDup join).
+    */
+  def d55D4Select(spark: SparkSession, sfDir: String): DataFrame =
+    d4SelectOver(embeddings(spark, sfDir))
+
+  /** [[d55D4Select]]'s core over any `(vec_id, v, label)` relation —
+    * parameterized for the in-memory-replay spec.
+    */
+  private[graft] def d4SelectOver(e: DataFrame): DataFrame = {
+    val kept = semDedupOver(e).filter(col("kept") === 1L)
+      .select(col("vec_id"), col("cell"), col("cent_sim"))
+      // bucket: monotone non-increasing in cent_sim (a pure function of
+      // it, so ties stay in one bucket) — 33 buckets over [-1, 1]
+      .withColumn("b",
+        expr("(1000000L - cast(cent_sim * 1000000.0 as bigint)) div 62500"))
+      .persist()
+    val counts = kept.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+    CorpusOps.bucketRank(kept, Seq("cell"),
+        Seq(col("cent_sim").desc, col("vec_id")))
+      .join(broadcast(counts), "cell")
+      .filter(col("rk") > expr("n_cell div 4"))
+      .select(col("vec_id"), col("cell"), col("cent_sim"), col("rk").as("prot_rk"))
+  }
+
   private def nearestCidLit(centroids: Seq[(Int, Seq[Double])], vcol: Column = col("v")): Column = {
     val cents = typedlit(centroids.sortBy(_._1).map { case (cid, cv) => (cid, cv) })
     array_min(transform(cents, c =>

@@ -429,6 +429,48 @@ object StreamingQueries {
     spark.table(mem)
   }
 
+  /** WINNOW-SKETCH maintenance at ingest — the d52 fingerprint index's
+    * WRITE path (the s14/s15 at-ingest family applied to the overlap
+    * screen): every arriving document is winnowed by the SAME fused
+    * kernel the batch sketch uses (`CorpusOps.winnowSelected`, shared
+    * verbatim — selection is per-document, so it needs no trained model
+    * and no state at all), and the emitted row is the document's sketch
+    * summary `(doc_id, n_sel, gh_sum, pos_sum)`: selection count plus
+    * order-free integer sums of the selected hashes and positions — one
+    * wrong selected gram ANYWHERE flips a sum, so the oracle pins the
+    * sketch content, not just its size. `gh_sum` sums `gh mod 2^40`
+    * (raw 60-bit hashes would overflow int64 within one long document;
+    * 2^40×2^20-selections stays exact in both engines). Documents under
+    * the guarantee threshold emit nothing, exactly as in batch.
+    *
+    * SCALE: stateless zero-shuffle projection — no state store, no
+    * watermark, no join; each executor winnows its arrivals at wire
+    * speed and appends index rows. This is how a deployed overlap screen
+    * ingests: the d53 join side reads the accumulated sketch table.
+    */
+  def s17StreamWinnowIngest(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+    val shardDir = corpusShardDir(spark, sfDir)
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
+    val q = graft.ops.CorpusOps.winnowSelected(
+        ShardedCorpus.readStream(spark, shardDir, maxFilesPerTrigger))
+      .select(col("doc_id"), size(col("sel")).cast("long").as("n_sel"),
+        aggregate(col("sel"), lit(0L),
+          (acc, g) => acc + pmod(g.getField("gh"), lit(1L << 40))).as("gh_sum"),
+        aggregate(col("sel"), lit(0L), (acc, g) => acc + g.getField("pos")).as("pos_sum"))
+      .filter(col("n_sel") > 0)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
+
   /** INCREMENTAL corpus dedup — `ops.CorpusOps.d1ExactDedup`'s fingerprint
     * running at ingest: documents arrive on a sharded stream, each
     * micro-batch fingerprints its documents (d1's md5-of-sorted-word-set,

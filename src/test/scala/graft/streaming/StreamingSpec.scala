@@ -1525,6 +1525,21 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming winnow ingest emits batch-identical sketch summaries (1-file triggers)") {
+    // stateless per-row selection against no trained model at all: the
+    // per-doc (n_sel, gh_sum, pos_sum) rows must equal the batch d52
+    // rollup under any shard interleaving, and the integer sums pin the
+    // sketch CONTENT — one wrong selected gram anywhere flips a sum
+    val streamed = StreamingQueries
+      .s17StreamWinnowIngest(spark, sf001, maxFilesPerTrigger = Some(1))
+    val batch = graft.ops.CorpusOps.d52Winnow(spark, sf001)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sel"), sum(pmod(col("gh"), lit(1L << 40))).as("gh_sum"),
+        sum(col("pos")).as("pos_sum"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("incremental dup-span marking emits the first occurrence RETROACTIVELY across micro-batches") {
     // 1-file triggers: a window shared by docs in different shards has
     // its first sighting stored in state for whole batches before the
