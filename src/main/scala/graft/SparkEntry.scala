@@ -70,9 +70,11 @@ object SparkEntry {
     "d52_winnow" -> (ops.CorpusOps.d52Winnow _),
     "d53_winnow_overlap" -> (ops.CorpusOps.d53WinnowOverlap _),
     "d54_bm25" -> (ops.CorpusOps.d54Bm25 _),
+    "d57_corpus_report" -> (ops.CorpusOps.d57CorpusReport _),
     "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
     "d46_semdedup" -> (ops.VectorOps.d46SemDedup _),
     "d55_d4_select" -> (ops.VectorOps.d55D4Select _),
+    "d56_semantic_contamination" -> (ops.VectorOps.d56SemanticContamination _),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
     "d36_ann_ivfpq_full" -> (ops.VectorOps.d36AnnIvfPqFull _),
     "d43_ann_ivfpq_residual" -> (ops.VectorOps.d43AnnIvfPqResidual _),
@@ -120,6 +122,8 @@ object SparkEntry {
       ((s: SparkSession, dir: String) => streaming.StreamingQueries.s16StreamDsirGate(s, dir)),
     "s17_stream_winnow_ingest" ->
       ((s: SparkSession, dir: String) => streaming.StreamingQueries.s17StreamWinnowIngest(s, dir)),
+    "s18_stream_semantic_gate" ->
+      ((s: SparkSession, dir: String) => streaming.StreamingQueries.s18StreamSemanticGate(s, dir)),
     // relational coverage (SURVEY.md §2D → Spark built-ins)
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_revenue_by_nation" -> (ops.RelationalOps.qRevenueByNation _),
@@ -565,6 +569,14 @@ object SparkEntry {
         "x AS (SELECT doc_id, ghs, unnest(sel) AS key FROM s), " +
         "p AS (SELECT doc_id, 1048575 - (key % 1048576) AS pos, ghs[CAST(1048576 - (key % 1048576) AS INTEGER)] AS gh FROM x) " +
         "SELECT doc_id, count(*) AS n_sel, CAST(sum(gh % 1099511627776) AS BIGINT) AS gh_sum, CAST(sum(pos) AS BIGINT) AS pos_sum FROM p GROUP BY doc_id"),
+    // the corpus report card: d1's fingerprint + d11's quality ppm +
+    // language share, rolled up per source in exact integer ppm
+    "d57_corpus_report" ->
+      ("WITH t AS (SELECT source, lang, string_split(lower(trim(text)), ' ') AS ws, md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp FROM documents), " +
+        "c AS (SELECT source, lang, fp, CAST(len(ws) AS BIGINT) AS n, CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) AS BIGINT) AS s, CAST(list_sum([len(w) for w in ws]) AS BIGINT) AS l FROM t), " +
+        "q AS (SELECT source, lang, fp, n, (1000000 * (8 * n * least(n, 100) + 600 * (n - s) + 75 * least(8 * n, l))) // (2000 * n) AS qp FROM c), " +
+        "g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(count(DISTINCT fp) AS BIGINT) AS n_unique, CAST(sum(n) AS BIGINT) AS total_tokens, CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en, CAST(sum(qp) AS BIGINT) AS q_sum FROM q GROUP BY source) " +
+        "SELECT source, n_docs, n_unique, (1000000 * (n_docs - n_unique)) // n_docs AS dup_ppm, total_tokens, q_sum // n_docs AS mean_quality_ppm, (1000000 * n_en) // n_docs AS en_ppm FROM g"),
     // cross-split leakage: d19's split hash + d1's fingerprint composed
     // verbatim, so the contaminated held-out set is exact by construction
     "d48_split_leakage" ->
@@ -611,6 +623,21 @@ object SparkEntry {
         ", keptr AS (SELECT cs.vec_id, CAST(cs.label AS BIGINT) AS cell, round(cs.csim, 6) AS cent_sim FROM cs WHERE cs.vec_id NOT IN (SELECT vec_id FROM dropped)), " +
         "rk AS (SELECT vec_id, cell, cent_sim, CAST(row_number() OVER (PARTITION BY cell ORDER BY cent_sim DESC, vec_id) AS BIGINT) AS prot_rk, count(*) OVER (PARTITION BY cell) AS n_cell FROM keptr) " +
         "SELECT vec_id, cell, cent_sim, prot_rk FROM rk WHERE prot_rk > n_cell // 4"),
+    // at-ingest semantic gate: the d56 sweep against the static broadcast
+    // eval suite is stateless per-row math, so streamed flags equal the
+    // batch audit (same oracle shape, arrival side streamed)
+    "s18_stream_semantic_gate" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "ev AS (SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id % 25 = 0), " +
+        "s AS (SELECT eval_id, e.vec_id AS train_id, list_sum([evv[i] * v[i] for i in range(1, len(v) + 1)]) / (sqrt(list_sum([evv[i] * evv[i] for i in range(1, len(evv) + 1)])) * sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]))) AS sim FROM ev, e WHERE e.vec_id % 25 <> 0) " +
+        "SELECT eval_id, train_id, round(sim, 6) AS sim FROM s WHERE sim >= 0.38"),
+    // semantic contamination: exact eval-x-train cosine sweep (both
+    // engines fold the same index order; threshold on the unrounded sim)
+    "d56_semantic_contamination" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "ev AS (SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id % 25 = 0), " +
+        "s AS (SELECT eval_id, e.vec_id AS train_id, list_sum([evv[i] * v[i] for i in range(1, len(v) + 1)]) / (sqrt(list_sum([evv[i] * evv[i] for i in range(1, len(evv) + 1)])) * sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]))) AS sim FROM ev, e WHERE e.vec_id % 25 <> 0) " +
+        "SELECT eval_id, train_id, round(sim, 6) AS sim FROM s WHERE sim >= 0.38"),
     // the interleave key replayed directly: within-source rank over the
     // seeded md5 draw (the oracle's plain window = what the engine's
     // bucket decomposition must equal), slot = alphabetical source index

@@ -2074,6 +2074,42 @@ object CorpusOps {
   def d53WinnowOverlap(spark: SparkSession, sfDir: String): DataFrame =
     winnowOverlapOver(Tables.documents(spark, sfDir))
 
+  /** d57: the CORPUS REPORT CARD — the per-source health rollup a data
+    * team runs daily over the lake: document and unique-fingerprint
+    * counts (d1's identity), the exact-dup rate, total token volume,
+    * mean quality (d11's formula), and English share — all in exact
+    * integer ppm (the d44/d49 discipline: a health metric that flips
+    * with engine rounding is an alert that cries wolf). Output:
+    * `(source, n_docs, n_unique, dup_ppm, total_tokens,
+    * mean_quality_ppm, en_ppm)`.
+    *
+    * SCALE: ONE text-reading scan projects (source, lang, fp, n_tokens,
+    * q_ppm); the rollup is a single groupBy(source) whose distinct-count
+    * shuffles only the 32-byte fingerprint per doc; every output metric
+    * is integer arithmetic over the aggregate row. At 100 TB this is a
+    * scan plus an O(sources)-row result — the cheapest possible shape
+    * for a monitoring query, which is the point: it runs every day.
+    */
+  def d57CorpusReport(spark: SparkSession, sfDir: String): DataFrame =
+    corpusReportOver(Tables.documents(spark, sfDir))
+
+  /** [[d57CorpusReport]]'s core over any `(source, lang, text)` relation. */
+  private[graft] def corpusReportOver(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"),
+        fingerprint(col("text")).as("fp"),
+        expr(QNTok).as("n_tokens"), expr(QualityPpmSql).as("q_ppm"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        sum(col("n_tokens")).as("total_tokens"),
+        count_if(col("lang") === "en").as("n_en"),
+        sum(col("q_ppm")).as("q_sum"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        expr("(1000000 * (n_docs - n_unique)) div n_docs").as("dup_ppm"),
+        col("total_tokens"),
+        expr("q_sum div n_docs").as("mean_quality_ppm"),
+        expr("(1000000 * n_en) div n_docs").as("en_ppm"))
+
   /** The fixed query of [[d54Bm25]]: a literal five-term keyword query
     * over the corpus vocabulary — "dup" is the discriminative rare term
     * (df ≈ 5% of docs), the rest are common terms whose idf the Lucene

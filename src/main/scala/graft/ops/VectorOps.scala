@@ -35,7 +35,7 @@ object VectorOps {
     * CosineSimilarity): one fused loop for dot + both norms, bit-identical
     * to the composed `aggregate(zip_with(...))` form and to the oracle.
     */
-  private def cosine(a: Column, b: Column): Column =
+  private[graft] def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity.cosineSim(a, b)
 
   private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
@@ -490,7 +490,7 @@ object VectorOps {
     * prunes WITHIN clusters, where baseline similarity is already
     * elevated — 0.38 exercises the keep-rule on this corpus at every SF.
     */
-  private val SemDedupThreshold = 0.38
+  private[graft] val SemDedupThreshold = 0.38
 
   /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, public): prune
     * near-duplicate EMBEDDINGS within each cluster of the corpus. Pairs
@@ -569,6 +569,48 @@ object VectorOps {
     */
   def d55D4Select(spark: SparkSession, sfDir: String): DataFrame =
     d4SelectOver(embeddings(spark, sfDir))
+
+  /** d56: SEMANTIC CONTAMINATION audit — the embedding-space analog of
+    * d20's n-gram collision check: an evaluation example whose EMBEDDING
+    * sits near a training vector measures memorized semantics even when
+    * no 8-gram matches (paraphrased eval sets, translated benchmarks —
+    * exactly what n-gram decontamination provably misses). Eval slice =
+    * `vec_id % 25 == 0` (the held-out 4%); emit every (eval, train) pair
+    * with cosine ≥ 0.38 (the SemDeDup near-dup level) and the 6-dp
+    * similarity.
+    *
+    * DESIGN CHOICE, measured: cell-probed pruning (the d34 coarse probe)
+    * reaches only 10/14 of the true ≥0.38 pairs on this corpus at
+    * nprobe = 3 — and a contamination AUDIT is exactly where silent
+    * recall loss is unacceptable. Because the eval side is tiny, the
+    * exact form IS the scalable form: broadcast the eval vectors and
+    * scan the corpus ONCE with a codegen'd cosine against each — d6's
+    * BroadcastNestedLoopJoin shape, zero corpus shuffle, zero recall
+    * loss. (Probing is the right trade when the query side is
+    * corpus-sized — that is d34/d36's territory.)
+    *
+    * SCALE: one corpus scan × |eval| dot products per row; at 100 TB
+    * with a 10k-example eval suite this is scan-bound with a ~10k-row
+    * broadcast — the same shape the d20 gram audit ships. The ≥ τ
+    * filter runs on the unrounded similarity inside the scan, so only
+    * contaminated pairs ever leave an executor.
+    */
+  def d56SemanticContamination(spark: SparkSession, sfDir: String): DataFrame =
+    semanticContaminationOver(embeddings(spark, sfDir))
+
+  /** [[d56SemanticContamination]]'s core over any `(vec_id, v)` relation
+    * — parameterized for the planted-contamination spec.
+    */
+  private[graft] def semanticContaminationOver(e: DataFrame): DataFrame = {
+    val ev = e.filter(pmod(col("vec_id"), lit(25L)) === 0L)
+      .select(col("vec_id").as("eval_id"), col("v").as("evv"))
+    e.filter(pmod(col("vec_id"), lit(25L)) =!= 0L)
+      .crossJoin(broadcast(ev))
+      .withColumn("sim", cosine(col("evv"), col("v")))
+      .filter(col("sim") >= SemDedupThreshold)
+      .select(col("eval_id"), col("vec_id").as("train_id"),
+        round(col("sim"), 6).as("sim"))
+  }
 
   /** [[d55D4Select]]'s core over any `(vec_id, v, label)` relation —
     * parameterized for the in-memory-replay spec.

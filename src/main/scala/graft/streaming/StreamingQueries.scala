@@ -1090,6 +1090,45 @@ object StreamingQueries {
     spark.table(mem)
   }
 
+  /** SEMANTIC contamination gate at ingest — d56 running as the arrival
+    * check (the embedding-space twin of [[s10StreamContamination]]'s
+    * gram audit, completing the contamination family in streaming): the
+    * eval suite's vectors are read from the batch table and BROADCAST
+    * (static, tiny — the stream-static shape every at-ingest audit here
+    * uses), and each arriving training vector sweeps them with the
+    * exact codegen'd cosine — any arrival at ≥ the SemDeDup 0.38 level
+    * is flagged with its eval witness and 6-dp similarity. Stateless,
+    * zero shuffle, zero recall loss (d56's measured case against probed
+    * pruning applies verbatim at ingest).
+    */
+  def s18StreamSemanticGate(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+    val shardDir = embedShardDir(spark, sfDir)
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
+    val ev = graft.Tables.embeddings(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(25L)) === 0L)
+      .select(col("vec_id").as("eval_id"),
+        graft.ops.VectorOps.vecAsDouble(col("embedding")).as("evv"))
+    val q = ShardedEmbeddings.readStream(spark, shardDir, maxFilesPerTrigger)
+      .filter(pmod(col("vec_id"), lit(25L)) =!= 0L)
+      .select(col("vec_id").as("train_id"),
+        graft.ops.VectorOps.vecAsDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(ev))
+      .withColumn("sim", graft.ops.VectorOps.cosine(col("evv"), col("v")))
+      .filter(col("sim") >= graft.ops.VectorOps.SemDedupThreshold)
+      .select(col("eval_id"), col("train_id"), round(col("sim"), 6).as("sim"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
+
   /** Streaming event-time SESSIONIZATION: the native `session_window`
     * operator (q_session_window's batch twin) run as a streaming
     * aggregation — the MERGING-window state operator, qualitatively

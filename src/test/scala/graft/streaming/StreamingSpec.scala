@@ -1540,6 +1540,17 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming semantic gate flags exactly the batch d56 pairs (1-file triggers)") {
+    // stateless per-arrival cosine sweep against the static broadcast
+    // eval suite: flags must equal the batch contamination audit under
+    // any shard interleaving
+    val streamed = StreamingQueries
+      .s18StreamSemanticGate(spark, sf001, maxFilesPerTrigger = Some(1))
+    val batch = graft.ops.VectorOps.d56SemanticContamination(spark, sf001)
+    assert(streamed.count() > 0) // sf0.001 carries 7 true pairs — not vacuous
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("incremental dup-span marking emits the first occurrence RETROACTIVELY across micro-batches") {
     // 1-file triggers: a window shared by docs in different shards has
     // its first sighting stored in state for whole batches before the
