@@ -71,10 +71,12 @@ object SparkEntry {
     "d53_winnow_overlap" -> (ops.CorpusOps.d53WinnowOverlap _),
     "d54_bm25" -> (ops.CorpusOps.d54Bm25 _),
     "d57_corpus_report" -> (ops.CorpusOps.d57CorpusReport _),
+    "d59_hashed_embed" -> (ops.CorpusOps.d59HashedEmbed _),
     "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
     "d46_semdedup" -> (ops.VectorOps.d46SemDedup _),
     "d55_d4_select" -> (ops.VectorOps.d55D4Select _),
     "d56_semantic_contamination" -> (ops.VectorOps.d56SemanticContamination _),
+    "d58_knn_graph" -> (ops.VectorOps.d58KnnGraph _),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
     "d36_ann_ivfpq_full" -> (ops.VectorOps.d36AnnIvfPqFull _),
     "d43_ann_ivfpq_residual" -> (ops.VectorOps.d43AnnIvfPqResidual _),
@@ -577,6 +579,15 @@ object SparkEntry {
         "q AS (SELECT source, lang, fp, n, (1000000 * (8 * n * least(n, 100) + 600 * (n - s) + 75 * least(8 * n, l))) // (2000 * n) AS qp FROM c), " +
         "g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(count(DISTINCT fp) AS BIGINT) AS n_unique, CAST(sum(n) AS BIGINT) AS total_tokens, CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en, CAST(sum(qp) AS BIGINT) AS q_sum FROM q GROUP BY source) " +
         "SELECT source, n_docs, n_unique, (1000000 * (n_docs - n_unique)) // n_docs AS dup_ppm, total_tokens, q_sum // n_docs AS mean_quality_ppm, (1000000 * n_en) // n_docs AS en_ppm FROM g"),
+    // hashed embeddings: integer signed counts, one IEEE divide by a
+    // correctly-rounded integer sqrt — the d44 discipline
+    "d59_hashed_embed" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents), " +
+        "h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS hv FROM tok), " +
+        "b AS (SELECT doc_id, hv % 16 AS dim, CASE WHEN (hv // 16) % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM h), " +
+        "v AS (SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS v FROM b GROUP BY 1, 2), " +
+        "n AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS n2 FROM v GROUP BY 1) " +
+        "SELECT v.doc_id, v.dim, round(v.v / sqrt(n.n2), 6) AS val FROM v JOIN n USING (doc_id) WHERE n.n2 > 0"),
     // cross-split leakage: d19's split hash + d1's fingerprint composed
     // verbatim, so the contaminated held-out set is exact by construction
     "d48_split_leakage" ->
@@ -631,6 +642,13 @@ object SparkEntry {
         "ev AS (SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id % 25 = 0), " +
         "s AS (SELECT eval_id, e.vec_id AS train_id, list_sum([evv[i] * v[i] for i in range(1, len(v) + 1)]) / (sqrt(list_sum([evv[i] * evv[i] for i in range(1, len(evv) + 1)])) * sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]))) AS sim FROM ev, e WHERE e.vec_id % 25 <> 0) " +
         "SELECT eval_id, train_id, round(sim, 6) AS sim FROM s WHERE sim >= 0.38"),
+    // kNN graph: the block decomposition is invisible to the result —
+    // the oracle ranks all same-cell pairs with a plain window
+    "d58_knn_graph" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), " +
+        "s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (sqrt(list_sum([a.v[i] * a.v[i] for i in range(1, len(a.v) + 1)])) * sqrt(list_sum([b.v[i] * b.v[i] for i in range(1, len(b.v) + 1)]))) AS sim FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id), " +
+        "r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s) " +
+        "SELECT q_id, n_id, round(sim, 6) AS sim, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3"),
     // semantic contamination: exact eval-x-train cosine sweep (both
     // engines fold the same index order; threshold on the unrounded sim)
     "d56_semantic_contamination" ->

@@ -2110,6 +2110,54 @@ object CorpusOps {
         expr("q_sum div n_docs").as("mean_quality_ppm"),
         expr("(1000000 * n_en) div n_docs").as("en_ppm"))
 
+  /** Dimensions of the [[d59HashedEmbed]] embedding. */
+  private val HashedEmbedDims = 16L
+
+  /** d59: HASHED TEXT EMBEDDINGS — deterministic in-engine embedding
+    * generation by signed feature hashing (Weinberger et al. 2009, the
+    * "hashing trick"): each token's 60-bit md5 picks a dimension
+    * (`h mod 16`) and a sign (next bit), the signed counts are
+    * L2-normalized, and the result is a unit vector any of this
+    * engine's vector operators (d6/d7, d46, d55, d58) can consume —
+    * closing the text → vector → ANN loop WITHOUT an external model
+    * (where a learned encoder would slot in, the multimodal d8 stub
+    * discipline applies; the hashing embedding is the fully-real,
+    * fully-exact baseline). Output: `(doc_id, dim, val)` rows for the
+    * occupied dimensions of each non-degenerate document.
+    *
+    * ENGINE-EXACT despite the normalization: components and the squared
+    * norm are integers; `val = v / sqrt(n2)` is one IEEE division by a
+    * correctly-rounded sqrt of an integer — bit-identical in every
+    * engine (the d44 sqrt discipline), then rounded to 6 dp. Documents
+    * whose signed counts fully cancel (norm 0) are dropped — the
+    * documented degenerate case.
+    *
+    * SCALE: one text-reading explode, one groupBy on (doc_id, dim) of
+    * integer rows, and a doc_id window for the norm that reuses the
+    * partitioning — O(docs × dims) fixed-width rows shuffle, text
+    * never does.
+    */
+  def d59HashedEmbed(spark: SparkSession, sfDir: String): DataFrame =
+    hashedEmbedOver(Tables.documents(spark, sfDir))
+
+  /** [[d59HashedEmbed]]'s core over any `(doc_id, text)` relation. */
+  private[graft] def hashedEmbedOver(docs: DataFrame): DataFrame = {
+    val d = HashedEmbedDims
+    val v = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("hv"))
+      .select(col("doc_id"), pmod(col("hv"), lit(d)).as("dim"),
+        when(pmod(expr(s"hv div $d"), lit(2L)) === 0L, lit(1L))
+          .otherwise(lit(-1L)).as("sgn"))
+      .groupBy(col("doc_id"), col("dim")).agg(sum(col("sgn")).as("v"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    v.withColumn("n2", sum(col("v") * col("v")).over(byDoc))
+      .filter(col("n2") > 0)
+      .select(col("doc_id"), col("dim"),
+        round(col("v") / sqrt(col("n2").cast("double")), 6).as("val"))
+  }
+
   /** The fixed query of [[d54Bm25]]: a literal five-term keyword query
     * over the corpus vocabulary — "dup" is the discriminative rare term
     * (df ≈ 5% of docs), the rest are common terms whose idf the Lucene

@@ -570,6 +570,49 @@ object VectorOps {
   def d55D4Select(spark: SparkSession, sfDir: String): DataFrame =
     d4SelectOver(embeddings(spark, sfDir))
 
+  /** Neighbors per vector in [[d58KnnGraph]]. */
+  private val KnnGraphK = 3
+
+  /** d58: the k-NN GRAPH — every vector's top-[[KnnGraphK]] cosine
+    * neighbors within its coarse cell, the primitive under graph-based
+    * curation (SemDeDup/D4 derive from it in practice, connected-
+    * component semantic clusters run on it, and an HNSW-style index
+    * bootstraps from it). Unlike d7 (bounded query set) the query side
+    * here IS the corpus, so the work is inherently per-cell quadratic —
+    * the honest part — and the design question is parallelism:
+    *
+    * SCALE: the candidate join composes the d7 cell confinement with
+    * d9's BLOCK decomposition — sides replicate to (label, lo, hi)
+    * block-pair keys and meet in a shuffle hash equi-join, so
+    * parallelism is cells × block-pairs (NOT the cell count, which
+    * would cap a 1000-executor cluster at n_cells tasks), per-task
+    * memory O(2·B·dim). Each undirected block pair is scored once and
+    * emitted in both directions (a mirror projection, not a second
+    * join); per-vector top-k is one q_id window whose rank filter
+    * group-limits BEFORE the shuffle (WindowGroupLimit, plan-pinned).
+    */
+  def d58KnnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir).withColumn("blk", floor(col("vec_id") / BlockSize))
+    val nBlocks = e.agg(coalesce(max(col("blk")), lit(0L))).head().getLong(0) + 1
+    val lo = e.select(col("label"),
+      col("blk").as("lo"), explode(sequence(col("blk"), lit(nBlocks - 1))).as("hi"),
+      col("vec_id").as("a_id"), col("v").as("va"))
+    val hi = e.select(col("label"),
+      explode(sequence(lit(0L), col("blk"))).as("lo"), col("blk").as("hi"),
+      col("vec_id").as("b_id"), col("v").as("vb"))
+    val pairs = lo.hint("shuffle_hash").join(hi, Seq("label", "lo", "hi"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosine(col("va"), col("vb")).as("sim"))
+    val directed = pairs.select(explode(array(
+        struct(col("a_id").as("q_id"), col("b_id").as("n_id"), col("sim")),
+        struct(col("b_id").as("q_id"), col("a_id").as("n_id"), col("sim")))).as("p"))
+      .select(col("p.q_id"), col("p.n_id"), col("p.sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    directed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KnnGraphK)
+      .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"), col("rn"))
+  }
+
   /** d56: SEMANTIC CONTAMINATION audit — the embedding-space analog of
     * d20's n-gram collision check: an evaluation example whose EMBEDDING
     * sits near a training vector measures memorized semantics even when
