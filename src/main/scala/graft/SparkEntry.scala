@@ -77,6 +77,7 @@ object SparkEntry {
     "d55_d4_select" -> (ops.VectorOps.d55D4Select _),
     "d56_semantic_contamination" -> (ops.VectorOps.d56SemanticContamination _),
     "d58_knn_graph" -> (ops.VectorOps.d58KnnGraph _),
+    "d60_semantic_clusters" -> (ops.VectorOps.d60SemanticClusters _),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
     "d36_ann_ivfpq_full" -> (ops.VectorOps.d36AnnIvfPqFull _),
     "d43_ann_ivfpq_residual" -> (ops.VectorOps.d43AnnIvfPqResidual _),
@@ -284,6 +285,14 @@ object SparkEntry {
       "g AS (SELECT * FROM graw WHERE gh NOT IN (SELECT gh FROM graw GROUP BY gh HAVING count(*) > 256)), " +
       "na AS (SELECT doc_id, count(*) AS n_a FROM g GROUP BY doc_id), " +
       "sh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id <> b.doc_id GROUP BY 1, 2) "
+
+  /** The shared kNN-graph replay (d58 / d60): all same-cell cosine
+    * pairs ranked per query vector with a plain window.
+    */
+  private def knnGraphCteSql: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), " +
+      "s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (sqrt(list_sum([a.v[i] * a.v[i] for i in range(1, len(a.v) + 1)])) * sqrt(list_sum([b.v[i] * b.v[i] for i in range(1, len(b.v) + 1)]))) AS sim FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id), " +
+      "r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s) "
 
   /** The shared SemDeDup replay (d46 / d55): exact-integer label
     * centroids, unrounded centroid similarities, and the per-cell
@@ -644,11 +653,16 @@ object SparkEntry {
         "SELECT eval_id, train_id, round(sim, 6) AS sim FROM s WHERE sim >= 0.38"),
     // kNN graph: the block decomposition is invisible to the result —
     // the oracle ranks all same-cell pairs with a plain window
-    "d58_knn_graph" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), " +
-        "s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (sqrt(list_sum([a.v[i] * a.v[i] for i in range(1, len(a.v) + 1)])) * sqrt(list_sum([b.v[i] * b.v[i] for i in range(1, len(b.v) + 1)]))) AS sim FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id), " +
-        "r AS (SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s) " +
+    "d58_knn_graph" -> (knnGraphCteSql +
         "SELECT q_id, n_id, round(sim, 6) AS sim, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3"),
+    // semantic clusters: the d51 reach CTE over the thresholded kNN edges
+    "d60_semantic_clusters" -> ("WITH RECURSIVE " + knnGraphCteSql.stripPrefix("WITH ") +
+        ", k AS (SELECT q_id, n_id, round(sim, 6) AS sim FROM r WHERE rn <= 3), " +
+        "p AS (SELECT DISTINCT least(q_id, n_id) AS a, greatest(q_id, n_id) AS b FROM k WHERE sim >= 0.3), " +
+        "ed AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p), " +
+        "reach(src, dst) AS (SELECT src, dst FROM ed UNION SELECT r2.src, ed.dst FROM reach r2 JOIN ed ON r2.dst = ed.src), " +
+        "lab AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src) " +
+        "SELECT vec_id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size FROM lab"),
     // semantic contamination: exact eval-x-train cosine sweep (both
     // engines fold the same index order; threshold on the unrounded sim)
     "d56_semantic_contamination" ->

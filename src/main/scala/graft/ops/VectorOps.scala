@@ -613,6 +613,40 @@ object VectorOps {
       .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"), col("rn"))
   }
 
+  /** Edge threshold for [[d60SemanticClusters]]: looser than the 0.38
+    * dedup level BY DESIGN — clustering groups related documents;
+    * dedup kills near-copies. At 0.3 the kNN graph keeps its strong
+    * edges (~15% of them on this corpus) without fusing everything.
+    */
+  private val ClusterTau = 0.3
+
+  /** d60: SEMANTIC CLUSTERS — connected components over the
+    * [[d58KnnGraph]] edges at ≥ [[ClusterTau]] (d25's move applied to
+    * the kNN graph): every vector in a strong-edge component gets its
+    * component's smallest vec_id as cluster label, plus the cluster
+    * size. This is the topic-clustering step cluster-balanced sampling
+    * and per-cluster curation start from.
+    *
+    * SCALE: edges are the already-thinned kNN top-k (O(k·N), not the
+    * quadratic candidate set), symmetrized and thresholded on the 6-dp
+    * similarity both engines agree on; components run GraphOps'
+    * checkpointed min-label propagation (O(log n) rounds — the
+    * d25/d51 machinery verbatim); the size window partitions by
+    * cluster over O(involved vectors) rows.
+    */
+  def d60SemanticClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = d58KnnGraph(spark, sfDir)
+      .filter(col("sim") >= ClusterTau)
+      .select(least(col("q_id"), col("n_id")).as("a"),
+        greatest(col("q_id"), col("n_id")).as("b"))
+      .distinct()
+    val w = Window.partitionBy(col("cluster_id"))
+    GraphOps.connectedComponents(edges)
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"),
+        count(lit(1)).over(w).cast("long").as("cluster_size"))
+  }
+
   /** d56: SEMANTIC CONTAMINATION audit — the embedding-space analog of
     * d20's n-gram collision check: an evaluation example whose EMBEDDING
     * sits near a training vector measures memorized semantics even when

@@ -40,6 +40,25 @@ class KnnGraphSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("d60 clusters are consistent with the thresholded d58 edges") {
+    val edges = VectorOps.d58KnnGraph(spark, sf001)
+      .filter(col("sim") >= 0.3).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val clusters = VectorOps.d60SemanticClusters(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(clusters.nonEmpty)
+    val label = clusters.map(c => c._1 -> c._2).toMap
+    // membership: exactly the vectors on >= 1 strong edge
+    label.keySet shouldBe edges.flatMap(e => Seq(e._1, e._2))
+    // every edge joins same-cluster members; labels are component minima
+    edges.foreach { case (a, b) => label(a) shouldBe label(b) }
+    clusters.groupBy(_._2).foreach { case (cid, ms) =>
+      ms.map(_._1).min shouldBe cid
+      ms.foreach(_._3 shouldBe ms.length.toLong)
+    }
+  }
+
   test("d58 plans a blocked shuffle join with group-limited top-k") {
     val p = graft.SparkEntry.queries("d58_knn_graph")(spark, sf001)
       .queryExecution.executedPlan.toString
