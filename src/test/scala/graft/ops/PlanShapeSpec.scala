@@ -170,7 +170,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
       "d36_ann_ivfpq_full",
       // single-row scored-doc count cross-joined for the tercile split —
       // the d23/d29 scalar pattern
-      "d47_ppl_filter")
+      "d47_ppl_filter",
+      // the eval-suite sweep: build side is the held-out eval set — a
+      // FIXED benchmark suite in deployment (the gate's %25 slice stands
+      // in for it); the corpus side scans broadcast-free, and d56's doc
+      // records why exact beats probed pruning here (measured 10/14
+      // probe recall — an audit cannot lose recall silently)
+      "d56_semantic_contamination")
     SparkEntry.queries.keys.filterNot(_.startsWith("s")).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
