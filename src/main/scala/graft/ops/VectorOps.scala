@@ -635,11 +635,15 @@ object VectorOps {
     * cluster over O(involved vectors) rows.
     */
   def d60SemanticClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    // persist: the symmetrization inside connectedComponents references
+    // the edge relation twice (union with its mirror), and the kNN
+    // subplan behind it is the expensive part (the d13 pattern)
     val edges = d58KnnGraph(spark, sfDir)
       .filter(col("sim") >= ClusterTau)
       .select(least(col("q_id"), col("n_id")).as("a"),
         greatest(col("q_id"), col("n_id")).as("b"))
       .distinct()
+      .persist()
     val w = Window.partitionBy(col("cluster_id"))
     GraphOps.connectedComponents(edges)
       .select(col("id").as("vec_id"), col("label").as("cluster_id"))
