@@ -127,6 +127,8 @@ object SparkEntry {
       ((s: SparkSession, dir: String) => streaming.StreamingQueries.s17StreamWinnowIngest(s, dir)),
     "s18_stream_semantic_gate" ->
       ((s: SparkSession, dir: String) => streaming.StreamingQueries.s18StreamSemanticGate(s, dir)),
+    "s19_stream_ann_lookup" ->
+      ((s: SparkSession, dir: String) => streaming.StreamingQueries.s19StreamAnnLookup(s, dir)),
     // relational coverage (SURVEY.md §2D → Spark built-ins)
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_revenue_by_nation" -> (ops.RelationalOps.qRevenueByNation _),
@@ -654,6 +656,10 @@ object SparkEntry {
     // kNN graph: the block decomposition is invisible to the result —
     // the oracle ranks all same-cell pairs with a plain window
     "d58_knn_graph" -> (knnGraphCteSql +
+        "SELECT q_id, n_id, round(sim, 6) AS sim, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3"),
+    // the at-ingest ANN lookup streams the whole corpus against the
+    // static index, so its result is exactly the batch kNN graph
+    "s19_stream_ann_lookup" -> (knnGraphCteSql +
         "SELECT q_id, n_id, round(sim, 6) AS sim, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3"),
     // semantic clusters: the d51 reach CTE over the thresholded kNN edges
     "d60_semantic_clusters" -> ("WITH RECURSIVE " + knnGraphCteSql.stripPrefix("WITH ") +

@@ -1129,6 +1129,59 @@ object StreamingQueries {
     spark.table(mem)
   }
 
+  /** ANN index SEARCH path at ingest — the query-side twin of s14/s15's
+    * write paths, completing the index lifecycle in streaming: every
+    * arriving vector looks up its top-3 in-cell neighbors in the STATIC
+    * corpus index (the admit-time "have we seen something like this"
+    * lookup a dedup-before-admit pipeline runs). Per micro-batch the
+    * lookup is d7's plan — cell equi-join + exact rerank + per-query
+    * top-k window — executed inside `foreachBatch`, where batch-only
+    * operators (the rank window) are legal; results commit through the
+    * idempotent epoch sink, so a replayed batch overwrites itself and
+    * the lookup stream is exactly-once end to end.
+    *
+    * SCALE: each micro-batch joins ONLY its arrivals against the index
+    * (equi-join on the cell id — the arrival's cell prunes the probe),
+    * and the top-k window partitions by arrival. The static side at
+    * 100 TB is the bucketed index table; nothing about the shape
+    * changes. Streamed arrivals = the full corpus here, so the result
+    * must equal d58's batch kNN graph exactly — that IS the oracle.
+    */
+  def s19StreamAnnLookup(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+    val shardDir = embedShardDir(spark, sfDir)
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val out = Files.createTempDirectory("graft-annq-out-").toString
+    val index = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("n_id"),
+        graft.ops.VectorOps.vecAsDouble(col("embedding")).as("nv"),
+        col("label").as("n_label"))
+    val q = ShardedEmbeddings.readStream(spark, shardDir, maxFilesPerTrigger)
+      .select(col("vec_id").as("q_id"),
+        graft.ops.VectorOps.vecAsDouble(col("embedding")).as("qv"),
+        col("label").as("q_label"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+        val top = df.join(index,
+            col("q_label") === col("n_label") && col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            graft.ops.VectorOps.cosine(col("qv"), col("nv")).as("sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"), col("rn"))
+        IdempotentSink.writeBatch(top, batchId, out)
+      }
+      .start()
+    q.awaitTermination()
+    IdempotentSink.readAll(spark, out, org.apache.spark.sql.types.StructType.fromDDL(
+      "q_id BIGINT, n_id BIGINT, sim DOUBLE, rn INT"))
+  }
+
   /** Streaming event-time SESSIONIZATION: the native `session_window`
     * operator (q_session_window's batch twin) run as a streaming
     * aggregation — the MERGING-window state operator, qualitatively

@@ -1551,6 +1551,20 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming ANN lookup returns the batch kNN graph exactly (1-file triggers)") {
+    // the index SEARCH path: per-batch d7-shaped lookup against the
+    // static index through foreachBatch + the idempotent epoch sink;
+    // arrivals = the full corpus, so the union of per-batch lookups must
+    // equal d58's batch kNN graph under any shard interleaving
+    val streamed = StreamingQueries
+      .s19StreamAnnLookup(spark, sf001, maxFilesPerTrigger = Some(1))
+      .select(col("q_id"), col("n_id"), col("sim"), col("rn").cast("int").as("rn"))
+    val batch = graft.ops.VectorOps.d58KnnGraph(spark, sf001)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rn").cast("int").as("rn"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("incremental dup-span marking emits the first occurrence RETROACTIVELY across micro-batches") {
     // 1-file triggers: a window shared by docs in different shards has
     // its first sighting stored in state for whole batches before the
