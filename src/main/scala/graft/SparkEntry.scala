@@ -72,6 +72,7 @@ object SparkEntry {
     "d54_bm25" -> (ops.CorpusOps.d54Bm25 _),
     "d57_corpus_report" -> (ops.CorpusOps.d57CorpusReport _),
     "d59_hashed_embed" -> (ops.CorpusOps.d59HashedEmbed _),
+    "d61_span_scrub" -> (ops.CorpusOps.d61SpanScrub _),
     "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
     "d46_semdedup" -> (ops.VectorOps.d46SemDedup _),
     "d55_d4_select" -> (ops.VectorOps.d55D4Select _),
@@ -590,6 +591,24 @@ object SparkEntry {
         "q AS (SELECT source, lang, fp, n, (1000000 * (8 * n * least(n, 100) + 600 * (n - s) + 75 * least(8 * n, l))) // (2000 * n) AS qp FROM c), " +
         "g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(count(DISTINCT fp) AS BIGINT) AS n_unique, CAST(sum(n) AS BIGINT) AS total_tokens, CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en, CAST(sum(qp) AS BIGINT) AS q_sum FROM q GROUP BY source) " +
         "SELECT source, n_docs, n_unique, (1000000 * (n_docs - n_unique)) // n_docs AS dup_ppm, total_tokens, q_sum // n_docs AS mean_quality_ppm, (1000000 * n_en) // n_docs AS en_ppm FROM g"),
+    // span scrubbing: global first-occurrence attribution per gram hash,
+    // the d28 island merge, and a per-index rebuild — the clean_md5 pins
+    // the exact reconstructed bytes on both engines
+    "d61_span_scrub" ->
+      ("WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+        "g0 AS (SELECT doc_id, unnest([{'p': CAST(i - 1 AS BIGINT), 's': array_to_string(ws[i:i+7], ' ')} for i in range(1, len(ws) - 6)]) AS u FROM w WHERE len(ws) >= 8), " +
+        "g AS (SELECT doc_id, u.p AS pos, CAST(('0x' || substr(md5(u.s), 1, 15)) AS BIGINT) AS gh FROM g0), " +
+        "r AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn FROM g), " +
+        "red AS (SELECT doc_id, pos FROM r WHERE rn >= 2), " +
+        "st AS (SELECT doc_id, pos, CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 THEN 0 ELSE 1 END AS step FROM red), " +
+        "i0 AS (SELECT doc_id, pos, sum(step) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM st), " +
+        "isl AS (SELECT doc_id, min(pos) AS b, max(pos) + 8 AS e FROM i0 GROUP BY doc_id, island), " +
+        "ia AS (SELECT doc_id, list({'b': b, 'e': e}) AS islands FROM isl GROUP BY doc_id), " +
+        "base AS (SELECT w.doc_id, w.ws, coalesce(ia.islands, []) AS islands FROM w LEFT JOIN ia ON ia.doc_id = w.doc_id), " +
+        "k AS (SELECT doc_id, ws, [ws[i] for i in range(1, len(ws) + 1) if len(list_filter(islands, s -> s.b <= i - 1 AND i - 1 < s.e)) = 0] AS kept FROM base) " +
+        // coalesce: a fully-scrubbed doc has kept = [] and DuckDB's
+        // array_to_string([]) is NULL where Spark's concat_ws is ''
+        "SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, CAST(len(ws) - len(kept) AS BIGINT) AS n_removed, md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5 FROM k"),
     // hashed embeddings: integer signed counts, one IEEE divide by a
     // correctly-rounded integer sqrt — the d44 discipline
     "d59_hashed_embed" ->

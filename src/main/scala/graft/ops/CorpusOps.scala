@@ -2110,6 +2110,64 @@ object CorpusOps {
         expr("q_sum div n_docs").as("mean_quality_ppm"),
         expr("(1000000 * n_en) div n_docs").as("en_ppm"))
 
+  /** d61: SPAN SCRUBBING — the ACTIONABLE form of d28 (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": don't
+    * just find duplicated substrings, REMOVE them, keeping the first
+    * occurrence): a window occurrence is redundant iff it is not the
+    * corpus-wide FIRST occurrence of its 8-word gram (ordered by
+    * (doc_id, pos)); every token covered by a redundant window is
+    * scrubbed. Output per document: token counts before/after and the
+    * md5 of the scrubbed text — the hash pins the exact reconstructed
+    * bytes, not just the counts (the d38 red_md5 discipline).
+    *
+    * SCALE, in the d28 shapes throughout: one gram explode (the fused
+    * kernel), ONE gh-partitioned window for global first-occurrence
+    * attribution (only (doc_id, pos, gh) rows shuffle — never text), the
+    * d28 lag+cumsum island merge per doc, and a row-local rebuild: the
+    * merged islands per doc are FEW (they're maximal runs), so the
+    * per-token coverage test folds over a handful of ranges — not the
+    * O(tokens × windows) interpreted trap d47 documented. Text is read
+    * exactly twice (gram pass, rebuild pass) and never shuffled.
+    */
+  def d61SpanScrub(spark: SparkSession, sfDir: String): DataFrame =
+    spanScrubOver(Tables.documents(spark, sfDir))
+
+  /** [[d61SpanScrub]]'s core over any `(doc_id, text)` relation. */
+  private[graft] def spanScrubOver(docs: DataFrame): DataFrame = {
+    val w = SpanW
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.WordWindowMd5.wordWindowMd5(
+          lower(trim(col("text"))), w)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gh"))
+    val byGh = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gh")).orderBy(col("doc_id"), col("pos"))
+    val red = grams
+      .withColumn("rn", row_number().over(byGh))
+      .filter(col("rn") >= 2)
+      .select(col("doc_id"), col("pos"))
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = red
+      .withColumn("step",
+        when(col("pos") <= lag(col("pos"), 1).over(byPos) + w, lit(0L)).otherwise(lit(1L)))
+      .withColumn("island", sum(col("step")).over(byPos))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("b"), (max(col("pos")) + w).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("b"), col("e"))).as("isl"))
+    docs.join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), words(col("text")).as("ws"),
+        expr("coalesce(isl, cast(array() as array<struct<b:bigint,e:bigint>>))").as("isl"))
+      .withColumn("kept", filter(col("ws"), (_, i) =>
+        !exists(col("isl"), s =>
+          s.getField("b") <= i.cast("long") && i.cast("long") < s.getField("e"))))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        (size(col("ws")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", col("kept"))).as("clean_md5"))
+  }
+
   /** Dimensions of the [[d59HashedEmbed]] embedding. */
   private val HashedEmbedDims = 16L
 
