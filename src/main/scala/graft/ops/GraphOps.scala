@@ -70,9 +70,14 @@ object GraphOps {
     val parts = math.max(1L, math.min(sessionParts.toLong, nEdges / 50000L + 1L)).toInt
     val sym = symRaw.repartition(parts, col("dst")).persist()
     // every node of an edge list appears as src after symmetrization, so
-    // the per-round join below is inner and total
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // the per-round join below is inner and total. Initialization FUSES
+    // the first propagation round (label = min(id, neighbors)) — one
+    // aggregate instead of a distinct plus a full join round; star and
+    // clique components (the dedup-graph norm) then converge on the
+    // loop's first no-change pass.
+    var labels = sym.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .withColumnRenamed("src", "id")
       .persist()
 
     def checksum(df: DataFrame): java.math.BigDecimal =
