@@ -73,6 +73,7 @@ object SparkEntry {
     "d57_corpus_report" -> (ops.CorpusOps.d57CorpusReport _),
     "d59_hashed_embed" -> (ops.CorpusOps.d59HashedEmbed _),
     "d61_span_scrub" -> (ops.CorpusOps.d61SpanScrub _),
+    "d62_bloom_gate" -> (ops.CorpusOps.d62BloomGate _),
     "d34_ann_ivf_probes" -> (ops.VectorOps.d34AnnIvfProbes _),
     "d46_semdedup" -> (ops.VectorOps.d46SemDedup _),
     "d55_d4_select" -> (ops.VectorOps.d55D4Select _),
@@ -609,6 +610,16 @@ object SparkEntry {
         // coalesce: a fully-scrubbed doc has kept = [] and DuckDB's
         // array_to_string([]) is NULL where Spark's concat_ws is ''
         "SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, CAST(len(ws) - len(kept) AS BIGINT) AS n_removed, md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5 FROM k"),
+    // Bloom gate: k=3 20-bit hex slices of the d1 fingerprint mod 2^16 —
+    // pure integer arithmetic, so the filter AND its false positives
+    // replay exactly; the oracle probes the position set directly
+    "d62_bloom_gate" ->
+      ("WITH f AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp FROM documents), " +
+        "p AS (SELECT doc_id, [CAST(('0x' || substr(fp, 1 + 5 * j, 5)) AS BIGINT) % 65536 for j in range(0, 3)] AS ps FROM f), " +
+        "train AS (SELECT DISTINCT unnest(ps) AS p FROM p WHERE doc_id % 2 = 0), " +
+        "e AS (SELECT doc_id, unnest(ps) AS x FROM p WHERE doc_id % 2 = 1), " +
+        "h AS (SELECT e.doc_id, count(t.p) AS nhit FROM e LEFT JOIN train t ON t.p = e.x GROUP BY e.doc_id) " +
+        "SELECT doc_id, CASE WHEN nhit = 3 THEN 1 ELSE 0 END AS hit FROM h"),
     // hashed embeddings: integer signed counts, one IEEE divide by a
     // correctly-rounded integer sqrt — the d44 discipline
     "d59_hashed_embed" ->

@@ -2168,6 +2168,65 @@ object CorpusOps {
         md5(concat_ws(" ", col("kept"))).as("clean_md5"))
   }
 
+  /** Bloom-gate geometry: m = 2^16 bits (1024 packed longs), k = 3
+    * probe positions per fingerprint, each a 20-bit hex slice of the d1
+    * md5 fingerprint reduced mod m — nothing but integer arithmetic, so
+    * the filter and its false positives are DETERMINISTIC and the
+    * DuckDB oracle replays them exactly.
+    */
+  private val BloomBits = 1 << 16
+  private val BloomK = 3
+
+  /** d62: BLOOM MEMBERSHIP GATE — dedup against a HISTORICAL corpus too
+    * big to join (the "have we trained on this before" check against
+    * last year's crawl): the train half's d1 fingerprints build one
+    * m = 2^16-bit Bloom bitmap (k = 3 positions each), and the eval
+    * half probes it with a zero-shuffle expression. A Bloom filter
+    * cannot false-negative, so `hit = 0` PROVES the document is new;
+    * `hit = 1` routes to the exact d1 path (the standard two-tier
+    * membership design). Output: `(doc_id, hit)` per eval doc.
+    *
+    * SCALE: this is the pattern's point — the historical side collapses
+    * to m bits regardless of corpus size. Here the distinct set
+    * positions are one map-side-combined aggregate collected at
+    * O(min(3·docs, m)) rows (the kmeansCentroids small-model
+    * precedent); at 100 TB the same bitmap builds with an OR-aggregate
+    * and ships to every executor as 8 KB. The probe side rides the
+    * scan as ONE packed-long-array literal (the d13 one-node lesson)
+    * with three shift-and-mask lookups per document — scan-bound.
+    * False positives are bounded by the standard (1−e^{−kn/m})^k and,
+    * being pure integer arithmetic, are reproducible: the spec
+    * measures the exact rate on the gate corpus.
+    */
+  def d62BloomGate(spark: SparkSession, sfDir: String): DataFrame =
+    bloomGateOver(Tables.documents(spark, sfDir))
+
+  /** [[d62BloomGate]]'s core over any `(doc_id, text)` relation: even
+    * doc_ids are the historical (train) side, odd the arrivals.
+    */
+  private[graft] def bloomGateOver(docs: DataFrame): DataFrame = {
+    val m = BloomBits
+    def positions(fp: Column): Seq[Column] = (0 until BloomK).map { j =>
+      pmod(conv(substring(fp, 1 + 5 * j, 5), 16, 10).cast("long"), lit(m.toLong))
+    }
+    val withFp = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val trainPos = withFp.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+      .select(explode(array(positions(col("fp")): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val bitmap = new Array[Long](m / 64)
+    trainPos.foreach(p => bitmap(p.toInt / 64) |= 1L << (p % 64))
+    val blit = typedlit(bitmap.toSeq)
+    // single-bit masks as a 64-entry literal: shiftleft/shiftright take
+    // a constant shift, so the variable bit index selects a mask instead
+    val masks = typedlit((0 until 64).map(1L << _))
+    val hit = positions(col("fp")).map { p =>
+      element_at(blit, (p / 64 + 1).cast("int"))
+        .bitwiseAND(element_at(masks, (pmod(p, lit(64L)) + 1).cast("int"))) =!= 0L
+    }.reduce(_ && _)
+    withFp.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+      .select(col("doc_id"), when(hit, lit(1L)).otherwise(lit(0L)).as("hit"))
+  }
+
   /** Dimensions of the [[d59HashedEmbed]] embedding. */
   private val HashedEmbedDims = 16L
 
