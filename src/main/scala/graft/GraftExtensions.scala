@@ -116,6 +116,17 @@ object GraftExtensions {
     fn("word_window_md5", classOf[WordWindowMd5]) { args =>
       arity("word_window_md5", args, 2)
       WordWindowMd5(args(0), intArg("word_window_md5", "w")(args(1)))
+    },
+    fn("winnow_md5", classOf[WinnowMd5]) { args =>
+      arity("winnow_md5", args, 3)
+      WinnowMd5(args(0),
+        intArg("winnow_md5", "gramW")(args(1)),
+        intArg("winnow_md5", "winW")(args(2)))
+    },
+    fn("bitmap_or_agg", classOf[BitmapOrAgg]) { args =>
+      arity("bitmap_or_agg", args, 2)
+      BitmapOrAgg(args(0), intArg("bitmap_or_agg", "numBits")(args(1)))
+        .toAggregateExpression()
     })
 
   /** Programmatic registration into an already-running session (the

@@ -2187,16 +2187,17 @@ object CorpusOps {
     * membership design). Output: `(doc_id, hit)` per eval doc.
     *
     * SCALE: this is the pattern's point — the historical side collapses
-    * to m bits regardless of corpus size. Here the distinct set
-    * positions are one map-side-combined aggregate collected at
-    * O(min(3·docs, m)) rows (the kmeansCentroids small-model
-    * precedent); at 100 TB the same bitmap builds with an OR-aggregate
-    * and ships to every executor as 8 KB. The probe side rides the
-    * scan as ONE packed-long-array literal (the d13 one-node lesson)
-    * with three shift-and-mask lookups per document — scan-bound.
-    * False positives are bounded by the standard (1−e^{−kn/m})^k and,
-    * being pure integer arithmetic, are reproducible: the spec
-    * measures the exact rate on the gate corpus.
+    * to m bits regardless of corpus size: the bitmap builds in ONE
+    * map-side-combined pass through the native
+    * [[graft.functions.BitmapOrAgg]] aggregate (fixed m/64-long buffer
+    * per partial, word-wise-OR merge — commutative, associative,
+    * idempotent, so partitioning and duplicates are invisible), and the
+    * single 8 KB result row is collected like kmeansCentroids' k-row
+    * model. The probe side rides the scan as ONE packed-long-array
+    * literal (the d13 one-node lesson) with three mask lookups per
+    * document — scan-bound. False positives are bounded by the standard
+    * (1−e^{−kn/m})^k and, being pure integer arithmetic, are
+    * reproducible: the spec measures the exact rate on the gate corpus.
     */
   def d62BloomGate(spark: SparkSession, sfDir: String): DataFrame =
     bloomGateOver(Tables.documents(spark, sfDir))
@@ -2210,12 +2211,11 @@ object CorpusOps {
       pmod(conv(substring(fp, 1 + 5 * j, 5), 16, 10).cast("long"), lit(m.toLong))
     }
     val withFp = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
-    val trainPos = withFp.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+    val bitmap = withFp.filter(pmod(col("doc_id"), lit(2L)) === 0L)
       .select(explode(array(positions(col("fp")): _*)).as("p"))
-      .distinct().collect().map(_.getLong(0))
-    val bitmap = new Array[Long](m / 64)
-    trainPos.foreach(p => bitmap(p.toInt / 64) |= 1L << (p % 64))
-    val blit = typedlit(bitmap.toSeq)
+      .agg(graft.functions.BitmapOrAgg.bitmapOrAgg(col("p"), m).as("bm"))
+      .head().getSeq[Long](0)
+    val blit = typedlit(bitmap)
     // single-bit masks as a 64-entry literal: shiftleft/shiftright take
     // a constant shift, so the variable bit index selects a mask instead
     val masks = typedlit((0 until 64).map(1L << _))

@@ -76,6 +76,22 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
   }
 
+  test("winnow_md5 and bitmap_or_agg are SQL-callable and match the Column API") {
+    withViews {
+      val viaSql = spark.sql(
+        """SELECT doc_id, s.pos, s.gh
+          |FROM docs LATERAL VIEW explode(winnow_md5(lower(trim(text)), 8, 4)) AS s""".stripMargin)
+      val viaCol = graft.ops.CorpusOps.d52Winnow(spark, sf001)
+      viaSql.exceptAll(viaCol).count() shouldBe 0L
+      viaCol.exceptAll(viaSql).count() shouldBe 0L
+
+      val bm = spark.sql(
+        "SELECT bitmap_or_agg(p, 128) FROM (VALUES (0L), (64L), (64L), (127L)) AS t(p)")
+        .head().getSeq[Long](0)
+      bm shouldBe Seq(1L, (1L << 0) | (1L << 63))
+    }
+  }
+
   test("ngram_jaccard of a string with itself is 1.0 via SQL") {
     withViews {
       spark.sql("SELECT ngram_jaccard(text, text, 8) j FROM docs WHERE length(text) >= 8 LIMIT 5")
