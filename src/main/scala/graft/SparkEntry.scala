@@ -131,6 +131,8 @@ object SparkEntry {
       ((s: SparkSession, dir: String) => streaming.StreamingQueries.s18StreamSemanticGate(s, dir)),
     "s19_stream_ann_lookup" ->
       ((s: SparkSession, dir: String) => streaming.StreamingQueries.s19StreamAnnLookup(s, dir)),
+    "s20_stream_bloom_gate" ->
+      ((s: SparkSession, dir: String) => streaming.StreamingQueries.s20StreamBloomGate(s, dir)),
     // relational coverage (SURVEY.md §2D → Spark built-ins)
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_revenue_by_nation" -> (ops.RelationalOps.qRevenueByNation _),
@@ -610,6 +612,15 @@ object SparkEntry {
         // coalesce: a fully-scrubbed doc has kept = [] and DuckDB's
         // array_to_string([]) is NULL where Spark's concat_ws is ''
         "SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, CAST(len(ws) - len(kept) AS BIGINT) AS n_removed, md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5 FROM k"),
+    // the at-ingest Bloom gate probes the identical batch-built bitmap,
+    // stateless per row — streamed flags equal the batch audit exactly
+    "s20_stream_bloom_gate" ->
+      ("WITH f AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp FROM documents), " +
+        "p AS (SELECT doc_id, [CAST(('0x' || substr(fp, 1 + 5 * j, 5)) AS BIGINT) % 65536 for j in range(0, 3)] AS ps FROM f), " +
+        "train AS (SELECT DISTINCT unnest(ps) AS p FROM p WHERE doc_id % 2 = 0), " +
+        "e AS (SELECT doc_id, unnest(ps) AS x FROM p WHERE doc_id % 2 = 1), " +
+        "h AS (SELECT e.doc_id, count(t.p) AS nhit FROM e LEFT JOIN train t ON t.p = e.x GROUP BY e.doc_id) " +
+        "SELECT doc_id, CASE WHEN nhit = 3 THEN 1 ELSE 0 END AS hit FROM h"),
     // Bloom gate: k=3 20-bit hex slices of the d1 fingerprint mod 2^16 —
     // pure integer arithmetic, so the filter AND its false positives
     // replay exactly; the oracle probes the position set directly

@@ -2202,29 +2202,48 @@ object CorpusOps {
   def d62BloomGate(spark: SparkSession, sfDir: String): DataFrame =
     bloomGateOver(Tables.documents(spark, sfDir))
 
-  /** [[d62BloomGate]]'s core over any `(doc_id, text)` relation: even
-    * doc_ids are the historical (train) side, odd the arrivals.
+  /** The k probe positions of a fingerprint column. */
+  private def bloomPositions(fp: Column): Seq[Column] = (0 until BloomK).map { j =>
+    pmod(conv(substring(fp, 1 + 5 * j, 5), 16, 10).cast("long"), lit(BloomBits.toLong))
+  }
+
+  /** The trained gate for d62/s20: the packed train-half bitmap, built
+    * distributed via [[graft.functions.BitmapOrAgg]] and collected as
+    * ONE 8 KB row (the kmeansCentroids small-model precedent).
     */
-  private[graft] def bloomGateOver(docs: DataFrame): DataFrame = {
-    val m = BloomBits
-    def positions(fp: Column): Seq[Column] = (0 until BloomK).map { j =>
-      pmod(conv(substring(fp, 1 + 5 * j, 5), 16, 10).cast("long"), lit(m.toLong))
-    }
-    val withFp = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
-    val bitmap = withFp.filter(pmod(col("doc_id"), lit(2L)) === 0L)
-      .select(explode(array(positions(col("fp")): _*)).as("p"))
-      .agg(graft.functions.BitmapOrAgg.bitmapOrAgg(col("p"), m).as("bm"))
+  private[graft] def bloomBitmap(docs: DataFrame): Seq[Long] =
+    docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+      .select(fingerprint(col("text")).as("fp"))
+      .select(explode(array(bloomPositions(col("fp")): _*)).as("p"))
+      .agg(graft.functions.BitmapOrAgg.bitmapOrAgg(col("p"), BloomBits).as("bm"))
       .head().getSeq[Long](0)
+
+  /** The zero-shuffle probe expression over a fingerprint column —
+    * shared VERBATIM by the batch audit and the s20 at-ingest gate (the
+    * two must agree bit for bit on every document).
+    */
+  private[graft] def bloomHit(bitmap: Seq[Long], fp: Column): Column = {
     val blit = typedlit(bitmap)
     // single-bit masks as a 64-entry literal: shiftleft/shiftright take
     // a constant shift, so the variable bit index selects a mask instead
     val masks = typedlit((0 until 64).map(1L << _))
-    val hit = positions(col("fp")).map { p =>
+    bloomPositions(fp).map { p =>
       element_at(blit, (p / 64 + 1).cast("int"))
         .bitwiseAND(element_at(masks, (pmod(p, lit(64L)) + 1).cast("int"))) =!= 0L
     }.reduce(_ && _)
-    withFp.filter(pmod(col("doc_id"), lit(2L)) === 1L)
-      .select(col("doc_id"), when(hit, lit(1L)).otherwise(lit(0L)).as("hit"))
+  }
+
+  /** [[d62BloomGate]]'s core over any `(doc_id, text)` relation: even
+    * doc_ids are the historical (train) side, odd the arrivals.
+    */
+  private[graft] def bloomGateOver(docs: DataFrame): DataFrame = {
+    val bm = bloomBitmap(docs)
+    docs.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+      // fp bound as a real column: the probe references it k times (the
+      // d47 lesson — an inline fingerprint would md5 the text k times)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"),
+        when(bloomHit(bm, col("fp")), lit(1L)).otherwise(lit(0L)).as("hit"))
   }
 
   /** Dimensions of the [[d59HashedEmbed]] embedding. */

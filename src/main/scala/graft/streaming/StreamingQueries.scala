@@ -1182,6 +1182,40 @@ object StreamingQueries {
       "q_id BIGINT, n_id BIGINT, sim DOUBLE, rn INT"))
   }
 
+  /** BLOOM HISTORY GATE at ingest — d62's two-tier membership check
+    * running where it actually deploys: the historical bitmap is
+    * batch-built once (`CorpusOps.bloomBitmap` — the distributed
+    * bitmap_or_agg pass, 8 KB result) and every arriving document
+    * probes it through the IDENTICAL literal expression
+    * (`CorpusOps.bloomHit`, shared verbatim — the s16 train-in-batch /
+    * apply-at-ingest discipline). hit = 0 arrivals are provably new and
+    * skip the exact dedup path entirely; hit = 1 routes to it.
+    * Stateless, zero shuffle, zero state store — the gate a 1000-node
+    * ingest tier runs at wire speed against last year's corpus.
+    */
+  def s20StreamBloomGate(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+    val shardDir = corpusShardDir(spark, sfDir)
+    val bm = graft.ops.CorpusOps.bloomBitmap(graft.Tables.documents(spark, sfDir))
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
+    val q = ShardedCorpus.readStream(spark, shardDir, maxFilesPerTrigger)
+      .filter(pmod(col("doc_id"), lit(2L)) === 1L)
+      .select(col("doc_id"), graft.ops.CorpusOps.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"),
+        when(graft.ops.CorpusOps.bloomHit(bm, col("fp")), lit(1L))
+          .otherwise(lit(0L)).as("hit"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
+
   /** Streaming event-time SESSIONIZATION: the native `session_window`
     * operator (q_session_window's batch twin) run as a streaming
     * aggregation — the MERGING-window state operator, qualitatively

@@ -1565,6 +1565,17 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming Bloom gate flags exactly the batch d62 audit (1-file triggers)") {
+    // the bitmap is batch-built and FIXED; probing is stateless per-row
+    // integer math, so streamed flags equal the batch audit under any
+    // shard interleaving — and the no-false-negative guarantee carries
+    val streamed = StreamingQueries
+      .s20StreamBloomGate(spark, sf001, maxFilesPerTrigger = Some(1))
+    val batch = graft.ops.CorpusOps.d62BloomGate(spark, sf001)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("incremental dup-span marking emits the first occurrence RETROACTIVELY across micro-batches") {
     // 1-file triggers: a window shared by docs in different shards has
     // its first sighting stored in state for whole batches before the
