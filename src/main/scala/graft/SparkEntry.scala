@@ -292,6 +292,30 @@ object SparkEntry {
       "na AS (SELECT doc_id, count(*) AS n_a FROM g GROUP BY doc_id), " +
       "sh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id <> b.doc_id GROUP BY 1, 2) "
 
+  /** The shared semantic-contamination replay (d56 batch audit / s18
+    * at-ingest gate — the two must agree row for row, so they gate
+    * against ONE oracle string): exact eval-×-train cosine sweep at the
+    * SemDeDup 0.38 level, thresholded on the unrounded similarity.
+    */
+  private def semanticContaminationOracleSql: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "ev AS (SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id % 25 = 0), " +
+      "s AS (SELECT eval_id, e.vec_id AS train_id, list_sum([evv[i] * v[i] for i in range(1, len(v) + 1)]) / (sqrt(list_sum([evv[i] * evv[i] for i in range(1, len(evv) + 1)])) * sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]))) AS sim FROM ev, e WHERE e.vec_id % 25 <> 0) " +
+      "SELECT eval_id, train_id, round(sim, 6) AS sim FROM s WHERE sim >= 0.38"
+
+  /** The shared Bloom-gate replay (d62 batch audit / s20 at-ingest gate
+    * — identical semantics, ONE oracle string): k = 3 fingerprint-slice
+    * positions, the train half's distinct position set, and the
+    * all-positions-present probe.
+    */
+  private def bloomGateOracleSql: String =
+    "WITH f AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp FROM documents), " +
+      "p AS (SELECT doc_id, [CAST(('0x' || substr(fp, 1 + 5 * j, 5)) AS BIGINT) % 65536 for j in range(0, 3)] AS ps FROM f), " +
+      "train AS (SELECT DISTINCT unnest(ps) AS p FROM p WHERE doc_id % 2 = 0), " +
+      "e AS (SELECT doc_id, unnest(ps) AS x FROM p WHERE doc_id % 2 = 1), " +
+      "h AS (SELECT e.doc_id, count(t.p) AS nhit FROM e LEFT JOIN train t ON t.p = e.x GROUP BY e.doc_id) " +
+      "SELECT doc_id, CASE WHEN nhit = 3 THEN 1 ELSE 0 END AS hit FROM h"
+
   /** The shared kNN-graph replay (d58 / d60): all same-cell cosine
     * pairs ranked per query vector with a plain window.
     */
@@ -613,24 +637,13 @@ object SparkEntry {
         // array_to_string([]) is NULL where Spark's concat_ws is ''
         "SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, CAST(len(ws) - len(kept) AS BIGINT) AS n_removed, md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5 FROM k"),
     // the at-ingest Bloom gate probes the identical batch-built bitmap,
-    // stateless per row — streamed flags equal the batch audit exactly
-    "s20_stream_bloom_gate" ->
-      ("WITH f AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp FROM documents), " +
-        "p AS (SELECT doc_id, [CAST(('0x' || substr(fp, 1 + 5 * j, 5)) AS BIGINT) % 65536 for j in range(0, 3)] AS ps FROM f), " +
-        "train AS (SELECT DISTINCT unnest(ps) AS p FROM p WHERE doc_id % 2 = 0), " +
-        "e AS (SELECT doc_id, unnest(ps) AS x FROM p WHERE doc_id % 2 = 1), " +
-        "h AS (SELECT e.doc_id, count(t.p) AS nhit FROM e LEFT JOIN train t ON t.p = e.x GROUP BY e.doc_id) " +
-        "SELECT doc_id, CASE WHEN nhit = 3 THEN 1 ELSE 0 END AS hit FROM h"),
+    // stateless per row — streamed flags equal the batch audit exactly,
+    // so the two share ONE oracle string (no copy to drift)
+    "s20_stream_bloom_gate" -> bloomGateOracleSql,
     // Bloom gate: k=3 20-bit hex slices of the d1 fingerprint mod 2^16 —
     // pure integer arithmetic, so the filter AND its false positives
     // replay exactly; the oracle probes the position set directly
-    "d62_bloom_gate" ->
-      ("WITH f AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp FROM documents), " +
-        "p AS (SELECT doc_id, [CAST(('0x' || substr(fp, 1 + 5 * j, 5)) AS BIGINT) % 65536 for j in range(0, 3)] AS ps FROM f), " +
-        "train AS (SELECT DISTINCT unnest(ps) AS p FROM p WHERE doc_id % 2 = 0), " +
-        "e AS (SELECT doc_id, unnest(ps) AS x FROM p WHERE doc_id % 2 = 1), " +
-        "h AS (SELECT e.doc_id, count(t.p) AS nhit FROM e LEFT JOIN train t ON t.p = e.x GROUP BY e.doc_id) " +
-        "SELECT doc_id, CASE WHEN nhit = 3 THEN 1 ELSE 0 END AS hit FROM h"),
+    "d62_bloom_gate" -> bloomGateOracleSql,
     // hashed embeddings: integer signed counts, one IEEE divide by a
     // correctly-rounded integer sqrt — the d44 discipline
     "d59_hashed_embed" ->
@@ -688,12 +701,8 @@ object SparkEntry {
         "SELECT vec_id, cell, cent_sim, prot_rk FROM rk WHERE prot_rk > n_cell // 4"),
     // at-ingest semantic gate: the d56 sweep against the static broadcast
     // eval suite is stateless per-row math, so streamed flags equal the
-    // batch audit (same oracle shape, arrival side streamed)
-    "s18_stream_semantic_gate" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        "ev AS (SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id % 25 = 0), " +
-        "s AS (SELECT eval_id, e.vec_id AS train_id, list_sum([evv[i] * v[i] for i in range(1, len(v) + 1)]) / (sqrt(list_sum([evv[i] * evv[i] for i in range(1, len(evv) + 1)])) * sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]))) AS sim FROM ev, e WHERE e.vec_id % 25 <> 0) " +
-        "SELECT eval_id, train_id, round(sim, 6) AS sim FROM s WHERE sim >= 0.38"),
+    // batch audit and the two share ONE oracle string
+    "s18_stream_semantic_gate" -> semanticContaminationOracleSql,
     // kNN graph: the block decomposition is invisible to the result —
     // the oracle ranks all same-cell pairs with a plain window
     "d58_knn_graph" -> (knnGraphCteSql +
@@ -712,11 +721,7 @@ object SparkEntry {
         "SELECT vec_id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size FROM lab"),
     // semantic contamination: exact eval-x-train cosine sweep (both
     // engines fold the same index order; threshold on the unrounded sim)
-    "d56_semantic_contamination" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        "ev AS (SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id % 25 = 0), " +
-        "s AS (SELECT eval_id, e.vec_id AS train_id, list_sum([evv[i] * v[i] for i in range(1, len(v) + 1)]) / (sqrt(list_sum([evv[i] * evv[i] for i in range(1, len(evv) + 1)])) * sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]))) AS sim FROM ev, e WHERE e.vec_id % 25 <> 0) " +
-        "SELECT eval_id, train_id, round(sim, 6) AS sim FROM s WHERE sim >= 0.38"),
+    "d56_semantic_contamination" -> semanticContaminationOracleSql,
     // the interleave key replayed directly: within-source rank over the
     // seeded md5 draw (the oracle's plain window = what the engine's
     // bucket decomposition must equal), slot = alphabetical source index

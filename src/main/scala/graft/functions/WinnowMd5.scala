@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -61,40 +59,13 @@ case class WinnowMd5(child: Expression, gramW: Int, winW: Int) extends UnaryExpr
 
   /** Shared by eval and codegen: the whole per-row pass. */
   def compute(input: UTF8String): ArrayData = {
-    val bytes = input.getBytes
-    val len = bytes.length
-    var nSep = 0
-    var i = 0
-    while (i < len) { if (bytes(i) == ' '.toByte) nSep += 1; i += 1 }
-    val n = nSep + 1
-    if (n - gramW + 1 < winW) return new GenericArrayData(Array.empty[Any])
-    val starts = new Array[Int](n)
-    val ends = new Array[Int](n)
-    starts(0) = 0
-    var tok = 0
-    i = 0
-    while (i < len) {
-      if (bytes(i) == ' '.toByte) { ends(tok) = i; tok += 1; starts(tok) = i + 1 }
-      i += 1
-    }
-    ends(tok) = len
-    val nGrams = n - gramW + 1
+    // the gram pass is WordWindowMd5's, shared VERBATIM — d53/d61
+    // depend on winnow grams being d28's exact gram identity
+    val ghs = WordWindowMd5.gramHashes(input, gramW)
+    val nGrams = ghs.length
+    if (nGrams < winW) return new GenericArrayData(Array.empty[Any])
     if (nGrams >= PosCap) throw new IllegalStateException(
       s"winnow: document exceeds 2^20 gram positions ($nGrams)")
-    val md = WinnowMd5.digest.get()
-    val ghs = new Array[Long](nGrams)
-    var j = 0
-    while (j < nGrams) {
-      val off = starts(j)
-      md.reset()
-      md.update(bytes, off, ends(j + gramW - 1) - off)
-      val d = md.digest()
-      var v = 0L
-      var b = 0
-      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-      ghs(j) = v >>> 4
-      j += 1
-    }
     // monotonic deque of gram indices, packed keys strictly increasing
     // front to back; front is the window minimum
     val dq = new Array[Int](nGrams)
@@ -103,7 +74,7 @@ case class WinnowMd5(child: Expression, gramW: Int, winW: Int) extends UnaryExpr
     def key(p: Int): Long = ghs(p) - (ghs(p) % PosCap) + (PosCap - 1 - p)
     val out = new java.util.ArrayList[Any](2 * nGrams / (winW + 1) + 4)
     var lastSel = -1
-    j = 0
+    var j = 0
     while (j < nGrams) {
       while (tail > head && key(dq(tail - 1)) > key(j)) tail -= 1
       dq(tail) = j; tail += 1
@@ -131,10 +102,6 @@ case class WinnowMd5(child: Expression, gramW: Int, winW: Int) extends UnaryExpr
 }
 
 object WinnowMd5 {
-  private val digest = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
-
   def winnowMd5(text: Column, gramW: Int, winW: Int): Column =
     ColumnBridge.column(WinnowMd5(ColumnBridge.expression(text), gramW, winW))
 }

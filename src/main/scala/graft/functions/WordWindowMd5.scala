@@ -46,42 +46,8 @@ case class WordWindowMd5(child: Expression, w: Int) extends UnaryExpression {
 
   /** Shared by eval and codegen: the whole per-row loop. */
   def compute(input: UTF8String): ArrayData = {
-    val bytes = input.getBytes
-    val len = bytes.length
-    // token boundaries: a 0x20 byte never occurs inside a multi-byte
-    // UTF-8 sequence, so scanning raw bytes is exact. split semantics:
-    // n_tokens = n_separators + 1, empty tokens included.
-    var nSep = 0
-    var i = 0
-    while (i < len) { if (bytes(i) == ' '.toByte) nSep += 1; i += 1 }
-    val n = nSep + 1
-    if (n < w) return new GenericArrayData(Array.empty[Any])
-    // starts(j) = first byte of token j; ends(j) = one past its last byte
-    val starts = new Array[Int](n)
-    val ends = new Array[Int](n)
-    starts(0) = 0
-    var tok = 0
-    i = 0
-    while (i < len) {
-      if (bytes(i) == ' '.toByte) { ends(tok) = i; tok += 1; starts(tok) = i + 1 }
-      i += 1
-    }
-    ends(tok) = len
-    val md = WordWindowMd5.digest.get()
-    val out = new Array[Any](n - w + 1)
-    var j = 0
-    while (j <= n - w) {
-      val off = starts(j)
-      md.reset()
-      md.update(bytes, off, ends(j + w - 1) - off)
-      val d = md.digest()
-      var v = 0L
-      var b = 0
-      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-      out(j) = v >>> 4 // first 15 hex digits = top 60 bits
-      j += 1
-    }
-    new GenericArrayData(out)
+    val ghs = WordWindowMd5.gramHashes(input, w)
+    new GenericArrayData(ghs.map(x => x: Any))
   }
 
   override def nullSafeEval(input: Any): Any =
@@ -99,6 +65,51 @@ case class WordWindowMd5(child: Expression, w: Int) extends UnaryExpression {
 object WordWindowMd5 {
   private val digest = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** The gram-hash pass itself — the d28 gram IDENTITY, shared by this
+    * kernel and [[WinnowMd5]] (d52/d53/d61 depend on winnow grams being
+    * exactly these hashes; one shared pass means a tokenization or hash
+    * change cannot silently diverge them). Empty array for inputs with
+    * fewer than `w` tokens.
+    */
+  private[functions] def gramHashes(input: UTF8String, w: Int): Array[Long] = {
+    val bytes = input.getBytes
+    val len = bytes.length
+    // token boundaries: a 0x20 byte never occurs inside a multi-byte
+    // UTF-8 sequence, so scanning raw bytes is exact. split semantics:
+    // n_tokens = n_separators + 1, empty tokens included.
+    var nSep = 0
+    var i = 0
+    while (i < len) { if (bytes(i) == ' '.toByte) nSep += 1; i += 1 }
+    val n = nSep + 1
+    if (n < w) return Array.emptyLongArray
+    // starts(j) = first byte of token j; ends(j) = one past its last byte
+    val starts = new Array[Int](n)
+    val ends = new Array[Int](n)
+    starts(0) = 0
+    var tok = 0
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' '.toByte) { ends(tok) = i; tok += 1; starts(tok) = i + 1 }
+      i += 1
+    }
+    ends(tok) = len
+    val md = digest.get()
+    val out = new Array[Long](n - w + 1)
+    var j = 0
+    while (j <= n - w) {
+      val off = starts(j)
+      md.reset()
+      md.update(bytes, off, ends(j + w - 1) - off)
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      out(j) = v >>> 4 // first 15 hex digits = top 60 bits
+      j += 1
+    }
+    out
   }
 
   def wordWindowMd5(text: Column, w: Int): Column =

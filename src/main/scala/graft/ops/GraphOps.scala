@@ -84,6 +84,10 @@ object GraphOps {
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
 
     var prev = checksum(labels)
+    // the first checksum materialized sym's (and labels') cached blocks
+    // through symRaw — drop the raw copy now so the loop never holds the
+    // edge list in cache twice
+    symRaw.unpersist()
     if (prev != null) { // null = empty graph: nothing to propagate
       var converged = false
       var round = 0
@@ -106,7 +110,6 @@ object GraphOps {
           s"connectedComponents did not converge in $maxIter rounds")
     }
     sym.unpersist()
-    symRaw.unpersist()
     labels
   }
 
