@@ -2228,7 +2228,12 @@ object CorpusOps {
     // a constant shift, so the variable bit index selects a mask instead
     val masks = typedlit((0 until 64).map(1L << _))
     bloomPositions(fp).map { p =>
-      element_at(blit, (p / 64 + 1).cast("int"))
+      // shiftright = exact integer div-by-64 for the nonnegative position
+      // (Column `/` is double division — correct only while truncation
+      // happens to floor, i.e. below 2^53 bits; integer arithmetic keeps
+      // the word index exact at ANY bitmap geometry, matching the
+      // integer pmod bit index)
+      element_at(blit, (shiftright(p, 6) + 1).cast("int"))
         .bitwiseAND(element_at(masks, (pmod(p, lit(64L)) + 1).cast("int"))) =!= 0L
     }.reduce(_ && _)
   }
@@ -2336,21 +2341,32 @@ object CorpusOps {
   def d54Bm25(spark: SparkSession, sfDir: String): DataFrame =
     bm25Over(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
 
+  /** [[bm25Over]]'s one live (dl, tf_t) projection cache — the scoring
+    * pass and the eager stats row both consume it, and the returned
+    * top-20 references it lazily ([[ReplaceOnCallCache]] contract).
+    */
+  private val bm25BaseCache = new ReplaceOnCallCache
+
   /** [[d54Bm25]]'s core over any `(doc_id, text)` relation —
     * parameterized for the in-memory-reference spec.
     */
   private[graft] def bm25Over(docs: DataFrame): DataFrame = {
     val q = Bm25Query
     val toks = docs.select(col("doc_id"), words(col("text")).as("ws"))
-    val base = toks.select(
+    val base = bm25BaseCache.register(toks.select(
       col("doc_id") +: size(col("ws")).cast("long").as("dl") +:
         q.zipWithIndex.map { case (t, i) =>
           size(filter(col("ws"), w => w === lit(t))).cast("long").as(s"tf$i")
-        }: _*).persist()
+        }: _*))
     val st = base.agg(count(lit(1)).as("n"),
       sum(col("dl")).as("t") +:
         q.indices.map(i => count_if(col(s"tf$i") > 0).as(s"df$i")): _*).head()
     val n = st.getAs[Long]("n")
+    // empty corpus: no stats to score against — an empty top-20, not an
+    // ArithmeticException out of the avgdl division below
+    if (n == 0L)
+      return base.select(col("doc_id"), lit(0L).as("score"), lit(0L).as("rk"))
+        .limit(0)
     val t = st.getAs[Long]("t")
     val a = t / n
     val score = q.indices.map { i =>

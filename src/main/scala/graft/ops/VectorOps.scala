@@ -314,11 +314,7 @@ object VectorOps {
     */
   def annIvfOverCells(cells: DataFrame): DataFrame = {
     val callerPersisted = cells.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    val cached = if (callerPersisted) cells else cells.persist()
-    if (!callerPersisted) lastCellCache.synchronized {
-      lastCellCache.get.filter(_ ne cached).foreach(_.unpersist(blocking = false))
-      lastCellCache.set(Some(cached))
-    }
+    val cached = if (callerPersisted) cells else lastCellCache.register(cells)
     val q = cached.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cid").as("q_cid"))
     val scored = cached.join(broadcast(q),
@@ -329,20 +325,15 @@ object VectorOps {
   }
 
   /** The one live cell-assignment cache [[annIvfOverCells]] maintains —
-    * see its doc. `AtomicReference` only as a mutable cell; mutation is
-    * guarded by `synchronized` so unpersist+replace is atomic.
+    * see its doc and the [[ReplaceOnCallCache]] lifetime contract.
     */
-  private val lastCellCache =
-    new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
+  private val lastCellCache = new ReplaceOnCallCache
 
   /** Release the last [[annIvfOverCells]] assignment cache (no-op when
     * none is live). Harness `scrub`s call `clearCache()` which also
     * covers it; this is the targeted form for library users.
     */
-  def releaseCellCache(): Unit = lastCellCache.synchronized {
-    lastCellCache.get.foreach(_.unpersist(blocking = false))
-    lastCellCache.set(None)
-  }
+  def releaseCellCache(): Unit = lastCellCache.release()
 
   /** IVF ANN over TRAINED cells: [[kmeansAssign]] quantizes the corpus,
     * then each query probes only its own cell and exact-reranks. Both join
@@ -634,16 +625,22 @@ object VectorOps {
     * d25/d51 machinery verbatim); the size window partitions by
     * cluster over O(involved vectors) rows.
     */
+  /** [[d60SemanticClusters]]' one live edge cache (see
+    * [[ReplaceOnCallCache]] — the returned clustering references it
+    * lazily, so the op can't unpersist before the caller's action).
+    */
+  private val d60EdgeCache = new ReplaceOnCallCache
+
   def d60SemanticClusters(spark: SparkSession, sfDir: String): DataFrame = {
     // persist: the symmetrization inside connectedComponents references
     // the edge relation twice (union with its mirror), and the kNN
-    // subplan behind it is the expensive part (the d13 pattern)
-    val edges = d58KnnGraph(spark, sfDir)
+    // subplan behind it is the expensive part (the d13 pattern);
+    // replace-on-next-call bounds a long session to one live cache
+    val edges = d60EdgeCache.register(d58KnnGraph(spark, sfDir)
       .filter(col("sim") >= ClusterTau)
       .select(least(col("q_id"), col("n_id")).as("a"),
         greatest(col("q_id"), col("n_id")).as("b"))
-      .distinct()
-      .persist()
+      .distinct())
     val w = Window.partitionBy(col("cluster_id"))
     GraphOps.connectedComponents(edges)
       .select(col("id").as("vec_id"), col("label").as("cluster_id"))
@@ -693,17 +690,21 @@ object VectorOps {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** [[d4SelectOver]]'s one live survivor cache ([[ReplaceOnCallCache]]
+    * lifetime contract).
+    */
+  private val d55KeptCache = new ReplaceOnCallCache
+
   /** [[d55D4Select]]'s core over any `(vec_id, v, label)` relation —
     * parameterized for the in-memory-replay spec.
     */
   private[graft] def d4SelectOver(e: DataFrame): DataFrame = {
-    val kept = semDedupOver(e).filter(col("kept") === 1L)
+    val kept = d55KeptCache.register(semDedupOver(e).filter(col("kept") === 1L)
       .select(col("vec_id"), col("cell"), col("cent_sim"))
       // bucket: monotone non-increasing in cent_sim (a pure function of
       // it, so ties stay in one bucket) — 33 buckets over [-1, 1]
       .withColumn("b",
-        expr("(1000000L - cast(cent_sim * 1000000.0 as bigint)) div 62500"))
-      .persist()
+        expr("(1000000L - cast(cent_sim * 1000000.0 as bigint)) div 62500")))
     val counts = kept.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
     CorpusOps.bucketRank(kept, Seq("cell"),
         Seq(col("cent_sim").desc, col("vec_id")))
