@@ -127,6 +127,11 @@ object GraftExtensions {
       arity("bitmap_or_agg", args, 2)
       BitmapOrAgg(args(0), intArg("bitmap_or_agg", "numBits")(args(1)))
         .toAggregateExpression()
+    },
+    fn("bottom_k_pairs", classOf[BottomKPairs]) { args =>
+      arity("bottom_k_pairs", args, 3)
+      BottomKPairs(args(0), args(1), intArg("bottom_k_pairs", "k")(args(2)))
+        .toAggregateExpression()
     })
 
   /** Programmatic registration into an already-running session (the

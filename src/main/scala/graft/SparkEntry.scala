@@ -84,9 +84,6 @@ object SparkEntry {
     "d36_ann_ivfpq_full" -> (ops.VectorOps.d36AnnIvfPqFull _),
     "d43_ann_ivfpq_residual" -> (ops.VectorOps.d43AnnIvfPqResidual _),
     "d32_quality_deciles" -> (ops.CorpusOps.d32QualityDeciles _),
-    // no oracleSql (sketch-chosen cutoffs are engine-discretionary, same
-    // status as q_approx_stats): rows-only; disagreement with the exact
-    // ntile form bounded by rank error in DecileCutoffSpec
     "d32_deciles_cutoff" -> (ops.CorpusOps.d32QualityDecilesCutoff _),
     "d23_tfidf_topterms" -> (ops.CorpusOps.d23TfidfTopTerms _),
     "d23_tfidf_singlescan" -> (ops.CorpusOps.d23TfidfSingleScan _),
@@ -145,8 +142,6 @@ object SparkEntry {
     "q_brand_supplier_revenue" -> (ops.RelationalOps.qBrandSupplierRevenue _),
     "q_salted_join" -> (ops.SkewJoin.qSaltedJoin _),
     "q_pivot_priority" -> (ops.RelationalOps.qPivotPriority _),
-    // no oracleSql (sketch bits depend on merge order): driver records a
-    // rows-only check; error bounds pinned vs exact in ApproxStatsSpec
     "q_approx_stats" -> (ops.RelationalOps.qApproxStats _),
   )
 
@@ -515,6 +510,20 @@ object SparkEntry {
     // ntile is deterministic in both engines
     "d32_quality_deciles" ->
       "WITH t AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws FROM documents), c AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n, CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) AS BIGINT) AS s, CAST(list_sum([len(w) for w in ws]) AS BIGINT) AS l FROM t), q AS (SELECT doc_id, lang, (1000000 * (8 * n * least(n, 100) + 600 * (n - s) + 75 * least(8 * n, l))) // (2000 * n) AS q_ppm FROM c) SELECT doc_id, lang, q_ppm / 1000000.0 AS quality, CAST(ntile(10) OVER (PARTITION BY lang ORDER BY q_ppm, doc_id) AS BIGINT) AS decile FROM q",
+    // the KMV decile replay: same quality CTEs, then the bottom-1024
+    // docs per language by 60-bit md5(doc_id) (DISTINCT mirrors the
+    // aggregate's set semantics), cutoffs at integer-ceil decile ranks
+    // of the value-sorted sample, value-based assignment — every stage
+    // merge-order independent, so the hash compare is exact
+    "d32_deciles_cutoff" ->
+      ("WITH t AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+        "c AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n, CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of'))) AS BIGINT) AS s, CAST(list_sum([len(w) for w in ws]) AS BIGINT) AS l FROM t), " +
+        "q AS (SELECT doc_id, lang, (1000000 * (8 * n * least(n, 100) + 600 * (n - s) + 75 * least(8 * n, l))) // (2000 * n) AS q_ppm FROM c), " +
+        "h AS (SELECT doc_id, lang, q_ppm, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM q), " +
+        "smp AS (SELECT lang, h, q_ppm FROM (SELECT DISTINCT lang, h, q_ppm FROM h) d QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, q_ppm) <= 1024), " +
+        "agg AS (SELECT lang, list_sort(list(q_ppm)) AS vals, count(*) AS kk FROM smp GROUP BY lang), " +
+        "cuts AS (SELECT lang, [vals[CAST((i * kk + 9) // 10 AS INT)] for i in range(1, 10)] AS cs FROM agg) " +
+        "SELECT q.doc_id AS doc_id, q.lang AS lang, q.q_ppm / 1000000.0 AS quality, CAST(1 + len(list_filter(cuts.cs, x -> q.q_ppm > x)) AS BIGINT) AS decile FROM q JOIN cuts ON q.lang = cuts.lang"),
     // the oracle's single global window over (q_ppm DESC, doc_id) proves
     // Spark's quality-bucket prefix-sum decomposition exact; strict
     // cum_before < budget is the greedy-prefix selection rule
@@ -977,5 +986,23 @@ object SparkEntry {
       "SELECT o_custkey, count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent, count(*) FILTER (o_orderpriority = '2-HIGH') AS high, count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium FROM orders GROUP BY o_custkey",
     "q_rollup_revenue" ->
       "SELECT r_name, n_name, round(sum(o_totalprice), 2) AS total, count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name)",
+    // KMV sketch replay (see RelationalOps.qApproxStats): bottom-1024
+    // rows per flag by 60-bit md5(orderkey_linenumber) → order-statistic
+    // percentiles in exact cents; bottom-64 distinct md5(suppkey) hashes
+    // → exact count below 64 distinct, else floor(63·2^60/h_64). Every
+    // stage is merge-order independent, so the hash compare is exact.
+    "q_approx_stats" ->
+      ("WITH li AS (SELECT l_returnflag, " +
+        "CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) AS hr, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents, " +
+        "CAST(('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hs FROM lineitem), " +
+        "smp AS (SELECT l_returnflag, hr, cents FROM (SELECT DISTINCT l_returnflag, hr, cents FROM li) d QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY hr, cents) <= 1024), " +
+        "agg AS (SELECT l_returnflag, list_sort(list(cents)) AS vals, count(*) AS kk FROM smp GROUP BY l_returnflag), " +
+        "kmv AS (SELECT l_returnflag, hs FROM (SELECT DISTINCT l_returnflag, hs FROM li) d QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY hs) <= 64), " +
+        "kagg AS (SELECT l_returnflag, count(*) AS kd, max(hs) AS hk FROM kmv GROUP BY l_returnflag), " +
+        "cnt AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT agg.l_returnflag AS l_returnflag, vals[CAST((5 * kk + 9) // 10 AS INT)] AS p50_cents, vals[CAST((9 * kk + 9) // 10 AS INT)] AS p90_cents, " +
+        "CASE WHEN kd < 64 THEN kd ELSE CAST(floor(63.0 * 1152921504606846976.0 / hk) AS BIGINT) END AS n_supp_approx, n " +
+        "FROM agg JOIN kagg ON agg.l_returnflag = kagg.l_returnflag JOIN cnt ON agg.l_returnflag = cnt.l_returnflag"),
   )
 }

@@ -396,14 +396,53 @@ object CorpusOps {
     * Two corpus scans by design (sketch pass, then assignment pass) —
     * both column-pruned to (doc_id, lang, text); the alternative, a
     * persisted score relation, trades cluster memory for the re-scan and
-    * is the same call under `.persist()`. Rows-only in the gate —
-    * sketch-chosen cutoff elements are engine-discretionary, the same
-    * status as `q_approx_stats` — while DecileCutoffSpec bounds its
-    * disagreement with the exact ntile form by the sketch's published
-    * rank-error guarantee (relative rank error <= 1/accuracy).
+    * is the same call under `.persist()`.
+    *
+    * The sketch is the DETERMINISTIC KMV form ([[qualityDecilesKmv]]):
+    * per language, the k=1024 documents with the smallest portable
+    * 60-bit md5(doc_id) hashes form a uniform sample whose every element
+    * is reproducible by any engine that sorts the same hashes — so the
+    * gate is a full hash oracle (DuckDB replays sample, cutoffs, and
+    * assignment bit-exactly), unlike `approx_percentile`, whose kept
+    * elements depend on partial-merge order. That built-in-sketch form
+    * remains as [[qualityDecilesCutoff]], rank-error-bounded by
+    * DecileCutoffSpec; the KMV form's own disagreement with the exact
+    * ntile gate is bounded by DecileKmvSpec.
     */
   def d32QualityDecilesCutoff(spark: SparkSession, sfDir: String): DataFrame =
-    qualityDecilesCutoff(Tables.documents(spark, sfDir), accuracy = 10000)
+    qualityDecilesKmv(Tables.documents(spark, sfDir), k = 1024)
+
+  /** Parameterized core of the KMV decile form — deterministic cutoffs
+    * from a bottom-k-by-hash sample ([[graft.functions.BottomKPairs]]:
+    * one bounded mergeable aggregate per language, map-side combined;
+    * at most k pairs of state per partial regardless of corpus size),
+    * broadcast back for zero-shuffle value-based assignment. Cutoff i
+    * (i = 1..9) is the sample element at rank ceil(i·kk/10) (integer
+    * form `(i*kk+9) div 10`, kk = |sample|); decile = 1 + #cutoffs
+    * strictly below the row's score, so cutoff-value ties all land in
+    * one bucket (the documented value-semantics trade vs ntile's
+    * rank-splitting).
+    */
+  private[graft] def qualityDecilesKmv(docs: DataFrame, k: Int): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), col("lang"), expr(QualityPpmSql).as("q_ppm"))
+    val cuts = scored
+      .withColumn("h", element_at(
+        graft.functions.Md5Prefix64.md5Prefix64(array(col("doc_id").cast("string"))), 1))
+      .groupBy(col("lang"))
+      .agg(graft.functions.BottomKPairs.bottomKPairs(col("h"), col("q_ppm"), k).as("smp"))
+      .select(col("lang"),
+        expr("array_sort(transform(smp, s -> s.v))").as("vals"),
+        size(col("smp")).cast("long").as("kk"))
+      .select(col("lang"),
+        expr("transform(sequence(1, 9), i -> element_at(vals, cast((i * kk + 9) div 10 as int)))")
+          .as("cuts"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .withColumn("decile",
+        (size(expr("filter(cuts, c -> q_ppm > c)")) + lit(1)).cast("long"))
+      .select(col("doc_id"), col("lang"),
+        (col("q_ppm") / lit(1000000.0)).as("quality"), col("decile"))
+  }
 
   /** Parameterized core of [[d32QualityDecilesCutoff]]; DecileCutoffSpec
     * drives `accuracy` low to make the sketch error observable.

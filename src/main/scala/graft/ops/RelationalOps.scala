@@ -122,16 +122,64 @@ object RelationalOps {
         col("n"))
 
   /** The 100 TB form of [[qPercentiles]] + [[qDistinctSuppliers]] in one
-    * pass: `approx_percentile` (mergeable quantile sketch with a fixed
-    * accuracy knob — bounded memory per group where exact percentile
-    * state is O(distinct values)) and `approx_count_distinct` (HLL++,
-    * ~kilobytes per group at 2% rsd where exact distinct forces a
-    * two-phase shuffle of every distinct pair). Sketch bits depend on
-    * merge order, so there is NO value-exact SQL oracle (driver records
-    * a rows-only check); ApproxStatsSpec pins the error bounds against
-    * the exact answers instead — the contract a sketch actually makes.
+    * pass, as DETERMINISTIC KMV sketches ([[graft.functions.BottomKPairs]])
+    * instead of `approx_percentile`/HLL++, whose kept elements/sketch
+    * bits depend on partial-merge order and so admit no value-exact
+    * oracle. Min-k-of-a-set is merge-order independent, so every output
+    * bit here is replayed exactly by the DuckDB oracle — a full hash
+    * gate on an approximate query.
+    *
+    *  - percentiles: the k=1024 rows per group with the smallest
+    *    portable 60-bit md5(orderkey_linenumber) hashes are a uniform
+    *    row sample; p50/p90 are its order statistics at rank
+    *    ceil(p·kk) (integer form `(10p·kk + 9) div 10`), in exact cents.
+    *  - distinct suppliers: KMV over md5(suppkey) — duplicates collapse
+    *    by set semantics; below k=64 distinct the count is exact, above
+    *    it the 64th-smallest hash h_64 estimates n ≈ floor(63·2^60/h_64)
+    *    (both engines evaluate the identical IEEE expression).
+    *
+    * One scan, one partial+final aggregation, O(k) state per group
+    * regardless of input size — the same memory contract as the built-in
+    * sketches, which remain as [[qApproxStatsBuiltin]] (error-bounded by
+    * ApproxStatsSpec; the KMV form's own bounds are in ApproxKmvSpec).
     */
-  def qApproxStats(spark: SparkSession, sfDir: String): DataFrame =
+  def qApproxStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.BottomKPairs.bottomKPairs
+    import graft.functions.Md5Prefix64.md5Prefix64
+    val rows = Tables.lineitem(spark, sfDir).select(
+      col("l_returnflag"),
+      element_at(md5Prefix64(array(
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")))), 1).as("hr"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"),
+      element_at(md5Prefix64(array(col("l_suppkey").cast("string"))), 1).as("hs"))
+    rows.groupBy(col("l_returnflag"))
+      .agg(
+        bottomKPairs(col("hr"), col("cents"), 1024).as("smp"),
+        bottomKPairs(col("hs"), col("hs"), 64).as("kmv"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        expr("array_sort(transform(smp, s -> s.v))").as("vals"),
+        size(col("smp")).cast("long").as("kk"),
+        expr("transform(kmv, s -> s.h)").as("hks"),
+        col("n"))
+      .select(col("l_returnflag"),
+        expr("element_at(vals, cast((5 * kk + 9) div 10 as int))").as("p50_cents"),
+        expr("element_at(vals, cast((9 * kk + 9) div 10 as int))").as("p90_cents"),
+        expr("CASE WHEN size(hks) < 64 THEN cast(size(hks) as bigint) " +
+          "ELSE cast(floor(63.0 * 1152921504606846976.0 / cast(element_at(hks, 64) as double)) as bigint) END")
+          .as("n_supp_approx"),
+        col("n"))
+  }
+
+  /** The built-in-sketch twin of [[qApproxStats]]: `approx_percentile`
+    * (mergeable quantile sketch, bounded memory per group where exact
+    * percentile state is O(distinct values)) and `approx_count_distinct`
+    * (HLL++, ~kilobytes per group at 2% rsd). Kept as library surface —
+    * merge-order-dependent bits mean no value-exact oracle, so
+    * ApproxStatsSpec pins the error bounds against the exact answers
+    * instead, the contract these sketches actually make.
+    */
+  def qApproxStatsBuiltin(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(

@@ -5,16 +5,18 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-/** q_approx_stats has no value-exact oracle (sketch bits depend on merge
-  * order), so this spec pins the contract a sketch actually makes: the
-  * approximate answers sit within their documented error bounds of the
-  * EXACT answers computed by the exact twins (qPercentiles /
-  * qDistinctSuppliers' machinery).
+/** The built-in sketches (qApproxStatsBuiltin) have no value-exact
+  * oracle (sketch bits depend on merge order), so this spec pins the
+  * contract a sketch actually makes: the approximate answers sit within
+  * their documented error bounds of the EXACT answers computed by the
+  * exact twins (qPercentiles / qDistinctSuppliers' machinery). The
+  * deterministic KMV gate form is hash-oracled by the driver and
+  * error-bounded by ApproxKmvSpec.
   */
 class ApproxStatsSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   test("approx percentiles and distinct counts stay within their error bounds of exact") {
-    val approx = RelationalOps.qApproxStats(spark, sf01).collect()
+    val approx = RelationalOps.qApproxStatsBuiltin(spark, sf01).collect()
       .map(r => r.getAs[String]("l_returnflag") ->
         (r.getAs[Double]("p50_approx"), r.getAs[Double]("p90_approx"),
           r.getAs[Long]("n_supp_approx"), r.getAs[Long]("n"))).toMap
