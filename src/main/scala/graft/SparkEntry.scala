@@ -80,6 +80,7 @@ object SparkEntry {
     "d56_semantic_contamination" -> (ops.VectorOps.d56SemanticContamination _),
     "d58_knn_graph" -> (ops.VectorOps.d58KnnGraph _),
     "d60_semantic_clusters" -> (ops.VectorOps.d60SemanticClusters _),
+    "d63_chain_components" -> (ops.GraphOps.d63ChainComponents _),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
     "d36_ann_ivfpq_full" -> (ops.VectorOps.d36AnnIvfPqFull _),
     "d43_ann_ivfpq_residual" -> (ops.VectorOps.d43AnnIvfPqResidual _),
@@ -986,6 +987,13 @@ object SparkEntry {
       "SELECT o_custkey, count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent, count(*) FILTER (o_orderpriority = '2-HIGH') AS high, count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium FROM orders GROUP BY o_custkey",
     "q_rollup_revenue" ->
       "SELECT r_name, n_name, round(sum(o_totalprice), 2) AS total, count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name)",
+    // the chain graph's components are analytic: 250-id blocks, label =
+    // block minimum; a node appears iff it has a neighbor (robust to any
+    // id range, mirroring the Spark side's existence probe)
+    "d63_chain_components" ->
+      ("WITH n AS (SELECT max(doc_id) AS mx FROM documents) " +
+        "SELECT doc_id AS id, (doc_id // 250) * 250 AS label FROM documents, n " +
+        "WHERE (doc_id % 250 != 249 AND doc_id + 1 <= mx) OR doc_id % 250 != 0"),
     // KMV sketch replay (see RelationalOps.qApproxStats): bottom-1024
     // rows per flag by 60-bit md5(orderkey_linenumber) → order-statistic
     // percentiles in exact cents; bottom-64 distinct md5(suppkey) hashes

@@ -44,8 +44,22 @@ object GraphOps {
     * to the driver except the one-row convergence checksum. Round count =
     * graph diameter; near-dup graphs are overwhelmingly tiny star/clique
     * components (diameter 1-2), so propagation converges in ~3 rounds.
-    * For adversarial long-chain graphs use [[connectedComponentsStar]]
-    * (O(log n) rounds independent of diameter).
+    * High-diameter graphs AUTO-ESCALATE: a graph still unconverged after
+    * ceil(log2(sym-edge count)) loop rounds has diameter past what star
+    * contraction would spend anyway, so the call hands the ORIGINAL edge
+    * list to [[connectedComponentsStar]] (O(log n) rounds independent of
+    * diameter) instead of burning diameter-many rounds or throwing —
+    * total round cost stays within ~3x of the best single strategy,
+    * chosen with zero extra driver work (the threshold reuses the one
+    * sizing count below).
+    *
+    * Round accounting: initialization FUSES the first propagation round
+    * (label = min(id, neighbors)), so `maxIter` loop rounds admit up to
+    * maxIter+1 effective propagation rounds; on escalation, the star
+    * stage runs under max(maxIter, 40) rounds of its own. The loop
+    * throws only if propagation neither converges nor reaches the
+    * escalation threshold within maxIter (i.e. only when maxIter
+    * undercuts log2(n)).
     *
     * Convergence check: labels only ever decrease, so the label sum
     * (per-value cast to DECIMAL(38,0) BEFORE summing — no int64 overflow
@@ -89,9 +103,13 @@ object GraphOps {
     // edge list in cache twice
     symRaw.unpersist()
     if (prev != null) { // null = empty graph: nothing to propagate
+      // escalation threshold: ceil(log2(sym-edge count)) >= log2(nodes)
+      // loop rounds before handing over to star contraction (see doc)
+      val escalateAfter =
+        math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nEdges - 1)))
       var converged = false
       var round = 0
-      while (!converged && round < maxIter) {
+      while (!converged && round < math.min(maxIter, escalateAfter)) {
         val next = truncated(
           sym.join(labels, sym("dst") === labels("id"))
             .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
@@ -105,9 +123,14 @@ object GraphOps {
         labels = next
         round += 1
       }
-      if (!converged)
+      if (!converged) {
+        labels.unpersist()
+        sym.unpersist()
+        if (round >= escalateAfter) // high diameter: switch strategies
+          return connectedComponentsStar(edges, math.max(maxIter, 40))
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter rounds")
+      }
     }
     sym.unpersist()
     labels
@@ -218,5 +241,27 @@ object GraphOps {
     nodes.join(cur.groupBy(col("b")).agg(min(col("a")).as("root")),
         nodes("id") === col("b"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("label"))
+  }
+
+  /** d63_chain_components: the HIGH-DIAMETER gate for the auto-escalating
+    * components path. The corpus ids (contiguous by construction) are
+    * chained into blocks of 250 — edge (i, i+1) whenever both ids exist
+    * and cross no block boundary — giving components of constant
+    * diameter 249 whose COUNT scales with the corpus. Min-label
+    * propagation would need ~249 rounds; [[connectedComponents]] detects
+    * the stall at its ceil(log2(edges)) threshold and hands over to
+    * [[connectedComponentsStar]], so this row gates the O(log n)
+    * contraction end-to-end (labels = each block's smallest id, replayed
+    * analytically by the oracle). The left-semi existence probe keeps the
+    * edge list correct for any id range without assuming the max.
+    */
+  def d63ChainComponents(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val ids = graft.Tables.documents(spark, sfDir).select(col("doc_id"))
+    val edges = ids
+      .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      .filter(pmod(col("b"), lit(250)) =!= 0)
+      .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      .select(col("a"), col("b"))
+    connectedComponents(edges)
   }
 }

@@ -38,6 +38,14 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     cc(Seq.empty) shouldBe Map.empty
   }
 
+  test("a diameter far past maxIter auto-escalates to star contraction and stays exact") {
+    // 300-node chain: propagation alone would blow the default 25-round
+    // budget (pre-escalation this threw); the log2 threshold hands over
+    // to star contraction well before that
+    val chain = (1L until 300L).map(i => (i, i + 1))
+    cc(chain) shouldBe (1L to 300L).map(_ -> 1L).toMap
+  }
+
   private def ccStar(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     GraphOps.connectedComponentsStar(edges.toDF("a", "b"))
