@@ -23,9 +23,22 @@ LINEARLY the way a genuinely bigger corpus would:
    word-SUFFIXED a replica tag instead, which flooded salted replicas
    with shared tag-straddling char-8-grams and measured d14 at a bogus
    15x under 4x data — the bijection has no such distribution skew);
- - embeddings get fresh deterministic pseudo-random vectors per replica
-   (a copied or jittered vector keeps cosine ~1 with its original and
-   would likewise explode the embedding near-dup families).
+ - embeddings apply a per-replica SIGNED COORDINATE PERMUTATION (a
+   seeded shuffle of the coordinates plus a seeded sign flip each —
+   an orthogonal matrix) to the SAME source vectors. Coordinate values
+   themselves are copied losslessly, so every intra-replica cosine is
+   preserved exactly up to float summation order (≤1e-7 — sign flips
+   alone would be bit-exact but leave coordinate-MAGNITUDE profiles
+   aligned, measured leaking cross-replica cosines up to 0.71 vs the
+   0.51 intra max): per-cell near-dup density, cluster structure, and
+   kNN neighborhoods replicate identically, so the per-cell quadratic
+   stages of d46/d55/d58/d60 grow the way a genuinely R-times-denser
+   corpus would. Cross-replica sims decorrelate like random pairs
+   (cosine(v, P·D·w) mixes randomly-signed, randomly-matched
+   coordinates), so no replica-pair explosion. (The previous
+   fresh-random-vector scheme kept cross sims random too but THINNED
+   near-dup density R-fold — the builder-noted caveat that hid the
+   quadratic stages' growth.)
 
 events.ts is written as TIMESTAMP_NS: the engine reads the column under
 spark.sql.legacy.parquet.nanosAsLong=true and converts nanos itself, so
@@ -113,11 +126,25 @@ def main() -> None:
          f"CASE r {shift_cases} ELSE text END AS text, "
          f"lang, source, n_chars "
          f"FROM {read('documents')}, {rng}", "documents")
-    # fresh deterministic pseudo-random unit-range coordinates per replica
+    # per-replica signed coordinate permutation of the SAME vectors (see
+    # module doc): orthogonal => intra-replica cosines preserved,
+    # cross-replica sims decorrelated. Permutation/signs are seeded per
+    # replica and expanded to explicit per-coordinate SQL.
+    import random
+    dim = con.execute(f"SELECT len(embedding) FROM {read('embeddings')} LIMIT 1").fetchone()[0]
+    def signed_perm_sql(r: int) -> str:
+        rnd = random.Random(0xC0FFEE + r)
+        perm = list(range(1, dim + 1))  # DuckDB lists are 1-based
+        rnd.shuffle(perm)
+        coords = ", ".join(
+            f"embedding[{p}]" if rnd.random() < 0.5 else f"-embedding[{p}]"
+            for p in perm)
+        return f"CAST([{coords}] AS FLOAT[])"
+    emb_cases = " ".join(
+        f"WHEN {r} THEN {signed_perm_sql(r)}" for r in range(1, reps))
+    emb_expr = f"CASE r {emb_cases} ELSE embedding END" if reps > 1 else "embedding"
     copy(f"SELECT vec_id + r * {off['embeddings']} AS vec_id, "
-         f"CASE WHEN r = 0 THEN embedding ELSE "
-         f"CAST([(CAST(hash(vec_id * 64 + i + r * 1000003) % 2000001 AS BIGINT) - 1000000) / 1000000.0 "
-         f"for i in range(1, len(embedding) + 1)] AS FLOAT[]) END AS embedding, "
+         f"{emb_expr} AS embedding, "
          f"label FROM {read('embeddings')}, {rng}", "embeddings")
 
 
