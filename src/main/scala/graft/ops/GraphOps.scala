@@ -56,10 +56,11 @@ object GraphOps {
     * Round accounting: initialization FUSES the first propagation round
     * (label = min(id, neighbors)), so `maxIter` loop rounds admit up to
     * maxIter+1 effective propagation rounds; on escalation, the star
-    * stage runs under max(maxIter, 40) rounds of its own. The loop
-    * throws only if propagation neither converges nor reaches the
-    * escalation threshold within maxIter (i.e. only when maxIter
-    * undercuts log2(n)).
+    * stage runs under max(maxIter, 40) rounds of its own. Propagation
+    * itself never throws on non-convergence — escalation is also the
+    * unconverged-at-maxIter fallback (star contraction with its own
+    * bound is strictly better than failing); only the star stage's
+    * bound remains a hard stop.
     *
     * Convergence check: labels only ever decrease, so the label sum
     * (per-value cast to DECIMAL(38,0) BEFORE summing — no int64 overflow
@@ -103,10 +104,16 @@ object GraphOps {
     // edge list in cache twice
     symRaw.unpersist()
     if (prev != null) { // null = empty graph: nothing to propagate
-      // escalation threshold: ceil(log2(sym-edge count)) >= log2(nodes)
-      // loop rounds before handing over to star contraction (see doc)
+      // escalation threshold: 2*ceil(log2(sym-edge count)) loop rounds
+      // before handing over to star contraction. The factor 2 is
+      // calibrated, not cosmetic: thresholded near-dup graphs at toy
+      // scale are stringy (measured: the d60 sf0.1 graph, 2878 sym
+      // edges, converges in 23 rounds — 2x its log2 of 12), and a
+      // restart they'd survive in-budget costs ~2x the finish; only
+      // genuinely chain-shaped graphs (diameter >> 2 log n, e.g. d63's
+      // 250-chains) should pay the strategy switch.
       val escalateAfter =
-        math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nEdges - 1)))
+        math.max(8, 2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nEdges - 1))))
       var converged = false
       var round = 0
       while (!converged && round < math.min(maxIter, escalateAfter)) {
@@ -123,13 +130,10 @@ object GraphOps {
         labels = next
         round += 1
       }
-      if (!converged) {
+      if (!converged) { // high diameter: switch strategies
         labels.unpersist()
         sym.unpersist()
-        if (round >= escalateAfter) // high diameter: switch strategies
-          return connectedComponentsStar(edges, math.max(maxIter, 40))
-        throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxIter rounds")
+        return connectedComponentsStar(edges, math.max(maxIter, 40))
       }
     }
     sym.unpersist()
