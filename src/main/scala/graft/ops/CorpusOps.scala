@@ -119,7 +119,8 @@ object CorpusOps {
       .filter(size(split(col("t"), " ")) >= 3)
       .select(col("doc_id"), graft.functions.WordShingleMinHash.wordShingleMinhash(
         col("t"), 3, Seeds.take(k).map(_._1), Seeds.take(k).map(_._2), MinhashP).as("mh"))
-    verifyCandidates(candidatePairs(sig, Bands, RowsPerBand), shingleSets(docs), JaccardThreshold)
+    verifyCandidates(candidatePairs(sig, Bands, RowsPerBand,
+      parts = pairParts(docs, Bands)), shingleSets(docs), JaccardThreshold)
   }
 
   /** Character 8-gram Jaccard near-dup pairs — the n-gram variant of the
@@ -148,7 +149,8 @@ object CorpusOps {
     val sig = docsT.select(col("doc_id"),
       graft.functions.CharGramMinHash.charGramMinhash(
         col("t"), 8, Seeds.map(_._1), Seeds.map(_._2), MinhashP).as("mh"))
-    val cands = candidatePairs(sig, bands = 32, rowsPerBand = 3, minBands = 2)
+    val cands = candidatePairs(sig, bands = 32, rowsPerBand = 3, minBands = 2,
+      parts = pairParts(docsT, 32))
     // verify side: exact gram-set Jaccard, but computed by the fused
     // binary kernel from the raw TEXTS — the join payload is the ~300-char
     // documents, not the ~8x-larger materialized gram arrays
@@ -186,8 +188,36 @@ object CorpusOps {
     * candidate pairs are docs sharing any band — an equi-join on the band
     * key, never all-pairs.
     */
+  /** Upscale-only shuffle width for the pair families' heavy exchanges
+    * (candidate buckets, pair aggregation): est rows / 100k, never below
+    * the session layout and capped at 4096. At gate scale this IS the
+    * session width — the plan stays byte-identical, bench unmoved — while
+    * at replicated far points (64x: ~10-13M candidate-side rows) the
+    * exchanges widen to ~100-130 so per-partition volume stays bounded
+    * instead of funneling 64x the rows through a fixed 32 (measured:
+    * d49 17.2 -> 13.5 s at 64x under width 128). One cheap O(1) count
+    * per query (parquet metadata count — the d60/d9 sizing precedent);
+    * `rowsPerDoc` is the per-doc fan-out of the candidate relation
+    * (bands for banded LSH, ~window count for gram joins) — a width
+    * heuristic, not a correctness knob.
+    */
+  private def pairParts(docs: DataFrame, rowsPerDoc: Long): Int = {
+    val session = docs.sparkSession.sessionState.conf.numShufflePartitions
+    math.max(session, math.min(4096L, docs.count() * rowsPerDoc / 100000L).toInt)
+  }
+
+  /** Widen `df`'s layout to `parts` on `keys` when above the session
+    * width; no-op otherwise, so session-scale plans are untouched. The
+    * downstream groupBy/join on the same keys reuses the layout (hash
+    * distribution satisfied) rather than exchanging a second time.
+    */
+  private def widened(df: DataFrame, parts: Int, keys: Column*): DataFrame =
+    if (parts > df.sparkSession.sessionState.conf.numShufflePartitions)
+      df.repartition(parts, keys: _*)
+    else df
+
   private def candidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
-      minBands: Int = 1): DataFrame = {
+      minBands: Int = 1, parts: Int = 0): DataFrame = {
     require(bands * rowsPerBand <= NumHashes)
     // band key = one 64-bit hash of the band's minhash values, not a
     // concatenated string: the banded table shuffles and groups on this
@@ -200,7 +230,7 @@ object CorpusOps {
     }
     candidatePairsFromBands(sig
       .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key"))),
-      minBands)
+      minBands, parts)
   }
 
   /** The shared candidate self-join over a banded
@@ -216,7 +246,8 @@ object CorpusOps {
     * pairs match many bands while background pairs almost always match
     * exactly one. minBands = 1 is plain LSH (dedup only).
     */
-  private[ops] def candidatePairsFromBands(banded: DataFrame, minBands: Int = 1): DataFrame = {
+  private[ops] def candidatePairsFromBands(banded: DataFrame, minBands: Int = 1,
+      parts: Int = 0): DataFrame = {
     val extras = banded.columns.filterNot(Set("doc_id", "band_id", "band_key"))
     val names = Seq("a_id", "b_id") ++ extras.flatMap(c => Seq(s"a_$c", s"b_$c"))
     val payload = struct((Seq("doc_id") ++ extras).map(col): _*)
@@ -232,7 +263,7 @@ object CorpusOps {
     // (background-collision analysis at d2/d14/d16), and no size cap is
     // applied — a pathological corpus that concentrated a bucket would
     // need bucket salting, not silent truncation.
-    val grouped = banded
+    val pairs = widened(banded, parts, col("band_id"), col("band_key"))
       .groupBy(col("band_id"), col("band_key"))
       .agg(collect_list(payload).as("bucket"))
       .filter(size(col("bucket")) >= 2)
@@ -240,6 +271,7 @@ object CorpusOps {
       .select(col("a"), explode(col("bucket")).as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(out: _*)
+    val grouped = widened(pairs, parts, col("a_id"), col("b_id"))
       .groupBy(names.map(col): _*)
       .count()
     (if (minBands > 1) grouped.filter(col("count") >= minBands) else grouped)
@@ -1788,11 +1820,16 @@ object CorpusOps {
     // stop-windows is one broadcast anti join — no second corpus shuffle
     val hot = raw.groupBy(col("gh")).agg(count(lit(1)).as("n"))
       .filter(col("n") > ContainmentHotCap).select(col("gh"))
-    val grams = raw.join(broadcast(hot), Seq("gh"), "left_anti")
+    // ~40 distinct 8-word windows per ~300-char doc (width heuristic)
+    val parts = pairParts(docs, 40)
+    val grams = widened(raw.join(broadcast(hot), Seq("gh"), "left_anti"),
+      parts, col("gh"))
     val na = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
-    val shared = grams.select(col("doc_id").as("a_id"), col("gh"))
-      .join(grams.select(col("doc_id").as("b_id"), col("gh")), "gh")
-      .filter(col("a_id") =!= col("b_id"))
+    val shared = widened(
+        grams.select(col("doc_id").as("a_id"), col("gh"))
+          .join(grams.select(col("doc_id").as("b_id"), col("gh")), "gh")
+          .filter(col("a_id") =!= col("b_id")),
+        parts, col("a_id"), col("b_id"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_shared"))
     shared.join(na.withColumnRenamed("doc_id", "a_id"), "a_id")
       .withColumn("cont_ppm", expr("(1000000 * n_shared) div n_a"))
@@ -2431,10 +2468,15 @@ object CorpusOps {
           g => g.getField("gh")))).as("gh"))
     val hot = fps.groupBy(col("gh")).agg(count(lit(1)).as("n"))
       .filter(col("n") > ContainmentHotCap).select(col("gh"))
-    val kept = fps.join(broadcast(hot), Seq("gh"), "left_anti")
-    kept.select(col("doc_id").as("a_id"), col("gh"))
-      .join(kept.select(col("doc_id").as("b_id"), col("gh")), "gh")
-      .filter(col("a_id") < col("b_id"))
+    // ~12 winnow-selected grams per doc (width heuristic)
+    val parts = pairParts(docs, 12)
+    val kept = widened(fps.join(broadcast(hot), Seq("gh"), "left_anti"),
+      parts, col("gh"))
+    widened(
+        kept.select(col("doc_id").as("a_id"), col("gh"))
+          .join(kept.select(col("doc_id").as("b_id"), col("gh")), "gh")
+          .filter(col("a_id") < col("b_id")),
+        parts, col("a_id"), col("b_id"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_shared"))
   }
 }
