@@ -2,22 +2,26 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scratch timing harness: time one named query N times outside the full
-  * bench (usage: runMain graft.TimeQuery <name> <n> [confK=V ...]).
+  * bench (usage: runMain graft.TimeQuery <name> <n> [scrub] [confK=V ...]).
+  * `scrub` clears the SQL cache between runs (the bench's discipline), so
+  * warm runs measure recompute, not a replace-on-call cache hit.
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
     val name = args(0); val n = args(1).toInt
+    val scrub = args.contains("scrub")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    args.drop(2).foreach { kv =>
+    args.drop(2).filter(_.contains("=")).foreach { kv =>
       val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
     }
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (i <- 1 to n) {
+      if (scrub) spark.catalog.clearCache()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
       println(f"TIME $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")

@@ -1710,6 +1710,19 @@ object CorpusOps {
     * broadcast back. The DuckDB oracle replays all four stages with
     * plain global windows — matching it proves every decomposition.
     */
+  /** d50's three live stage caches ([[ReplaceOnCallCache]] lifetime
+    * contract), persisted MEMORY_AND_DISK_SER: each stage is O(selected
+    * docs) rows of fixed-width integers, so at 100 TB the serialized
+    * spill-ready tier keeps a memory-pressured executor degrading to
+    * disk instead of evicting and recomputing the text-reading base
+    * projection (D50PersistSpec pins tier and eviction survival).
+    */
+  private val d50CanonCache = new ReplaceOnCallCache
+  private val d50SelectedCache = new ReplaceOnCallCache
+  private val d50OrderedCache = new ReplaceOnCallCache
+  private[graft] def d50Caches = Seq(d50CanonCache, d50SelectedCache, d50OrderedCache)
+  private val D50Tier = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
   def d50TrainingPlan(spark: SparkSession, sfDir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val fpW = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
@@ -1721,11 +1734,11 @@ object CorpusOps {
         fingerprint(col("text")).as("fp"),
         size(words(col("text"))).cast("long").as("n_tokens"),
         draw(":temp").as("dtemp"), draw(":order").as("dorder"))
-    val canon = base
+    val canon = d50CanonCache.register(base
       .withColumn("min_id", min(col("doc_id")).over(fpW))
       .filter(col("doc_id") === col("min_id"))
-      .drop("fp", "min_id")
-      .persist() // consumed by targets + both ranks + the pack cumsum
+      .drop("fp", "min_id"),
+      D50Tier) // consumed by targets + both ranks + the pack cumsum
     val allW = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
     val targets = canon.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
@@ -1734,24 +1747,24 @@ object CorpusOps {
       .withColumn("ntot", sum(col("n_docs")).over(allW))
       .withColumn("target", least(col("n_docs"), expr("((ntot div 2) * s) div stot")))
       .select(col("lang"), col("target"))
-    val selected = bucketRank(
+    val selected = d50SelectedCache.register(bucketRank(
         canon.withColumn("b", expr(s"dtemp div $OrderBucketWidth")),
         Seq("lang"), Seq(col("dtemp"), col("doc_id")))
       .join(broadcast(targets), Seq("lang"))
       .filter(col("rk") <= col("target"))
-      .drop("rk", "b", "target")
-      .persist()
+      .drop("rk", "b", "target"),
+      D50Tier)
     val slots = selected.select(col("source")).distinct()
       .withColumn("slot", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("source"))).cast("long"))
-    val ordered = bucketRank(
+    val ordered = d50OrderedCache.register(bucketRank(
         selected.withColumn("b", expr(s"dorder div $OrderBucketWidth")),
         Seq("source"), Seq(col("dorder"), col("doc_id")))
       .withColumnRenamed("rk", "round")
       .join(broadcast(slots), Seq("source"))
       .select(col("doc_id"), col("lang"), col("source"),
-        col("n_tokens"), col("round"), col("slot"))
-      .persist()
+        col("n_tokens"), col("round"), col("slot")),
+      D50Tier)
     // d39's two-level prefix sum over the (round, slot) total order,
     // bucketed by round ranges (monotone in the order by construction)
     val pb = ordered.withColumn("pb", expr(s"round div $PlanRoundBucket"))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** One live function-owned persist() per call site — the
   * `VectorOps.annIvfOverCells` replace-on-next-call lifetime contract
@@ -17,20 +18,31 @@ import org.apache.spark.sql.DataFrame
 private[graft] final class ReplaceOnCallCache {
   private var last: Option[DataFrame] = None
 
-  /** Persist `df` (if not already) and make it this site's one live
-    * cache, unpersisting the previous occupant.
+  /** Persist `df` (if not already) at `level` and make it this site's
+    * one live cache, unpersisting the previous occupant.
     */
-  def register(df: DataFrame): DataFrame = synchronized {
-    // an already-cached plan (e.g. a spec re-running the op on the same
-    // input) is adopted as-is — persist() again would only log a
-    // CacheManager warning
+  def register(df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = synchronized {
+    // an already-cached plan (e.g. a repeat run on the same input) is
+    // adopted as-is — persist() again would only log a CacheManager
+    // warning
     val cached =
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+      if (df.storageLevel == StorageLevel.NONE) df.persist(level)
       else df
-    last.filter(_ ne cached).foreach(_.unpersist(blocking = false))
+    // unpersist the previous occupant only if it is a DIFFERENT plan:
+    // Spark's cache is keyed by plan, so a repeat call's new DataFrame
+    // object ADOPTS the previous call's entry — unpersisting through the
+    // old reference would evict the very blocks just adopted (observed:
+    // a 3x warm-run regression before this check)
+    last.filter(p => !p.queryExecution.analyzed.sameResult(
+        cached.queryExecution.analyzed))
+      .foreach(_.unpersist(blocking = false))
     last = Some(cached)
     cached
   }
+
+  /** The live occupant's storage level, for specs pinning persist tiers. */
+  def currentLevel: Option[StorageLevel] = synchronized { last.map(_.storageLevel) }
 
   /** Free the slot (no-op when none is live). */
   def release(): Unit = synchronized {
