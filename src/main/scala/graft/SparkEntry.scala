@@ -131,6 +131,8 @@ object SparkEntry {
       ((s: SparkSession, dir: String) => streaming.StreamingQueries.s19StreamAnnLookup(s, dir)),
     "s20_stream_bloom_gate" ->
       ((s: SparkSession, dir: String) => streaming.StreamingQueries.s20StreamBloomGate(s, dir)),
+    "s21_stream_ppl_gate" ->
+      ((s: SparkSession, dir: String) => streaming.StreamingQueries.s21StreamPplGate(s, dir)),
     // relational coverage (SURVEY.md §2D → Spark built-ins)
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_revenue_by_nation" -> (ops.RelationalOps.qRevenueByNation _),
@@ -380,6 +382,31 @@ object SparkEntry {
       "g AS (SELECT doc_id, [CAST(('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15)) AS BIGINT) for i in range(1, len(ws) - 6)] AS ghs FROM w WHERE len(ws) >= 8), " +
       "k AS (SELECT doc_id, ghs, [ghs[i] - (ghs[i] % 1048576) + (1048576 - i) for i in range(1, len(ghs) + 1)] AS keys FROM g), " +
       "s AS (SELECT doc_id, ghs, list_distinct([list_min(keys[i:i+3]) for i in range(1, len(keys) - 2)]) AS sel FROM k WHERE len(keys) >= 4), "
+
+  /** The shared CCNet-perplexity replay (d47 batch terciles / s21
+    * at-ingest gate): the hashed add-one bigram LM retrained in SQL
+    * (bucket counts -> the same fixed-point log2 recursive CTE), per-doc
+    * average log-prob `av`, doc count `nn`, and the global rank `r`; the
+    * per-bigram +2^26 offset keeps the integer division nonnegative,
+    * where Spark's truncating div and DuckDB's flooring // agree.
+    */
+  private def pplCteSql: String =
+    "WITH RECURSIVE " +
+      "w AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+      "bg0 AS (SELECT doc_id, lang, unnest([{'b': ws[i] || ' ' || ws[i+1], 'c': ws[i]} for i in range(1, len(ws))]) AS u FROM w WHERE len(ws) >= 2), " +
+      "bg AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(u.b), 1, 15)) AS BIGINT) % 4096 AS hb, CAST(('0x' || substr(md5(u.c), 1, 15)) AS BIGINT) % 256 AS hc FROM bg0), " +
+      "cb AS (SELECT hb, count(*) AS n FROM bg WHERE lang = 'en' GROUP BY hb), " +
+      "cu AS (SELECT hc, count(*) AS n FROM bg WHERE lang = 'en' GROUP BY hc), " +
+      "ns AS (SELECT DISTINCT n FROM (SELECT n + 1 AS n FROM cb UNION ALL SELECT n + 256 FROM cu)), " +
+      "lg AS (SELECT n, CAST(length(bin(n)) - 1 AS BIGINT) AS e, n / power(2.0, length(bin(n)) - 1) AS m, CAST(0 AS BIGINT) AS fr, 0 AS i FROM ns " +
+      "UNION ALL SELECT n, e, CASE WHEN m*m >= 2 THEN m*m/2 ELSE m*m END, fr*2 + CASE WHEN m*m >= 2 THEN 1 ELSE 0 END, i + 1 FROM lg WHERE i < 20), " +
+      "lgf AS (SELECT n, e * 1048576 + fr AS v FROM lg WHERE i = 20), " +
+      "cbw AS (SELECT cb.hb, lgf.v FROM cb JOIN lgf ON lgf.n = cb.n + 1), " +
+      "cuw AS (SELECT cu.hc, lgf.v FROM cu JOIN lgf ON lgf.n = cu.n + 256), " +
+      "sc AS (SELECT bg.doc_id, count(*) AS n_bigrams, CAST(sum(coalesce(cbw.v, 0) - coalesce(cuw.v, 8388608) + 67108864) AS BIGINT) AS score FROM bg LEFT JOIN cbw ON cbw.hb = bg.hb LEFT JOIN cuw ON cuw.hc = bg.hc GROUP BY bg.doc_id), " +
+      "av AS (SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, (score * 1048576) // n_bigrams AS avg_fx FROM sc), " +
+      "nn AS (SELECT count(*) AS n_docs FROM av), " +
+      "r AS (SELECT doc_id, n_bigrams, avg_fx, row_number() OVER (ORDER BY avg_fx DESC, doc_id) AS rk FROM av) "
 
   /** The shared DSIR replay (d45 batch selection / s16 at-ingest gate):
     * hashed-bucket counts, the 20-step shift-and-square fixed-point
@@ -650,6 +677,13 @@ object SparkEntry {
     // stateless per row — streamed flags equal the batch audit exactly,
     // so the two share ONE oracle string (no copy to drift)
     "s20_stream_bloom_gate" -> bloomGateOracleSql,
+    // the s21 admission replay: same LM CTEs; cutoff = the batch head
+    // tercile's minimum avg_fx; admit every doc tying-or-beating it
+    // (rank cannot stream, the score comparison can — s16's discipline)
+    "s21_stream_ppl_gate" ->
+      (pplCteSql +
+        "SELECT doc_id, n_bigrams, avg_fx FROM av WHERE avg_fx >= " +
+        "(SELECT min(avg_fx) FROM r, nn WHERE rk <= n_docs // 3)"),
     // Bloom gate: k=3 20-bit hex slices of the d1 fingerprint mod 2^16 —
     // pure integer arithmetic, so the filter AND its false positives
     // replay exactly; the oracle probes the position set directly
@@ -677,22 +711,7 @@ object SparkEntry {
     // per-bigram +2^26 offset keeps the integer division nonnegative,
     // where Spark's truncating div and DuckDB's flooring // agree
     "d47_ppl_filter" ->
-      ("WITH RECURSIVE " +
-        "w AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws FROM documents), " +
-        "bg0 AS (SELECT doc_id, lang, unnest([{'b': ws[i] || ' ' || ws[i+1], 'c': ws[i]} for i in range(1, len(ws))]) AS u FROM w WHERE len(ws) >= 2), " +
-        "bg AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(u.b), 1, 15)) AS BIGINT) % 4096 AS hb, CAST(('0x' || substr(md5(u.c), 1, 15)) AS BIGINT) % 256 AS hc FROM bg0), " +
-        "cb AS (SELECT hb, count(*) AS n FROM bg WHERE lang = 'en' GROUP BY hb), " +
-        "cu AS (SELECT hc, count(*) AS n FROM bg WHERE lang = 'en' GROUP BY hc), " +
-        "ns AS (SELECT DISTINCT n FROM (SELECT n + 1 AS n FROM cb UNION ALL SELECT n + 256 FROM cu)), " +
-        "lg AS (SELECT n, CAST(length(bin(n)) - 1 AS BIGINT) AS e, n / power(2.0, length(bin(n)) - 1) AS m, CAST(0 AS BIGINT) AS fr, 0 AS i FROM ns " +
-        "UNION ALL SELECT n, e, CASE WHEN m*m >= 2 THEN m*m/2 ELSE m*m END, fr*2 + CASE WHEN m*m >= 2 THEN 1 ELSE 0 END, i + 1 FROM lg WHERE i < 20), " +
-        "lgf AS (SELECT n, e * 1048576 + fr AS v FROM lg WHERE i = 20), " +
-        "cbw AS (SELECT cb.hb, lgf.v FROM cb JOIN lgf ON lgf.n = cb.n + 1), " +
-        "cuw AS (SELECT cu.hc, lgf.v FROM cu JOIN lgf ON lgf.n = cu.n + 256), " +
-        "sc AS (SELECT bg.doc_id, count(*) AS n_bigrams, CAST(sum(coalesce(cbw.v, 0) - coalesce(cuw.v, 8388608) + 67108864) AS BIGINT) AS score FROM bg LEFT JOIN cbw ON cbw.hb = bg.hb LEFT JOIN cuw ON cuw.hc = bg.hc GROUP BY bg.doc_id), " +
-        "av AS (SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, (score * 1048576) // n_bigrams AS avg_fx FROM sc), " +
-        "nn AS (SELECT count(*) AS n_docs FROM av), " +
-        "r AS (SELECT doc_id, n_bigrams, avg_fx, row_number() OVER (ORDER BY avg_fx DESC, doc_id) AS rk FROM av) " +
+      (pplCteSql +
         "SELECT doc_id, n_bigrams, avg_fx, CASE WHEN rk <= n_docs // 3 THEN 'head' WHEN rk <= (2 * n_docs) // 3 THEN 'middle' ELSE 'tail' END AS ppl_bucket FROM r, nn"),
     // SemDeDup replay: exact-integer centroids (the d34 table), so the
     // unrounded centroid-similarity ordering the keep-rule compares is

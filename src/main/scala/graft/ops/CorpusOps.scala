@@ -1967,8 +1967,13 @@ object CorpusOps {
   /** [[d47PplFilter]]'s core over any `(doc_id, is_target, text)`
     * relation — parameterized for the ScalaCheck property pin.
     */
-  private[graft] def pplFilterOver(docs: DataFrame): DataFrame = {
-    val (bigWts, ctxWts) = pplModel(docs)
+  /** Per-document bigram-LM scoring shared by d47's terciles and the
+    * s21 at-ingest gate: `(doc_id, n_bigrams, avg_fx)` as a zero-shuffle
+    * fold over the two dense weight literals — works identically on a
+    * batch relation and a stream (stateless projection).
+    */
+  private[graft] def pplScored(docs: DataFrame,
+      bigWts: Array[Long], ctxWts: Array[Long]): DataFrame = {
     // ONE literal node apiece (the d13 lesson): an element-wise
     // array(lit...) of 4096 weights builds an O(buckets)-node tree
     val bigLit = typedlit(bigWts.toSeq)
@@ -1984,14 +1989,20 @@ object CorpusOps {
         element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)), PplBigramBuckets) + 1).cast("int")) -
       element_at(ctxLit, (bucket(element_at(col("ws"), i + 1), DsirBuckets) + 1).cast("int")) +
       lit(PplTermOffset))
-    // persisted O(docs)-row projection (see d45): consumed three times —
-    // offsets, rank join, and the tercile count — and each re-derivation
-    // would re-run the two-md5s-per-token scoring scan
-    val scored = docs
+    docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), (size(col("ws")) - 1).cast("long").as("n_bigrams"), score.as("score"))
       .withColumn("avg_fx", expr("(score * 1048576) div n_bigrams"))
+      .drop("score")
+  }
+
+  private[graft] def pplFilterOver(docs: DataFrame): DataFrame = {
+    val (bigWts, ctxWts) = pplModel(docs)
+    // persisted O(docs)-row projection (see d45): consumed three times —
+    // offsets, rank join, and the tercile count — and each re-derivation
+    // would re-run the two-md5s-per-token scoring scan
+    val scored = pplScored(docs, bigWts, ctxWts)
       .withColumn("b", expr(s"(-avg_fx) div $PplScoreBucketWidth"))
       .persist()
     val n = broadcast(scored.agg(count(lit(1)).as("n_docs")))
@@ -2034,6 +2045,25 @@ object CorpusOps {
         ctxWts(r.getAs[Long]("hc").toInt) = log2Fx(r.getAs[Long]("n") + 256)
     }
     (bigWts, ctxWts)
+  }
+
+  /** The trained gate for the s21 streaming twin: the dense bigram/
+    * context weight tables plus the batch head-tercile boundary (the
+    * minimum avg_fx of d47's `head` bucket — a stream cannot rank, so
+    * the gate admits avg_fx >= cutoff, every document that would tie or
+    * beat the batch boundary). All three derive deterministically from
+    * the batch corpus — the s14/s15/s16 train-in-batch / apply-at-ingest
+    * discipline with a FIXED LM (the consciously-skipped drifting-target
+    * variant stays skipped; see SURVEY round-10 note 2).
+    */
+  private[graft] def pplGate(spark: SparkSession, sfDir: String): (Array[Long], Array[Long], Long) = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (col("lang") === "en").as("is_target"), col("text"))
+    val (bigWts, ctxWts) = pplModel(docs)
+    val cutoff = d47PplFilter(spark, sfDir)
+      .filter(col("ppl_bucket") === "head")
+      .agg(min(col("avg_fx"))).head().getLong(0)
+    (bigWts, ctxWts, cutoff)
   }
 
   private[graft] def dsirGate(spark: SparkSession, sfDir: String): (Array[Long], Long) = {

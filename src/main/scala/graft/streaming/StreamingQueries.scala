@@ -429,6 +429,42 @@ object StreamingQueries {
     spark.table(mem)
   }
 
+  /** PERPLEXITY admission at ingest — d47's CCNet quality screen as the
+    * s16 shape with a FIXED LM: the hashed add-one bigram model and the
+    * batch head-tercile boundary both train in batch
+    * (`CorpusOps.pplGate`), then every arriving document is scored by
+    * the SAME zero-shuffle weight-literal fold (`CorpusOps.pplScored`,
+    * shared verbatim) and admitted iff its avg_fx ties-or-beats the
+    * batch boundary. Emitted rows carry (doc_id, n_bigrams, avg_fx) so
+    * the oracle pins the score arithmetic, not just membership.
+    *
+    * SCALE: stateless zero-shuffle projection — no state store, no
+    * watermark; the model is two dense literals (4096 + 256 weights)
+    * compiled into the executor-side fold, the cutoff one scalar. This
+    * is how a deployed CCNet-style gate ingests; periodic retraining
+    * swaps literals between restarts (the drifting-target variant stays
+    * consciously out of scope — its per-batch semantics are undefined).
+    */
+  def s21StreamPplGate(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+    val shardDir = corpusShardDir(spark, sfDir)
+    val (bigWts, ctxWts, cutoff) = graft.ops.CorpusOps.pplGate(spark, sfDir)
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
+    val q = graft.ops.CorpusOps.pplScored(
+        ShardedCorpus.readStream(spark, shardDir, maxFilesPerTrigger), bigWts, ctxWts)
+      .filter(col("avg_fx") >= cutoff)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
+
   /** WINNOW-SKETCH maintenance at ingest — the d52 fingerprint index's
     * WRITE path (the s14/s15 at-ingest family applied to the overlap
     * screen): every arriving document is winnowed by the SAME fused

@@ -1525,6 +1525,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming perplexity gate admits exactly the batch head boundary under 1-file triggers") {
+    // the fixed-LM CCNet admission (s21): bigram/context weights and the
+    // head-tercile cutoff are batch-trained and FIXED, scoring is a
+    // stateless per-row projection — so admissions must equal the batch
+    // d47 docs at-or-above the head boundary (ties included: the stream
+    // cannot rank, so the >=-cutoff gate admits boundary ties by
+    // contract) under any shard interleaving
+    val streamed = StreamingQueries
+      .s21StreamPplGate(spark, sf001, maxFilesPerTrigger = Some(1))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_fx"))
+    val d47 = graft.ops.CorpusOps.d47PplFilter(spark, sf001).persist()
+    val cutoff = d47.filter(col("ppl_bucket") === "head")
+      .agg(min(col("avg_fx"))).head().getLong(0)
+    val batch = d47.filter(col("avg_fx") >= cutoff)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_fx"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    d47.unpersist()
+  }
+
   test("streaming winnow ingest emits batch-identical sketch summaries (1-file triggers)") {
     // stateless per-row selection against no trained model at all: the
     // per-doc (n_sel, gh_sum, pos_sum) rows must equal the batch d52
