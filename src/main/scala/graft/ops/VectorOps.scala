@@ -577,18 +577,30 @@ object VectorOps {
     * block-pair keys and meet in a shuffle hash equi-join, so
     * parallelism is cells × block-pairs (NOT the cell count, which
     * would cap a 1000-executor cluster at n_cells tasks), per-task
-    * memory O(2·B·dim). Each undirected block pair is scored once and
-    * emitted in both directions (a mirror projection, not a second
-    * join); per-vector top-k is one q_id window whose rank filter
-    * group-limits BEFORE the shuffle (WindowGroupLimit, plan-pinned).
+    * memory O(2·B·dim). Blocks are numbered PER CELL (one
+    * label-partitioned row index — O(cell) rows per window task), so a
+    * vector replicates only its own cell's block count: shuffle volume
+    * is Σ_cell m·ceil(m/B), the true block-pair work, where a global
+    * vec_id-derived block index replicated every vector nBlocks+1 times
+    * corpus-wide regardless of its cell's occupancy. idx order = vec_id
+    * order within the cell, so the a_id < b_id dedup keeps exactly one
+    * orientation per pair, as before. Each undirected block pair is
+    * scored once and emitted in both directions (a mirror projection,
+    * not a second join); per-vector top-k is one q_id window whose rank
+    * filter group-limits BEFORE the shuffle (WindowGroupLimit,
+    * plan-pinned).
     */
   def d58KnnGraph(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = embeddings(spark, sfDir).withColumn("blk", floor(col("vec_id") / BlockSize))
-    val nBlocks = e.agg(coalesce(max(col("blk")), lit(0L))).head().getLong(0) + 1
-    val lo = e.select(col("label"),
-      col("blk").as("lo"), explode(sequence(col("blk"), lit(nBlocks - 1))).as("hi"),
+    val idxW = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val e = embeddings(spark, sfDir)
+      .withColumn("blk", floor((row_number().over(idxW) - 1) / BlockSize))
+    // per-cell block counts: O(cells) rows, broadcast back
+    val nb = e.groupBy(col("label")).agg((max(col("blk")) + 1).as("nb"))
+    val withNb = e.join(broadcast(nb), Seq("label"))
+    val lo = withNb.select(col("label"),
+      col("blk").as("lo"), explode(sequence(col("blk"), col("nb") - 1)).as("hi"),
       col("vec_id").as("a_id"), col("v").as("va"))
-    val hi = e.select(col("label"),
+    val hi = withNb.select(col("label"),
       explode(sequence(lit(0L), col("blk"))).as("lo"), col("blk").as("hi"),
       col("vec_id").as("b_id"), col("v").as("vb"))
     val pairs = lo.hint("shuffle_hash").join(hi, Seq("label", "lo", "hi"))
