@@ -1999,6 +1999,15 @@ object CorpusOps {
 
   private[graft] def pplFilterOver(docs: DataFrame): DataFrame = {
     val (bigWts, ctxWts) = pplModel(docs)
+    pplFilterWith(docs, bigWts, ctxWts)
+  }
+
+  /** [[pplFilterOver]] with a pre-trained LM — shared with [[pplGate]],
+    * which needs the same tercile boundary without paying a second
+    * training aggregate.
+    */
+  private def pplFilterWith(docs: DataFrame,
+      bigWts: Array[Long], ctxWts: Array[Long]): DataFrame = {
     // persisted O(docs)-row projection (see d45): consumed three times —
     // offsets, rank join, and the tercile count — and each re-derivation
     // would re-run the two-md5s-per-token scoring scan
@@ -2060,7 +2069,9 @@ object CorpusOps {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), (col("lang") === "en").as("is_target"), col("text"))
     val (bigWts, ctxWts) = pplModel(docs)
-    val cutoff = d47PplFilter(spark, sfDir)
+    // tercile boundary from the SAME trained weights — one training
+    // aggregate total, not one per consumer
+    val cutoff = pplFilterWith(docs, bigWts, ctxWts)
       .filter(col("ppl_bucket") === "head")
       .agg(min(col("avg_fx"))).head().getLong(0)
     (bigWts, ctxWts, cutoff)

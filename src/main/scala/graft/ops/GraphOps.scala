@@ -79,7 +79,11 @@ object GraphOps {
     // rounds — measured 8s of a 9.6s d60 run before this). One O(1)
     // count (the d9 nBlocks precedent) picks the partition count; a
     // 100 TB edge list keeps the session layout untouched. Partitioning
-    // BY THE JOIN KEY also co-locates every round's probe side.
+    // BY THE JOIN KEY also co-locates every round's probe side — which
+    // is why the repartition is NOT skipped when parts equals the
+    // session width: the one-time key-hash exchange lets the cached edge
+    // list satisfy the loop join's distribution every round, saving
+    // (rounds - 1) full re-exchanges of the edge list.
     val nEdges = symRaw.count()
     val sessionParts = symRaw.rdd.getNumPartitions.max(1)
     val parts = math.max(1L, math.min(sessionParts.toLong, nEdges / 50000L + 1L)).toInt
