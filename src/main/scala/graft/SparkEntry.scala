@@ -81,6 +81,8 @@ object SparkEntry {
     "d58_knn_graph" -> (ops.VectorOps.d58KnnGraph _),
     "d60_semantic_clusters" -> (ops.VectorOps.d60SemanticClusters _),
     "d63_chain_components" -> (ops.GraphOps.d63ChainComponents _),
+    "d64_novelty" -> (ops.CorpusOps.d64Novelty _),
+    "d65_group_split" -> (ops.CorpusOps.d65GroupSplit _),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
     "d36_ann_ivfpq_full" -> (ops.VectorOps.d36AnnIvfPqFull _),
     "d43_ann_ivfpq_residual" -> (ops.VectorOps.d43AnnIvfPqResidual _),
@@ -1006,6 +1008,22 @@ object SparkEntry {
       "SELECT o_custkey, count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent, count(*) FILTER (o_orderpriority = '2-HIGH') AS high, count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium FROM orders GROUP BY o_custkey",
     "q_rollup_revenue" ->
       "SELECT r_name, n_name, round(sum(o_totalprice), 2) AS total, count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP(r_name, n_name)",
+    // novelty: both engines hash the same 8-word windows (the d28
+    // identity) and attribute first occurrence by smallest doc_id —
+    // merge-order free, so the ppm is exact
+    "d64_novelty" ->
+      ("WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_distinct([CAST(('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15)) AS BIGINT) for i in range(1, len(ws) - 6)])) AS gh FROM w WHERE len(ws) >= 8), " +
+        "f AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY gh) AS first_id FROM g) " +
+        "SELECT doc_id, count(*) AS n_windows, count(*) FILTER (first_id = doc_id) AS n_novel, " +
+        "(1000000 * count(*) FILTER (first_id = doc_id)) // count(*) AS novelty_ppm FROM f GROUP BY doc_id"),
+    // group-aware split: the d1 fingerprint identity, then d19's split
+    // hash applied to the group canonical instead of the document
+    "d65_group_split" ->
+      ("WITH t AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp FROM documents), " +
+        "c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS canonical_id FROM t), " +
+        "h AS (SELECT doc_id, canonical_id, CAST(('0x' || substr(md5(CAST(canonical_id AS VARCHAR) || ':split'), 1, 15)) AS BIGINT) % 100 AS bucket FROM c) " +
+        "SELECT doc_id, canonical_id, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM h"),
     // the chain graph's components are analytic: 250-id blocks, label =
     // block minimum; a node appears iff it has a neighbor (robust to any
     // id range, mirroring the Spark side's existence probe)

@@ -2533,4 +2533,64 @@ object CorpusOps {
         parts, col("a_id"), col("b_id"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_shared"))
   }
+
+  /** d64: per-document NOVELTY — the fraction of a document's distinct
+    * 8-word windows (d28's unit) whose corpus-wide FIRST occurrence (by
+    * smallest doc_id) is this document. The self-information signal
+    * dedup-aware quality weighting uses (SlimPajama-style
+    * self-repetition metrics): boilerplate-heavy and reprint documents
+    * score near 0, original text near 10^6 ppm. Exact integer ppm;
+    * documents under 8 words have no window and are excluded (the d28
+    * family's convention).
+    *
+    * SCALE: the d48 one-shuffle shape — a gh-partitioned window
+    * attributes first occurrence (only (doc_id, gh) rows shuffle, text
+    * never moves), then one doc_id rollup. No join, no second text
+    * scan.
+    */
+  def d64Novelty(spark: SparkSession, sfDir: String): DataFrame =
+    noveltyOver(Tables.documents(spark, sfDir))
+
+  /** [[d64Novelty]]'s core over any `(doc_id, text)` relation —
+    * parameterized for the planted-verbatim-copy spec (the fixture
+    * corpus has no verbatim dups, only bag-of-words ones).
+    */
+  private[graft] def noveltyOver(docs: DataFrame): DataFrame = {
+    val ghW = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
+    docs
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.WordWindowMd5.wordWindowMd5(lower(trim(col("text"))), SpanW))).as("gh"))
+      .withColumn("first_id", min(col("doc_id")).over(ghW))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        count_if(col("first_id") === col("doc_id")).as("n_novel"))
+      .select(col("doc_id"), col("n_windows"), col("n_novel"),
+        expr("(1000000 * n_novel) div n_windows").as("novelty_ppm"))
+  }
+
+  /** d65: GROUP-AWARE SPLIT — d19's 80/10/10 assignment drawn from the
+    * d1 fingerprint GROUP's canonical (smallest doc_id) instead of the
+    * document, so exact duplicates can never straddle splits: the
+    * constructive fix for everything d48's leakage audit detects
+    * (spec-pinned: d48 run against this assignment returns zero rows).
+    * Output `(doc_id, canonical_id, split)` — the loader keys splits by
+    * document while provenance keeps the group witness.
+    *
+    * SCALE: the d41/d48 shape — one scan, one fp-keyed window shuffle
+    * of (doc_id, 32-byte fp), the split a pure hash of the canonical.
+    */
+  def d65GroupSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val fpW = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val h = conv(substring(
+      md5(concat(col("canonical_id").cast("string"), lit(":split"))), 1, 15), 16, 10).cast("long")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .withColumn("canonical_id", min(col("doc_id")).over(fpW))
+      .select(col("doc_id"), col("canonical_id"), (h % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("canonical_id"), col("split"))
+  }
 }
