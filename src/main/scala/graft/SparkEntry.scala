@@ -83,6 +83,7 @@ object SparkEntry {
     "d63_chain_components" -> (ops.GraphOps.d63ChainComponents _),
     "d64_novelty" -> (ops.CorpusOps.d64Novelty _),
     "d65_group_split" -> (ops.CorpusOps.d65GroupSplit _),
+    "d66_novelty_gate" -> (ops.CorpusOps.d66NoveltyGate _),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
     "d36_ann_ivfpq_full" -> (ops.VectorOps.d36AnnIvfPqFull _),
     "d43_ann_ivfpq_residual" -> (ops.VectorOps.d43AnnIvfPqResidual _),
@@ -135,6 +136,8 @@ object SparkEntry {
       ((s: SparkSession, dir: String) => streaming.StreamingQueries.s20StreamBloomGate(s, dir)),
     "s21_stream_ppl_gate" ->
       ((s: SparkSession, dir: String) => streaming.StreamingQueries.s21StreamPplGate(s, dir)),
+    "s22_stream_novelty_gate" ->
+      ((s: SparkSession, dir: String) => streaming.StreamingQueries.s22StreamNoveltyGate(s, dir)),
     // relational coverage (SURVEY.md §2D → Spark built-ins)
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_revenue_by_nation" -> (ops.RelationalOps.qRevenueByNation _),
@@ -315,6 +318,23 @@ object SparkEntry {
       "e AS (SELECT doc_id, unnest(ps) AS x FROM p WHERE doc_id % 2 = 1), " +
       "h AS (SELECT e.doc_id, count(t.p) AS nhit FROM e LEFT JOIN train t ON t.p = e.x GROUP BY e.doc_id) " +
       "SELECT doc_id, CASE WHEN nhit = 3 THEN 1 ELSE 0 END AS hit FROM h"
+
+  /** The shared d66/s22 replay: window hashes (the d64 CTE), the three
+    * 20-bit position slices, train = the history half's distinct
+    * positions; a window counts as seen iff all three positions hit
+    * (Bloom semantics over the position SET — bit-identical to probing
+    * the packed bitmap); admitted docs are majority-new.
+    */
+  private def noveltyGateOracleSql: String =
+    "WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), " +
+      "g AS (SELECT doc_id, unnest(list_distinct([CAST(('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15)) AS BIGINT) for i in range(1, len(ws) - 6)])) AS gh FROM w WHERE len(ws) >= 8), " +
+      "p AS (SELECT doc_id, gh, [gh % 1048576, (gh // 1048576) % 1048576, (gh // 1099511627776) % 1048576] AS ps FROM g), " +
+      "train AS (SELECT DISTINCT unnest(ps) AS p FROM p WHERE doc_id % 2 = 0), " +
+      "e AS (SELECT doc_id, gh, unnest(ps) AS x FROM p WHERE doc_id % 2 = 1), " +
+      "h AS (SELECT doc_id, gh, count(t.p) AS nh FROM e LEFT JOIN train t ON t.p = e.x GROUP BY doc_id, gh), " +
+      "s AS (SELECT doc_id, count(*) AS n_windows, count(*) FILTER (nh < 3) AS n_new FROM h GROUP BY doc_id) " +
+      "SELECT doc_id, n_windows, n_new, (1000000 * n_new) // n_windows AS novelty_ppm FROM s " +
+      "WHERE (1000000 * n_new) // n_windows >= 500000"
 
   /** The shared kNN-graph replay (d58 / d60): all same-cell cosine
     * pairs ranked per query vector with a plain window.
@@ -679,6 +699,11 @@ object SparkEntry {
     // stateless per row — streamed flags equal the batch audit exactly,
     // so the two share ONE oracle string (no copy to drift)
     "s20_stream_bloom_gate" -> bloomGateOracleSql,
+    // d66/s22 novelty gate: same replay for the batch audit and the
+    // at-ingest gate — the bitmap is fixed and probing is stateless
+    // integer math, so streamed admissions equal batch exactly
+    "d66_novelty_gate" -> noveltyGateOracleSql,
+    "s22_stream_novelty_gate" -> noveltyGateOracleSql,
     // the s21 admission replay: same LM CTEs; cutoff = the batch head
     // tercile's minimum avg_fx; admit every doc tying-or-beating it
     // (rank cannot stream, the score comparison can — s16's discipline)

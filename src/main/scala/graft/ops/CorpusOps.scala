@@ -2348,16 +2348,17 @@ object CorpusOps {
       .agg(graft.functions.BitmapOrAgg.bitmapOrAgg(col("p"), BloomBits).as("bm"))
       .head().getSeq[Long](0)
 
-  /** The zero-shuffle probe expression over a fingerprint column —
-    * shared VERBATIM by the batch audit and the s20 at-ingest gate (the
-    * two must agree bit for bit on every document).
+  /** The k-mask literal probe over precomputed bit positions — shared by
+    * [[bloomHit]] (fingerprint geometry) and [[windowBloomHit]] (window
+    * geometry); geometry-generic because the word index is exact integer
+    * arithmetic.
     */
-  private[graft] def bloomHit(bitmap: Seq[Long], fp: Column): Column = {
+  private def bloomProbe(bitmap: Seq[Long], positions: Seq[Column]): Column = {
     val blit = typedlit(bitmap)
     // single-bit masks as a 64-entry literal: shiftleft/shiftright take
     // a constant shift, so the variable bit index selects a mask instead
     val masks = typedlit((0 until 64).map(1L << _))
-    bloomPositions(fp).map { p =>
+    positions.map { p =>
       // shiftright = exact integer div-by-64 for the nonnegative position
       // (Column `/` is double division — correct only while truncation
       // happens to floor, i.e. below 2^53 bits; integer arithmetic keeps
@@ -2367,6 +2368,13 @@ object CorpusOps {
         .bitwiseAND(element_at(masks, (pmod(p, lit(64L)) + 1).cast("int"))) =!= 0L
     }.reduce(_ && _)
   }
+
+  /** The zero-shuffle probe expression over a fingerprint column —
+    * shared VERBATIM by the batch audit and the s20 at-ingest gate (the
+    * two must agree bit for bit on every document).
+    */
+  private[graft] def bloomHit(bitmap: Seq[Long], fp: Column): Column =
+    bloomProbe(bitmap, bloomPositions(fp))
 
   /** [[d62BloomGate]]'s core over any `(doc_id, text)` relation: even
     * doc_ids are the historical (train) side, odd the arrivals.
@@ -2380,6 +2388,88 @@ object CorpusOps {
       .select(col("doc_id"),
         when(bloomHit(bm, col("fp")), lit(1L)).otherwise(lit(0L)).as("hit"))
   }
+
+  /** Window-Bloom geometry for d66/s22: m = 2^20 bits (16,384 packed
+    * longs — a 128 KB literal), k = 3 positions per 8-word-window hash.
+    * The window universe is ~2 orders denser than d62's one fingerprint
+    * per document, so the bitmap is 16x larger to keep the DETERMINISTIC
+    * false-positive rate one a pre-filter can afford (load n·k/m ≈ 0.5
+    * at sf0.1 history → FPR ~5%; size m with the corpus, the probe is
+    * geometry-generic). Positions are the three 20-bit slices of the
+    * 60-bit gram hash — integer arithmetic only, so DuckDB replays the
+    * filter AND its false positives exactly.
+    */
+  private val WindowBloomBits = 1 << 20
+
+  /** The k probe positions of a 60-bit window-hash column. */
+  private def windowBloomPositions(gh: Column): Seq[Column] =
+    (0 until BloomK).map { j =>
+      pmod(shiftright(gh, 20 * j), lit(WindowBloomBits.toLong))
+    }
+
+  /** The trained gate for d66/s22: the packed bitmap over the history
+    * half's DISTINCT window hashes, built distributed via
+    * [[graft.functions.BitmapOrAgg]] and collected as ONE 128 KB row
+    * (the d62 small-model precedent).
+    */
+  private[graft] def windowBloomBitmap(docs: DataFrame): Seq[Long] =
+    docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+      .select(explode(array_distinct(graft.functions.WordWindowMd5
+        .wordWindowMd5(lower(trim(col("text"))), SpanW))).as("gh"))
+      .select(explode(array(windowBloomPositions(col("gh")): _*)).as("p"))
+      .agg(graft.functions.BitmapOrAgg.bitmapOrAgg(col("p"), WindowBloomBits).as("bm"))
+      .head().getSeq[Long](0)
+
+  /** The zero-shuffle window probe — shared VERBATIM by batch d66 and
+    * the s22 at-ingest gate.
+    */
+  private[graft] def windowBloomHit(bitmap: Seq[Long], gh: Column): Column =
+    bloomProbe(bitmap, windowBloomPositions(gh))
+
+  /** Admission threshold for [[d66NoveltyGate]]: majority-new windows. */
+  private val NoveltyGatePpm = 500000L
+
+  /** d66: NOVELTY GATE against a HISTORICAL corpus — [[d64Novelty]]'s
+    * self-information signal computed where it deploys: arrivals (odd
+    * doc_ids) score their distinct 8-word windows against the history
+    * half's window Bloom and are admitted iff at least half their
+    * windows are new. A Bloom filter cannot false-negative, so a seen
+    * window ALWAYS probes hit — false positives can only UNDERCOUNT
+    * novelty, making the gate conservative-admit: every admitted
+    * document is majority-new with certainty (the spec pins the
+    * conservatism doc by doc and measures the deterministic FP rate).
+    * Output: `(doc_id, n_windows, n_new, novelty_ppm)` per admitted doc;
+    * sub-8-word docs have no windows and are excluded (the d28 family's
+    * convention).
+    *
+    * SCALE: the d62 collapse applied to d64 — a history of ANY size
+    * becomes 2^20 bits in one map-side-combined pass, and the arrival
+    * side is a stateless zero-shuffle projection (three mask lookups
+    * per distinct window), wire-speed at a 1000-node ingest tier. The
+    * exact d64 computation needs the full window index (one big
+    * shuffle); this is the approximate at-ingest form that fronts it.
+    */
+  def d66NoveltyGate(spark: SparkSession, sfDir: String): DataFrame =
+    noveltyGateOver(Tables.documents(spark, sfDir))
+
+  /** [[d66NoveltyGate]]'s core over any `(doc_id, text)` relation. */
+  private[graft] def noveltyGateOver(docs: DataFrame): DataFrame =
+    noveltyGateWith(windowBloomBitmap(docs),
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 1L))
+
+  /** The arrival-side scorer — shared VERBATIM by batch d66 and the s22
+    * at-ingest gate (the two must agree bit for bit per document).
+    */
+  private[graft] def noveltyGateWith(bitmap: Seq[Long], arrivals: DataFrame): DataFrame =
+    arrivals
+      .select(col("doc_id"), array_distinct(graft.functions.WordWindowMd5
+        .wordWindowMd5(lower(trim(col("text"))), SpanW)).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_windows"),
+        size(filter(col("ws"), gh => !windowBloomHit(bitmap, gh)))
+          .cast("long").as("n_new"))
+      .withColumn("novelty_ppm", expr("(1000000 * n_new) div n_windows"))
+      .filter(col("novelty_ppm") >= NoveltyGatePpm)
 
   /** Dimensions of the [[d59HashedEmbed]] embedding. */
   private val HashedEmbedDims = 16L

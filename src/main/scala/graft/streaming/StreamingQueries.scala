@@ -1252,6 +1252,37 @@ object StreamingQueries {
     spark.table(mem)
   }
 
+  /** NOVELTY GATE at ingest — d66's window-Bloom admission running at
+    * the ingest tier: the history half's window bitmap is batch-built
+    * once (`CorpusOps.windowBloomBitmap` — one distributed bitmap_or_agg
+    * pass, 128 KB result) and every arriving document scores its
+    * distinct 8-word windows through the IDENTICAL literal probe
+    * (`CorpusOps.noveltyGateWith`, shared verbatim — the s16/s20
+    * train-in-batch / apply-at-ingest discipline), admitted iff
+    * majority-new. Stateless, zero shuffle, zero state store — the
+    * dedup-aware quality pre-filter a 1000-node ingest tier runs at
+    * wire speed against last year's corpus.
+    */
+  def s22StreamNoveltyGate(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+    val shardDir = corpusShardDir(spark, sfDir)
+    val bm = graft.ops.CorpusOps.windowBloomBitmap(graft.Tables.documents(spark, sfDir))
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
+    val q = graft.ops.CorpusOps.noveltyGateWith(bm,
+        ShardedCorpus.readStream(spark, shardDir, maxFilesPerTrigger)
+          .filter(pmod(col("doc_id"), lit(2L)) === 1L))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
+
   /** Streaming event-time SESSIONIZATION: the native `session_window`
     * operator (q_session_window's batch twin) run as a streaming
     * aggregation — the MERGING-window state operator, qualitatively

@@ -1596,6 +1596,17 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming novelty gate admits exactly the batch d66 set (1-file triggers)") {
+    // the window bitmap is batch-built and FIXED; scoring is a stateless
+    // per-row fold over each doc's own windows, so streamed admissions
+    // and scores equal the batch audit under any shard interleaving
+    val streamed = StreamingQueries
+      .s22StreamNoveltyGate(spark, sf001, maxFilesPerTrigger = Some(1))
+    val batch = graft.ops.CorpusOps.d66NoveltyGate(spark, sf001)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("incremental dup-span marking emits the first occurrence RETROACTIVELY across micro-batches") {
     // 1-file triggers: a window shared by docs in different shards has
     // its first sighting stored in state for whole batches before the
