@@ -140,7 +140,8 @@ object CorpusOps {
     * not O(N²).
     */
   def d14NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val docsT = Tables.documents(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val docsT = docs
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
       .filter(length(col("t")) >= 8) // sequence(1, n) must be ascending
     // candidate side: the fused kernel — window hash + k minima straight
@@ -149,8 +150,13 @@ object CorpusOps {
     val sig = docsT.select(col("doc_id"),
       graft.functions.CharGramMinHash.charGramMinhash(
         col("t"), 8, Seeds.map(_._1), Seeds.map(_._2), MinhashP).as("mh"))
+    // width heuristic counts the RAW relation (columnless scan), not the
+    // text-transforming filtered projection — counting docsT would pay a
+    // full lower/trim/length pass over every document just to pick a
+    // shuffle width (the filter only trims a handful of degenerate rows,
+    // so the estimate is the same)
     val cands = candidatePairs(sig, bands = 32, rowsPerBand = 3, minBands = 2,
-      parts = pairParts(docsT, 32))
+      parts = pairParts(docs, 32))
     // verify side: exact gram-set Jaccard, but computed by the fused
     // binary kernel from the raw TEXTS — the join payload is the ~300-char
     // documents, not the ~8x-larger materialized gram arrays
@@ -2002,6 +2008,13 @@ object CorpusOps {
     pplFilterWith(docs, bigWts, ctxWts)
   }
 
+  /** [[pplFilterWith]]'s one live scored-projection cache
+    * ([[ReplaceOnCallCache]] lifetime contract — the returned ranking
+    * references it lazily, so the op cannot unpersist before the
+    * caller's action).
+    */
+  private val pplScoredCache = new ReplaceOnCallCache
+
   /** [[pplFilterOver]] with a pre-trained LM — shared with [[pplGate]],
     * which needs the same tercile boundary without paying a second
     * training aggregate.
@@ -2010,10 +2023,10 @@ object CorpusOps {
       bigWts: Array[Long], ctxWts: Array[Long]): DataFrame = {
     // persisted O(docs)-row projection (see d45): consumed three times —
     // offsets, rank join, and the tercile count — and each re-derivation
-    // would re-run the two-md5s-per-token scoring scan
-    val scored = pplScored(docs, bigWts, ctxWts)
-      .withColumn("b", expr(s"(-avg_fx) div $PplScoreBucketWidth"))
-      .persist()
+    // would re-run the two-md5s-per-token scoring scan;
+    // replace-on-next-call bounds a long session to one live cache
+    val scored = pplScoredCache.register(pplScored(docs, bigWts, ctxWts)
+      .withColumn("b", expr(s"(-avg_fx) div $PplScoreBucketWidth")))
     val n = broadcast(scored.agg(count(lit(1)).as("n_docs")))
     bucketRank(scored, Seq.empty, Seq(col("avg_fx").desc, col("doc_id")))
       .crossJoin(n)
@@ -2071,9 +2084,14 @@ object CorpusOps {
     val (bigWts, ctxWts) = pplModel(docs)
     // tercile boundary from the SAME trained weights — one training
     // aggregate total, not one per consumer
-    val cutoff = pplFilterWith(docs, bigWts, ctxWts)
+    val cutRow = pplFilterWith(docs, bigWts, ctxWts)
       .filter(col("ppl_bucket") === "head")
-      .agg(min(col("avg_fx"))).head().getLong(0)
+      .agg(min(col("avg_fx"))).head()
+    // fewer than 3 scoreable docs -> empty head tercile -> null min:
+    // the gate must ADMIT NOTHING (the oracle's `avg_fx >= NULL` is
+    // empty), not NPE — Long.MaxValue is the same admit-nothing cutoff
+    // in range (avg_fx is a bounded fixed-point score far below it)
+    val cutoff = if (cutRow.isNullAt(0)) Long.MaxValue else cutRow.getLong(0)
     (bigWts, ctxWts, cutoff)
   }
 
@@ -2081,8 +2099,11 @@ object CorpusOps {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), (col("lang") === "en").as("is_target"), col("text"))
     val wts = dsirWeights(docs)
-    val cutoff = d45DsirSelect(spark, sfDir)
-      .agg(min(col("score"))).head().getLong(0)
+    val cutRow = d45DsirSelect(spark, sfDir)
+      .agg(min(col("score"))).head()
+    // empty selection -> null min -> admit nothing (same degenerate-
+    // corpus discipline as pplGate's cutoff)
+    val cutoff = if (cutRow.isNullAt(0)) Long.MaxValue else cutRow.getLong(0)
     (wts, cutoff)
   }
 

@@ -29,6 +29,17 @@ object GraphOps {
   private def truncated(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
+  /** Which strategy the last [[connectedComponents]] call used —
+    * "propagation", "star-direct" (path fast path) or "star-escalated"
+    * (mid-loop switch). Routing is a pure PERFORMANCE decision (both
+    * strategies are exact), so correctness specs alone cannot pin it;
+    * GraphOpsSpec reads this to guard the measured d25/d51 regression
+    * class (shallow forests routed to log-n star rounds). Observability
+    * only — no production path reads it.
+    */
+  private[graft] val lastRoute =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
   /** Min-label propagation: every node starts labeled with its own id;
     * each round every node takes the min of its own and its neighbors'
     * labels. Fixpoint = every node holds its component's minimum id.
@@ -94,8 +105,12 @@ object GraphOps {
     // aggregate instead of a distinct plus a full join round; star and
     // clique components (the dedup-graph norm) then converge on the
     // loop's first no-change pass.
-    var labels = sym.groupBy(col("src"))
-      .agg(least(col("src"), min(col("dst"))).as("label"))
+    // `deg` rides the same aggregate for free (same shuffle) — it feeds
+    // only the path-shape routing check below and is projected away
+    // before the caller sees the result
+    var labels: DataFrame = sym.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"),
+        count(lit(1)).as("deg"))
       .withColumnRenamed("src", "id")
       .persist()
 
@@ -108,31 +123,38 @@ object GraphOps {
     // edge list in cache twice
     symRaw.unpersist()
     if (prev != null) { // null = empty graph: nothing to propagate
-      // FOREST fast path: a dup-free undirected graph is a forest iff
-      // sym edges < 2*nodes, and a forest's diameter is typically far
-      // beyond log n (a random tree's is ~sqrt(n)) — propagation would
-      // burn the full escalation prelude before switching anyway, so
-      // hand straight to star contraction. One cheap count on the
-      // cached label table; a multigraph's duplicate edges can only
-      // overcount nEdges, i.e. fail CLOSED into the propagation path.
-      // (Measured: the 2x-log2 prelude below grows with the corpus —
-      // 28 wasted rounds at sf0.1, 40 at 64x — which this check removes
-      // entirely for the chain/tree shapes that triggered it.)
+      // PATH-SHAPED fast path: route straight to star contraction only
+      // for graphs that are BOTH forest-sparse (sym edges < 2*nodes —
+      // exact for dup-free edge lists) AND max-degree <= 2, i.e. unions
+      // of simple paths — the one family whose diameter (~nodes per
+      // component) makes propagation catastrophically worse than star's
+      // O(log n). Forest-sparsity ALONE is the wrong discriminant: the
+      // star/pair forests near-dup graphs are made of (d25/d51) have
+      // diameter <= 2 and converge in 1-2 propagation rounds — routing
+      // them to star contraction was MEASURED to cost d25 2.1 -> 5.4 s
+      // and d51 1.6 -> 6.1 s at sf0.1, more than the 9.9 -> 5.5 s it
+      // bought d63's chains. Both probes are cheap (a count plus a max
+      // over the cached O(nodes) label table; degree piggybacks on the
+      // init aggregate), and a multigraph's duplicate edges overcount
+      // BOTH nEdges and deg — i.e. fail CLOSED into the propagation
+      // path, whose escalation threshold still bounds the damage.
       val nNodes = labels.count()
-      if (nEdges < 2L * nNodes) {
+      if (nEdges < 2L * nNodes &&
+          labels.agg(max(col("deg"))).head().getLong(0) <= 2L) {
         labels.unpersist()
         sym.unpersist()
+        lastRoute.set("star-direct")
         return connectedComponentsStar(edges, math.max(maxIter, 40))
       }
       // escalation threshold: 2*ceil(log2(sym-edge count)) loop rounds
       // before handing over to star contraction. The factor 2 is
       // calibrated, not cosmetic: thresholded near-dup graphs at toy
       // scale are stringy (measured: the d60 sf0.1 graph, 2878 sym
-      // edges — exactly AT the cycle boundary, so past the forest check
-      // — converges in 23 rounds, 2x its log2 of 12), and a restart
-      // they'd survive in-budget costs ~2x the finish; only genuinely
-      // chain-shaped graphs with enough cycles to pass the forest check
-      // should pay the mid-loop strategy switch.
+      // edges — exactly AT the cycle boundary, so past the sparsity
+      // check — converges in 23 rounds, 2x its log2 of 12), and a
+      // restart they'd survive in-budget costs ~2x the finish; only
+      // deep graphs the path-shape probe can't see (long CYCLES, dense
+      // lattices) should pay the mid-loop strategy switch.
       val escalateAfter =
         math.max(8, 2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nEdges - 1))))
       var converged = false
@@ -154,11 +176,18 @@ object GraphOps {
       if (!converged) { // high diameter: switch strategies
         labels.unpersist()
         sym.unpersist()
+        lastRoute.set("star-escalated")
         return connectedComponentsStar(edges, math.max(maxIter, 40))
       }
     }
+    lastRoute.set("propagation")
     sym.unpersist()
-    labels
+    // the loop's select already dropped the routing-only deg column on
+    // every path that ran a round; only the empty-graph path (prev ==
+    // null, zero rows) still carries it — project it away so the output
+    // contract is (id, label) everywhere
+    if (labels.columns.contains("deg")) labels.select(col("id"), col("label"))
+    else labels
   }
 
   /** Alternating large-star/small-star connected components (Kiveris et
@@ -273,12 +302,13 @@ object GraphOps {
     * chained into blocks of 250 — edge (i, i+1) whenever both ids exist
     * and cross no block boundary — giving components of constant
     * diameter 249 whose COUNT scales with the corpus. Min-label
-    * propagation would need ~249 rounds; [[connectedComponents]] detects
-    * the stall at its ceil(log2(edges)) threshold and hands over to
-    * [[connectedComponentsStar]], so this row gates the O(log n)
-    * contraction end-to-end (labels = each block's smallest id, replayed
-    * analytically by the oracle). The left-semi existence probe keeps the
-    * edge list correct for any id range without assuming the max.
+    * propagation would need ~249 rounds; [[connectedComponents]]'s
+    * path-shape probe (forest-sparse AND max degree 2) routes the chain
+    * graph straight to [[connectedComponentsStar]], so this row gates
+    * the O(log n) contraction end-to-end (labels = each block's
+    * smallest id, replayed analytically by the oracle). The left-semi
+    * existence probe keeps the edge list correct for any id range
+    * without assuming the max.
     */
   def d63ChainComponents(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
     val ids = graft.Tables.documents(spark, sfDir).select(col("doc_id"))

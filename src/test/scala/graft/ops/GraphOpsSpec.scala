@@ -38,12 +38,36 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     cc(Seq.empty) shouldBe Map.empty
   }
 
-  test("a diameter far past maxIter auto-escalates to star contraction and stays exact") {
+  test("a diameter far past maxIter routes to star contraction and stays exact (path fast path)") {
     // 300-node chain: propagation alone would blow the default 25-round
-    // budget (pre-escalation this threw); the log2 threshold hands over
-    // to star contraction well before that
+    // budget (pre-escalation this threw); the path-shape probe (forest-
+    // sparse, max degree 2) hands it to star contraction before the loop
     val chain = (1L until 300L).map(i => (i, i + 1))
     cc(chain) shouldBe (1L to 300L).map(_ -> 1L).toMap
+    GraphOps.lastRoute.get() shouldBe "star-direct"
+  }
+
+  test("a long CYCLE escalates MID-LOOP at the log2 threshold and stays exact") {
+    // 300-node cycle: sym edges = 2*nodes defeats the forest-sparsity
+    // probe, so propagation runs — diameter 150 stalls it at the
+    // 2*ceil(log2(600)) threshold and the unconverged-at-escalateAfter
+    // branch (the strategy switch the path fast path bypasses) must
+    // hand the ORIGINAL edge list to star contraction with labels exact
+    val cycle = (0L until 300L).map(i => (i, (i + 1) % 300L))
+    cc(cycle) shouldBe (0L until 300L).map(_ -> 0L).toMap
+    GraphOps.lastRoute.get() shouldBe "star-escalated"
+  }
+
+  test("star/pair forests stay on the propagation path (the d25/d51 shape is NOT path-routed)") {
+    // a star forest is forest-sparse but has a degree-5 hub — the
+    // path-shape probe must keep it on propagation, which converges on
+    // the fused first round (this pin is the measured 2.1->5.4s d25
+    // regression guard: routing shallow forests to star contraction
+    // costs log-n rounds where propagation needs one)
+    val stars = (1L to 5L).map(i => (0L, i)) ++ (10L to 12L).map(i => (9L, i))
+    cc(stars) shouldBe
+      ((0L to 5L).map(_ -> 0L) ++ (9L to 12L).map(_ -> 9L)).toMap
+    GraphOps.lastRoute.get() shouldBe "propagation"
   }
 
   private def ccStar(edges: Seq[(Long, Long)]): Map[Long, Long] = {
