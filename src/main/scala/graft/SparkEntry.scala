@@ -84,6 +84,8 @@ object SparkEntry {
     "d64_novelty" -> (ops.CorpusOps.d64Novelty _),
     "d65_group_split" -> (ops.CorpusOps.d65GroupSplit _),
     "d66_novelty_gate" -> (ops.CorpusOps.d66NoveltyGate _),
+    "d67_mink_screen" -> (ops.CorpusOps.d67MinkScreen _),
+    "d68_cluster_cap" -> (ops.VectorOps.d68ClusterCap _),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
     "d36_ann_ivfpq_full" -> (ops.VectorOps.d36AnnIvfPqFull _),
     "d43_ann_ivfpq_residual" -> (ops.VectorOps.d43AnnIvfPqResidual _),
@@ -138,6 +140,8 @@ object SparkEntry {
       ((s: SparkSession, dir: String) => streaming.StreamingQueries.s21StreamPplGate(s, dir)),
     "s22_stream_novelty_gate" ->
       ((s: SparkSession, dir: String) => streaming.StreamingQueries.s22StreamNoveltyGate(s, dir)),
+    "s23_stream_mink_gate" ->
+      ((s: SparkSession, dir: String) => streaming.StreamingQueries.s23StreamMinkGate(s, dir)),
     // relational coverage (SURVEY.md §2D → Spark built-ins)
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_revenue_by_nation" -> (ops.RelationalOps.qRevenueByNation _),
@@ -430,6 +434,33 @@ object SparkEntry {
       "nn AS (SELECT count(*) AS n_docs FROM av), " +
       "r AS (SELECT doc_id, n_bigrams, avg_fx, row_number() OVER (ORDER BY avg_fx DESC, doc_id) AS rk FROM av) "
 
+  /** The shared semantic-cluster replay (d60 clusters / d68's cap): the
+    * d51 reach CTE over the thresholded kNN edges, ending at the
+    * per-vector `lab(vec_id, cluster_id)` labeling.
+    */
+  private def semanticClustersCteSql: String =
+    "WITH RECURSIVE " + knnGraphCteSql.stripPrefix("WITH ") +
+      ", k AS (SELECT q_id, n_id, round(sim, 6) AS sim FROM r WHERE rn <= 3), " +
+      "p AS (SELECT DISTINCT least(q_id, n_id) AS a, greatest(q_id, n_id) AS b FROM k WHERE sim >= 0.3), " +
+      "ed AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p), " +
+      "reach(src, dst) AS (SELECT src, dst FROM ed UNION SELECT r2.src, ed.dst FROM reach r2 JOIN ed ON r2.dst = ed.src), " +
+      "lab AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src) "
+
+  /** The shared Min-K% replay (d67 batch screen / s23 at-ingest gate):
+    * the d47 LM CTEs verbatim, each document's per-bigram score terms
+    * re-listed and sorted ascending, the k = max(1, n//5) prefix
+    * average in the same exact fixed point, and the global suspicion
+    * rank (desc, doc_id ties). Reuses pplCteSql's `nn` doc count — the
+    * scoreable-document set is identical.
+    */
+  private def minkCteSql: String =
+    pplCteSql +
+      ", tm AS (SELECT bg.doc_id, coalesce(cbw.v, 0) - coalesce(cuw.v, 8388608) + 67108864 AS t FROM bg LEFT JOIN cbw ON cbw.hb = bg.hb LEFT JOIN cuw ON cuw.hc = bg.hc), " +
+      "st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, list_sort(list(t)) AS ts FROM tm GROUP BY doc_id), " +
+      "mk AS (SELECT doc_id, n_bigrams, greatest(1, n_bigrams // 5) AS k, list_sum(list_slice(ts, 1, CAST(greatest(1, n_bigrams // 5) AS BIGINT))) AS s FROM st), " +
+      "mv AS (SELECT doc_id, n_bigrams, CAST((s * 1048576) // k AS BIGINT) AS mink_fx FROM mk), " +
+      "mr AS (SELECT doc_id, n_bigrams, mink_fx, CAST(row_number() OVER (ORDER BY mink_fx DESC, doc_id) AS BIGINT) AS rk FROM mv) "
+
   /** The shared DSIR replay (d45 batch selection / s16 at-ingest gate):
     * hashed-bucket counts, the 20-step shift-and-square fixed-point
     * binary log as a recursive CTE (every step an IEEE double multiply /
@@ -711,6 +742,20 @@ object SparkEntry {
       (pplCteSql +
         "SELECT doc_id, n_bigrams, avg_fx FROM av WHERE avg_fx >= " +
         "(SELECT min(avg_fx) FROM r, nn WHERE rk <= n_docs // 3)"),
+    // Min-K% screen: the ascending k-prefix average and the global
+    // suspicion rank replayed in the same exact fixed point
+    "d67_mink_screen" ->
+      (minkCteSql +
+        "SELECT mr.doc_id, mr.n_bigrams, mr.mink_fx, mr.rk, " +
+        "CAST(CASE WHEN mr.rk <= (nn.n_docs + 19) // 20 THEN 1 ELSE 0 END AS BIGINT) AS suspect FROM mr, nn"),
+    // the s23 admission replay: same term CTEs; cutoff = the batch
+    // suspect set's minimum mink_fx; admit strictly below it (ties
+    // rejected — the firewall fails closed; rank cannot stream, the
+    // score comparison can — s21's discipline)
+    "s23_stream_mink_gate" ->
+      (minkCteSql +
+        "SELECT doc_id, n_bigrams, mink_fx FROM mv WHERE mink_fx < " +
+        "(SELECT min(mink_fx) FROM mr, nn WHERE rk <= (n_docs + 19) // 20)"),
     // Bloom gate: k=3 20-bit hex slices of the d1 fingerprint mod 2^16 —
     // pure integer arithmetic, so the filter AND its false positives
     // replay exactly; the oracle probes the position set directly
@@ -768,13 +813,15 @@ object SparkEntry {
     "s19_stream_ann_lookup" -> (knnGraphCteSql +
         "SELECT q_id, n_id, round(sim, 6) AS sim, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3"),
     // semantic clusters: the d51 reach CTE over the thresholded kNN edges
-    "d60_semantic_clusters" -> ("WITH RECURSIVE " + knnGraphCteSql.stripPrefix("WITH ") +
-        ", k AS (SELECT q_id, n_id, round(sim, 6) AS sim FROM r WHERE rn <= 3), " +
-        "p AS (SELECT DISTINCT least(q_id, n_id) AS a, greatest(q_id, n_id) AS b FROM k WHERE sim >= 0.3), " +
-        "ed AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p), " +
-        "reach(src, dst) AS (SELECT src, dst FROM ed UNION SELECT r2.src, ed.dst FROM reach r2 JOIN ed ON r2.dst = ed.src), " +
-        "lab AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src) " +
+    "d60_semantic_clusters" -> (semanticClustersCteSql +
         "SELECT vec_id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size FROM lab"),
+    // diversity cap: the d60 cluster replay plus the seeded ':cap' draw
+    // rank within each cluster — the keep set is pure integer arithmetic
+    "d68_cluster_cap" -> (semanticClustersCteSql +
+        ", sz AS (SELECT vec_id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size, " +
+        "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':cap'), 1, 15)) AS BIGINT) AS draw FROM lab), " +
+        "ck AS (SELECT vec_id, cluster_id, cluster_size, CAST(row_number() OVER (PARTITION BY cluster_id ORDER BY draw, vec_id) AS BIGINT) AS keep_rk FROM sz) " +
+        "SELECT vec_id, cluster_id, cluster_size, keep_rk, CAST(CASE WHEN keep_rk <= 2 THEN 1 ELSE 0 END AS BIGINT) AS kept FROM ck"),
     // semantic contamination: exact eval-x-train cosine sweep (both
     // engines fold the same index order; threshold on the unrounded sim)
     "d56_semantic_contamination" -> semanticContaminationOracleSql,

@@ -1984,23 +1984,32 @@ object CorpusOps {
     // array(lit...) of 4096 weights builds an O(buckets)-node tree
     val bigLit = typedlit(bigWts.toSeq)
     val ctxLit = typedlit(ctxWts.toSeq)
-    def bucket(c: Column, m: Int): Column =
-      pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(m.toLong))
-    // ws MUST be a bound column, not the words(text) expression repeated
-    // inside the fold: element_at(words(text), i) re-tokenizes the whole
-    // document per bigram access — O(tokens^2)/doc, measured 10x on the
-    // fixture corpus
-    val score = aggregate(sequence(lit(0), size(col("ws")) - 2), lit(0L), (acc, i) => acc +
-      element_at(bigLit, (bucket(concat_ws(" ",
-        element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)), PplBigramBuckets) + 1).cast("int")) -
-      element_at(ctxLit, (bucket(element_at(col("ws"), i + 1), DsirBuckets) + 1).cast("int")) +
-      lit(PplTermOffset))
+    val score = aggregate(sequence(lit(0), size(col("ws")) - 2), lit(0L),
+      (acc, i) => acc + pplTermAt(bigLit, ctxLit, i))
     docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), (size(col("ws")) - 1).cast("long").as("n_bigrams"), score.as("score"))
       .withColumn("avg_fx", expr("(score * 1048576) div n_bigrams"))
       .drop("score")
+  }
+
+  /** The per-bigram LM score term at 0-based bigram index `i` of the
+    * bound token-array column `ws` — the one scoring expression
+    * [[pplScored]]'s sum-fold and [[minkScored]]'s per-term array share
+    * (no copy to drift: the oracle replays this exact arithmetic).
+    * `ws` MUST be a bound column, not the words(text) expression
+    * repeated inside the lambda: element_at(words(text), i)
+    * re-tokenizes the whole document per bigram access —
+    * O(tokens^2)/doc, measured 10x on the fixture corpus.
+    */
+  private def pplTermAt(bigLit: Column, ctxLit: Column, i: Column): Column = {
+    def bucket(c: Column, m: Int): Column =
+      pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(m.toLong))
+    element_at(bigLit, (bucket(concat_ws(" ",
+      element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)), PplBigramBuckets) + 1).cast("int")) -
+      element_at(ctxLit, (bucket(element_at(col("ws"), i + 1), DsirBuckets) + 1).cast("int")) +
+      lit(PplTermOffset)
   }
 
   private[graft] def pplFilterOver(docs: DataFrame): DataFrame = {
@@ -2105,6 +2114,110 @@ object CorpusOps {
     // corpus discipline as pplGate's cutoff)
     val cutoff = if (cutRow.isNullAt(0)) Long.MaxValue else cutRow.getLong(0)
     (wts, cutoff)
+  }
+
+  /** Min-K% fraction denominator: the k lowest-scoring bigrams averaged
+    * per document are max(1, n_bigrams div [[MinkDenom]]) — the paper's
+    * k = 20%. Corpus-independent; the suspect share below is the other
+    * knob.
+    */
+  private val MinkDenom = 5L
+
+  /** Min-K%-Prob memorization screen (Shi et al. 2024, "Detecting
+    * Pretraining Data from Large Language Models" — the membership-
+    * inference signal benchmark-decontamination pipelines run): a
+    * document the reference LM has effectively SEEN has no surprising
+    * tokens, so the mean log-probability of its k% WORST-predicted
+    * bigrams stays high; fresh text always carries low-probability
+    * tail tokens. Reuses d47's hashed add-one bigram LM verbatim
+    * (trained on the `en` slice via [[pplModel]] — in deployment, on
+    * the LM's known pretraining corpus); per document, the
+    * [[MinkDenom]] ascending score terms average into `mink_fx`
+    * (exact fixed point, the d47 discipline), documents rank globally
+    * by it, and the top ceil(5%) are flagged `suspect = 1` — the
+    * candidates a decontamination pass holds out or audits. Output:
+    * (doc_id, n_bigrams, mink_fx, rk, suspect).
+    *
+    * SCALE: scoring is the [[pplScored]] zero-shuffle scan shape plus a
+    * per-document O(tokens log tokens) local sort — no extra shuffle,
+    * no join; the rank is [[bucketRank]] over the score-space
+    * quantization (parallel at any corpus size) plus one broadcast
+    * single-row count. Document text never shuffles.
+    */
+  def d67MinkScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (col("lang") === "en").as("is_target"), col("text"))
+    val (bigWts, ctxWts) = pplModel(docs)
+    minkScreenWith(docs, bigWts, ctxWts)
+  }
+
+  /** Per-document Min-K% scoring shared by [[d67MinkScreen]] and the s23
+    * at-ingest gate: `(doc_id, n_bigrams, mink_fx)` as a zero-shuffle
+    * projection over the two dense weight literals — each document's
+    * score terms sort locally and the ascending k-prefix averages in
+    * exact fixed point (sum of k terms < 2^27 each stays far inside
+    * int64; both engines' truncating division agrees on nonnegatives).
+    * Works identically on a batch relation and a stream (stateless).
+    */
+  private[graft] def minkScored(docs: DataFrame,
+      bigWts: Array[Long], ctxWts: Array[Long]): DataFrame = {
+    val bigLit = typedlit(bigWts.toSeq)
+    val ctxLit = typedlit(ctxWts.toSeq)
+    val terms = transform(sequence(lit(0), size(col("ws")) - 2),
+      i => pplTermAt(bigLit, ctxLit, i))
+    docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), (size(col("ws")) - 1).cast("long").as("n_bigrams"),
+        array_sort(terms).as("ts"))
+      .withColumn("k", greatest(lit(1L), expr(s"n_bigrams div $MinkDenom")))
+      .withColumn("mink_fx",
+        expr("(aggregate(slice(ts, 1, cast(k as int)), 0L, (acc, t) -> acc + t) * 1048576) div k"))
+      .select(col("doc_id"), col("n_bigrams"), col("mink_fx"))
+  }
+
+  /** [[minkScreenWith]]'s one live scored-projection cache (same
+    * lifetime contract as [[pplScoredCache]]).
+    */
+  private val minkScoredCache = new ReplaceOnCallCache
+
+  /** [[d67MinkScreen]] with a pre-trained LM — shared with [[minkGate]],
+    * which needs the same suspect boundary without a second training
+    * aggregate.
+    */
+  private[graft] def minkScreenWith(docs: DataFrame,
+      bigWts: Array[Long], ctxWts: Array[Long]): DataFrame = {
+    // persisted O(docs)-row projection, consumed by offsets, the rank
+    // join and the count (the d47 pattern)
+    val scored = minkScoredCache.register(minkScored(docs, bigWts, ctxWts)
+      .withColumn("b", expr(s"(-mink_fx) div $PplScoreBucketWidth")))
+    val n = broadcast(scored.agg(count(lit(1)).as("n_docs")))
+    bucketRank(scored, Seq.empty, Seq(col("mink_fx").desc, col("doc_id")))
+      .crossJoin(n)
+      .select(col("doc_id"), col("n_bigrams"), col("mink_fx"), col("rk"),
+        when(col("rk") <= expr("(n_docs + 19) div 20"), lit(1L))
+          .otherwise(lit(0L)).as("suspect"))
+  }
+
+  /** The trained gate for the s23 streaming twin: the dense LM weight
+    * tables plus the batch suspect boundary (the minimum mink_fx of
+    * d67's flagged set). A stream cannot rank, so the gate REJECTS
+    * `mink_fx >= cutoff` — every arrival that would tie or beat the
+    * batch boundary is held out as likely-memorized (ties rejected:
+    * a contamination firewall fails CLOSED).
+    */
+  private[graft] def minkGate(spark: SparkSession, sfDir: String): (Array[Long], Array[Long], Long) = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (col("lang") === "en").as("is_target"), col("text"))
+    val (bigWts, ctxWts) = pplModel(docs)
+    val cutRow = minkScreenWith(docs, bigWts, ctxWts)
+      .filter(col("suspect") === 1L)
+      .agg(min(col("mink_fx"))).head()
+    // no scoreable docs -> empty suspect set -> null min: with no
+    // reference corpus nothing can be memorized, so the gate admits
+    // everything (every mink_fx sits far below Long.MaxValue)
+    val cutoff = if (cutRow.isNullAt(0)) Long.MaxValue else cutRow.getLong(0)
+    (bigWts, ctxWts, cutoff)
   }
 
   /** Winnowing window: the number of consecutive [[SpanW]]-word-gram

@@ -660,6 +660,40 @@ object VectorOps {
         count(lit(1)).over(w).cast("long").as("cluster_size"))
   }
 
+  /** Per-cluster representative budget for [[d68ClusterCap]]. Two keeps
+    * a diversity witness pair per near-dup group; the production knob
+    * scales with how aggressively the mix prunes redundancy.
+    */
+  private val ClusterCapN = 2L
+
+  /** Diversity-CAPPED cluster sampling — the pruning step SemDeDup-style
+    * pipelines run AFTER clustering (Abbas et al. 2023 keep one point
+    * per duplicate cluster; D4 prunes prototypes): every [[d60SemanticClusters]]
+    * cluster keeps at most [[ClusterCapN]] representatives, chosen by a
+    * seeded per-vector hash draw so the keep set is unbiased w.r.t.
+    * ingest order and stable under retry (d22's discipline, ":cap"
+    * salt decorrelated from every other draw). Every member row is
+    * emitted with its keep rank and a `kept` flag — a downstream mix
+    * joins `kept = 1`; singletons never enter d60's edge set and need
+    * no cap.
+    *
+    * SCALE: one window over the O(clustered vectors) cluster relation,
+    * partitioned by cluster_id — near-dup clusters are small by
+    * construction (d60's similarity threshold), so no partition
+    * outgrows its executor; everything upstream is d60's plan verbatim
+    * (shared in-session via its replace-on-call edge cache).
+    */
+  def d68ClusterCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val draw = conv(substring(
+      md5(concat(col("vec_id").cast("string"), lit(":cap"))), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("draw"), col("vec_id"))
+    d60SemanticClusters(spark, sfDir)
+      .withColumn("draw", draw)
+      .withColumn("keep_rk", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"), col("keep_rk"),
+        when(col("keep_rk") <= ClusterCapN, lit(1L)).otherwise(lit(0L)).as("kept"))
+  }
+
   /** d56: SEMANTIC CONTAMINATION audit — the embedding-space analog of
     * d20's n-gram collision check: an evaluation example whose EMBEDDING
     * sits near a training vector measures memorized semantics even when

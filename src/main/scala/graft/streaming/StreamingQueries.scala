@@ -1283,6 +1283,39 @@ object StreamingQueries {
     spark.table(mem)
   }
 
+  /** Min-K% MEMORIZATION firewall at ingest — d67's membership-inference
+    * screen (Shi et al. 2024) running at the ingest tier: the bigram LM
+    * weights and the batch suspect boundary train once
+    * (`CorpusOps.minkGate` — ONE training aggregate, shared with the
+    * batch screen via `minkScreenWith`), every arriving document scores
+    * its k% worst-predicted bigrams through the IDENTICAL zero-shuffle
+    * projection (`CorpusOps.minkScored`, shared verbatim — the s16/s21
+    * train-in-batch / apply-at-ingest discipline), and is admitted iff
+    * its mink_fx sits strictly BELOW the boundary: arrivals the
+    * reference LM predicts suspiciously well (benchmark copies, already-
+    * trained text) are held out, ties rejected — a contamination
+    * firewall fails closed. Stateless, no state store, no watermark.
+    */
+  def s23StreamMinkGate(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+    val shardDir = corpusShardDir(spark, sfDir)
+    val (bigWts, ctxWts, cutoff) = graft.ops.CorpusOps.minkGate(spark, sfDir)
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
+    val q = graft.ops.CorpusOps.minkScored(
+        ShardedCorpus.readStream(spark, shardDir, maxFilesPerTrigger), bigWts, ctxWts)
+      .filter(col("mink_fx") < cutoff)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
+
   /** Streaming event-time SESSIONIZATION: the native `session_window`
     * operator (q_session_window's batch twin) run as a streaming
     * aggregation — the MERGING-window state operator, qualitatively

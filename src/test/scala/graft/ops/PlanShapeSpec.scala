@@ -171,6 +171,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
       // single-row scored-doc count cross-joined for the tercile split —
       // the d23/d29 scalar pattern
       "d47_ppl_filter",
+      // same single-row count scalar, for the 5% suspect cut
+      "d67_mink_screen",
       // the eval-suite sweep: build side is the held-out eval set — a
       // FIXED benchmark suite in deployment (the gate's %25 slice stands
       // in for it); the corpus side scans broadcast-free, and d56's doc

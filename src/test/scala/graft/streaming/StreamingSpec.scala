@@ -1545,6 +1545,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     d47.unpersist()
   }
 
+  test("streaming Min-K% gate rejects exactly the batch suspect boundary under 1-file triggers") {
+    // the fixed-LM membership firewall (s23): LM weights and the
+    // suspect-boundary cutoff are batch-trained and FIXED, scoring is a
+    // stateless per-row projection — so admissions must equal the batch
+    // d67 docs strictly below the boundary (ties REJECTED: the stream
+    // cannot rank, and a contamination firewall fails closed by
+    // contract) under any shard interleaving
+    val streamed = StreamingQueries
+      .s23StreamMinkGate(spark, sf001, maxFilesPerTrigger = Some(1))
+      .select(col("doc_id"), col("n_bigrams"), col("mink_fx"))
+    val d67 = graft.ops.CorpusOps.d67MinkScreen(spark, sf001).persist()
+    val cutoff = d67.filter(col("suspect") === 1L)
+      .agg(min(col("mink_fx"))).head().getLong(0)
+    val batch = d67.filter(col("mink_fx") < cutoff)
+      .select(col("doc_id"), col("n_bigrams"), col("mink_fx"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    d67.unpersist()
+  }
+
   test("streaming winnow ingest emits batch-identical sketch summaries (1-file triggers)") {
     // stateless per-row selection against no trained model at all: the
     // per-doc (n_sel, gh_sum, pos_sum) rows must equal the batch d52
