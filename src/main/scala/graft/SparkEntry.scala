@@ -86,6 +86,7 @@ object SparkEntry {
     "d66_novelty_gate" -> (ops.CorpusOps.d66NoveltyGate _),
     "d67_mink_screen" -> (ops.CorpusOps.d67MinkScreen _),
     "d68_cluster_cap" -> (ops.VectorOps.d68ClusterCap _),
+    "d69_curriculum_order" -> (ops.CorpusOps.d69CurriculumOrder _),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
     "d36_ann_ivfpq_full" -> (ops.VectorOps.d36AnnIvfPqFull _),
     "d43_ann_ivfpq_residual" -> (ops.VectorOps.d43AnnIvfPqResidual _),
@@ -742,6 +743,15 @@ object SparkEntry {
       (pplCteSql +
         "SELECT doc_id, n_bigrams, avg_fx FROM av WHERE avg_fx >= " +
         "(SELECT min(avg_fx) FROM r, nn WHERE rk <= n_docs // 3)"),
+    // curriculum order: the d47 tercile replay mapped to phase indices,
+    // then one plain global window over (phase, seeded ':curr' draw,
+    // doc_id) — what the engine's bucket decomposition must equal
+    "d69_curriculum_order" ->
+      (pplCteSql +
+        ", ph AS (SELECT doc_id, CASE WHEN rk <= n_docs // 3 THEN 'head' WHEN rk <= (2 * n_docs) // 3 THEN 'middle' ELSE 'tail' END AS phase, " +
+        "CAST(CASE WHEN rk <= n_docs // 3 THEN 0 WHEN rk <= (2 * n_docs) // 3 THEN 1 ELSE 2 END AS BIGINT) AS phase_idx, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':curr'), 1, 15)) AS BIGINT) AS draw FROM r, nn) " +
+        "SELECT doc_id, phase, phase_idx, CAST(row_number() OVER (ORDER BY phase_idx, draw, doc_id) AS BIGINT) AS pos FROM ph"),
     // Min-K% screen: the ascending k-prefix average and the global
     // suspicion rank replayed in the same exact fixed point
     "d67_mink_screen" ->

@@ -2220,6 +2220,51 @@ object CorpusOps {
     (bigWts, ctxWts, cutoff)
   }
 
+  /** [[curriculumOver]]'s one live phase-projection cache (the
+    * [[bucketRank]] double-consumption contract — the input derives
+    * from d47's rank join, too expensive to re-derive per pass).
+    */
+  private val curriculumCache = new ReplaceOnCallCache
+
+  /** CURRICULUM training order (the easy-to-hard schedule LM curricula
+    * run — e.g. Campos 2021; Li et al. 2022 use exactly a perplexity
+    * proxy): documents order by d47's difficulty phase — `head` (most
+    * target-like, easiest for the reference LM) trains first, then
+    * `middle`, then `tail` — and SHUFFLE within each phase by a seeded
+    * ':curr' draw, because phase-internal score order would correlate
+    * consecutive gradients (the d42 interleave rationale applied within
+    * difficulty bands). Output: (doc_id, phase, phase_idx, pos) with
+    * `pos` the 1-based global training position.
+    *
+    * SCALE: d47's plan verbatim (one training aggregate, zero-shuffle
+    * scoring, bucket-decomposed tercile rank), then ONE more
+    * [[bucketRank]] over the O(docs)-row phase projection with
+    * b = phase_idx·256 + draw div 2^52 — monotone along the
+    * (phase_idx, draw) ordering, so the global position needs no
+    * global sort (no rangepartitioning; parallelism stays 3×256 at any
+    * corpus size). Document text never shuffles.
+    */
+  def d69CurriculumOrder(spark: SparkSession, sfDir: String): DataFrame =
+    curriculumOver(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (col("lang") === "en").as("is_target"), col("text")))
+
+  /** [[d69CurriculumOrder]]'s core over any `(doc_id, is_target, text)`
+    * relation — parameterized for the spec's replay pin.
+    */
+  private[graft] def curriculumOver(docs: DataFrame): DataFrame = {
+    val draw = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":curr"))), 1, 15), 16, 10).cast("long")
+    val base = curriculumCache.register(pplFilterOver(docs)
+      .select(col("doc_id"), col("ppl_bucket").as("phase"),
+        when(col("ppl_bucket") === "head", lit(0L))
+          .when(col("ppl_bucket") === "middle", lit(1L))
+          .otherwise(lit(2L)).as("phase_idx"))
+      .withColumn("draw", draw)
+      .withColumn("b", expr(s"phase_idx * 256 + (draw div $OrderBucketWidth)")))
+    bucketRank(base, Seq.empty, Seq(col("phase_idx"), col("draw"), col("doc_id")))
+      .select(col("doc_id"), col("phase"), col("phase_idx"), col("rk").as("pos"))
+  }
+
   /** Winnowing window: the number of consecutive [[SpanW]]-word-gram
     * hashes one selection window spans. Guarantee threshold: any shared
     * run of at least [[WinnowW]] + [[SpanW]] − 1 words (= 11) contains a

@@ -173,6 +173,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
       "d47_ppl_filter",
       // same single-row count scalar, for the 5% suspect cut
       "d67_mink_screen",
+      // inherits d47's tercile-count scalar cross-join for the phases
+      "d69_curriculum_order",
       // the eval-suite sweep: build side is the held-out eval set — a
       // FIXED benchmark suite in deployment (the gate's %25 slice stands
       // in for it); the corpus side scans broadcast-free, and d56's doc
