@@ -87,6 +87,8 @@ object SparkEntry {
     "d67_mink_screen" -> (ops.CorpusOps.d67MinkScreen _),
     "d68_cluster_cap" -> (ops.VectorOps.d68ClusterCap _),
     "d69_curriculum_order" -> (ops.CorpusOps.d69CurriculumOrder _),
+    "d70_shard_manifest" -> (ops.CorpusOps.d70ShardManifest _),
+    "d71_snapshot_diff" -> (ops.CorpusOps.d71SnapshotDiff _),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
     "d36_ann_ivfpq_full" -> (ops.VectorOps.d36AnnIvfPqFull _),
     "d43_ann_ivfpq_residual" -> (ops.VectorOps.d43AnnIvfPqResidual _),
@@ -435,6 +437,32 @@ object SparkEntry {
       "nn AS (SELECT count(*) AS n_docs FROM av), " +
       "r AS (SELECT doc_id, n_bigrams, avg_fx, row_number() OVER (ORDER BY avg_fx DESC, doc_id) AS rk FROM av) "
 
+  /** The shared training-plan replay (d50's schedule / d70's shard
+    * manifests): dedup-canon -> sqrt-temperature targets -> per-lang
+    * selection -> per-source order + slots -> the (round, slot) token
+    * prefix sum, ending at `p` (one row per scheduled doc with
+    * `cum_before`). Every stage a plain global window — what the
+    * engine's bucket decompositions must equal.
+    */
+  private def trainingPlanCteSql: String =
+    "WITH f AS (SELECT doc_id, lang, source, " +
+      "md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp, " +
+      "CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens, " +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 15)) AS BIGINT) AS dtemp, " +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':order'), 1, 15)) AS BIGINT) AS dorder FROM documents), " +
+      "canon AS (SELECT f.* FROM f JOIN (SELECT fp, min(doc_id) AS m FROM f GROUP BY fp) g ON f.fp = g.fp AND f.doc_id = g.m), " +
+      "c AS (SELECT lang, count(*) AS n_docs FROM canon GROUP BY lang), " +
+      "t AS (SELECT lang, n_docs, CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS s FROM c), " +
+      "g2 AS (SELECT lang, n_docs, s, sum(s) OVER () AS stot, sum(n_docs) OVER () AS ntot FROM t), " +
+      "tg AS (SELECT lang, least(n_docs, ((ntot // 2) * s) // stot) AS target FROM g2), " +
+      "sel AS (SELECT canon.*, row_number() OVER (PARTITION BY lang ORDER BY dtemp, doc_id) AS rk FROM canon), " +
+      "s2 AS (SELECT sel.doc_id, sel.lang, sel.source, sel.n_tokens, sel.dorder FROM sel JOIN tg USING (lang) WHERE sel.rk <= tg.target), " +
+      "sl AS (SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS slot FROM (SELECT DISTINCT source FROM s2)), " +
+      "o AS (SELECT s2.doc_id, s2.lang, s2.source, s2.n_tokens, CAST(row_number() OVER (PARTITION BY s2.source ORDER BY s2.dorder, s2.doc_id) AS BIGINT) AS round FROM s2), " +
+      "o2 AS (SELECT o.*, sl.slot FROM o JOIN sl USING (source)), " +
+      "p AS (SELECT o2.*, coalesce(sum(n_tokens) OVER (ORDER BY round, slot ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM o2) " +
+      ""
+
   /** The shared semantic-cluster replay (d60 clusters / d68's cap): the
     * d51 reach CTE over the thresholded kNN edges, ending at the
     * per-vector `lab(vec_id, cluster_id)` labeling.
@@ -647,23 +675,21 @@ object SparkEntry {
     // stratified interleave -> token packing, each stage replayed with
     // the plain global window the engine's decomposition must equal
     "d50_training_plan" ->
-      ("WITH f AS (SELECT doc_id, lang, source, " +
-        "md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp, " +
-        "CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens, " +
-        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 15)) AS BIGINT) AS dtemp, " +
-        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':order'), 1, 15)) AS BIGINT) AS dorder FROM documents), " +
-        "canon AS (SELECT f.* FROM f JOIN (SELECT fp, min(doc_id) AS m FROM f GROUP BY fp) g ON f.fp = g.fp AND f.doc_id = g.m), " +
-        "c AS (SELECT lang, count(*) AS n_docs FROM canon GROUP BY lang), " +
-        "t AS (SELECT lang, n_docs, CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS s FROM c), " +
-        "g2 AS (SELECT lang, n_docs, s, sum(s) OVER () AS stot, sum(n_docs) OVER () AS ntot FROM t), " +
-        "tg AS (SELECT lang, least(n_docs, ((ntot // 2) * s) // stot) AS target FROM g2), " +
-        "sel AS (SELECT canon.*, row_number() OVER (PARTITION BY lang ORDER BY dtemp, doc_id) AS rk FROM canon), " +
-        "s2 AS (SELECT sel.doc_id, sel.lang, sel.source, sel.n_tokens, sel.dorder FROM sel JOIN tg USING (lang) WHERE sel.rk <= tg.target), " +
-        "sl AS (SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS slot FROM (SELECT DISTINCT source FROM s2)), " +
-        "o AS (SELECT s2.doc_id, s2.lang, s2.source, s2.n_tokens, CAST(row_number() OVER (PARTITION BY s2.source ORDER BY s2.dorder, s2.doc_id) AS BIGINT) AS round FROM s2), " +
-        "o2 AS (SELECT o.*, sl.slot FROM o JOIN sl USING (source)), " +
-        "p AS (SELECT o2.*, coalesce(sum(n_tokens) OVER (ORDER BY round, slot ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM o2) " +
+      (trainingPlanCteSql +
         "SELECT doc_id, lang, source, round, slot, CAST(cum_before // 2048 AS BIGINT) AS chunk_id FROM p"),
+    // shard manifests: the d50 replay rolled up to chunk_id // 2 shards
+    "d70_shard_manifest" ->
+      (trainingPlanCteSql +
+        ", pl AS (SELECT doc_id, n_tokens, CAST(cum_before // 2048 AS BIGINT) AS chunk_id FROM p) " +
+        "SELECT chunk_id // 2 AS shard_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT chunk_id) AS BIGINT) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+        "min(chunk_id) AS first_chunk, max(chunk_id) AS last_chunk FROM pl GROUP BY 1"),
+    // snapshot diff: the d1 fingerprint identity + conditional counts
+    // over the even/odd halves — pure integer/string arithmetic
+    "d71_snapshot_diff" ->
+      ("WITH f AS (SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp, doc_id % 2 AS half FROM documents), " +
+        "g AS (SELECT fp, CAST(count(*) FILTER (WHERE half = 0) AS BIGINT) AS n_old, CAST(count(*) FILTER (WHERE half = 1) AS BIGINT) AS n_new FROM f GROUP BY fp) " +
+        "SELECT fp, CASE WHEN n_old = 0 THEN 'added' WHEN n_new = 0 THEN 'removed' ELSE 'common' END AS status, n_old, n_new FROM g"),
     // asymmetric containment: both engines hash the same 8-word windows
     // to 60-bit md5 prefixes (the d28 identity), so shared-window counts
     // and the integer ppm ratio are exact by construction

@@ -2265,6 +2265,70 @@ object CorpusOps {
       .select(col("doc_id"), col("phase"), col("phase_idx"), col("rk").as("pos"))
   }
 
+  /** Chunks per output shard for [[d70ShardManifest]]. 2 × 2048-token
+    * chunks keeps the fixture manifests multi-row (the dedup-canonical
+    * schedule is small at gate scale); the production knob targets the
+    * storage layer's object size (e.g. ~256 MB of tokens).
+    */
+  private[graft] val ChunksPerShard = 2L
+
+  /** SHARD MANIFESTS for the training plan — the loader-facing rollup
+    * that turns [[d50TrainingPlan]]'s logical schedule into physical
+    * output shards: chunk_id div [[ChunksPerShard]] is the shard, and
+    * each shard's manifest row carries its doc/chunk/token counts and
+    * chunk range — what a distributed data loader reads to size
+    * workers, verify completeness, and seek. Output: (shard_id, n_docs,
+    * n_chunks, n_tokens, first_chunk, last_chunk).
+    *
+    * SCALE: d50's plan verbatim, one O(docs) equi-join on doc_id to
+    * re-attach token counts (the plan's public schema is the pinned
+    * six-column schedule; a manifest builder consuming a STORED plan
+    * would do exactly this join against the corpus), then one map-side-
+    * combined groupBy over O(docs) integer rows into O(shards) rows.
+    */
+  def d70ShardManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tokens"))
+    d50TrainingPlan(spark, sfDir)
+      .join(toks, "doc_id")
+      .withColumn("shard_id", expr(s"chunk_id div $ChunksPerShard"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("chunk_id")).as("n_chunks"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("chunk_id")).as("first_chunk"),
+        max(col("chunk_id")).as("last_chunk"))
+  }
+
+  /** SNAPSHOT DIFF — the incremental-crawl primitive: what changed
+    * between two corpus versions at the d1 fingerprint level. The even
+    * doc_id half stands in for the previous snapshot, the odd half for
+    * the new one (the d62 history/arrivals convention); each distinct
+    * fingerprint reports how many copies live in each side and its
+    * status — `added` (new side only: genuinely new content to
+    * process), `removed` (old side only: content that disappeared),
+    * `common` (carry over untouched — at 100 TB the overwhelming bulk,
+    * which an incremental pipeline must NOT reprocess). Output:
+    * (fp, status, n_old, n_new).
+    *
+    * SCALE: the d1/d41 single-shuffle shape — one scan projects the
+    * 32-byte fingerprint + a side bit, one fp-keyed map-side-combined
+    * aggregate carries both conditional counts; text never shuffles,
+    * no join, no second pass.
+    */
+  def d71SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(fingerprint(col("text")).as("fp"), pmod(col("doc_id"), lit(2L)).as("half"))
+      .groupBy(col("fp"))
+      .agg(count_if(col("half") === 0L).as("n_old"),
+        count_if(col("half") === 1L).as("n_new"))
+      .select(col("fp"),
+        when(col("n_old") === 0L, lit("added"))
+          .when(col("n_new") === 0L, lit("removed"))
+          .otherwise(lit("common")).as("status"),
+        col("n_old"), col("n_new"))
+  }
+
   /** Winnowing window: the number of consecutive [[SpanW]]-word-gram
     * hashes one selection window spans. Guarantee threshold: any shared
     * run of at least [[WinnowW]] + [[SpanW]] − 1 words (= 11) contains a
