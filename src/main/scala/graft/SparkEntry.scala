@@ -433,7 +433,7 @@ object SparkEntry {
       "cbw AS (SELECT cb.hb, lgf.v FROM cb JOIN lgf ON lgf.n = cb.n + 1), " +
       "cuw AS (SELECT cu.hc, lgf.v FROM cu JOIN lgf ON lgf.n = cu.n + 256), " +
       "sc AS (SELECT bg.doc_id, count(*) AS n_bigrams, CAST(sum(coalesce(cbw.v, 0) - coalesce(cuw.v, 8388608) + 67108864) AS BIGINT) AS score FROM bg LEFT JOIN cbw ON cbw.hb = bg.hb LEFT JOIN cuw ON cuw.hc = bg.hc GROUP BY bg.doc_id), " +
-      "av AS (SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, (score * 1048576) // n_bigrams AS avg_fx FROM sc), " +
+      "av AS (SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, (score // n_bigrams) * 1048576 + ((score % n_bigrams) * 1048576) // n_bigrams AS avg_fx FROM sc), " +
       "nn AS (SELECT count(*) AS n_docs FROM av), " +
       "r AS (SELECT doc_id, n_bigrams, avg_fx, row_number() OVER (ORDER BY avg_fx DESC, doc_id) AS rk FROM av) "
 
@@ -487,7 +487,7 @@ object SparkEntry {
       ", tm AS (SELECT bg.doc_id, coalesce(cbw.v, 0) - coalesce(cuw.v, 8388608) + 67108864 AS t FROM bg LEFT JOIN cbw ON cbw.hb = bg.hb LEFT JOIN cuw ON cuw.hc = bg.hc), " +
       "st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, list_sort(list(t)) AS ts FROM tm GROUP BY doc_id), " +
       "mk AS (SELECT doc_id, n_bigrams, greatest(1, n_bigrams // 5) AS k, list_sum(list_slice(ts, 1, CAST(greatest(1, n_bigrams // 5) AS BIGINT))) AS s FROM st), " +
-      "mv AS (SELECT doc_id, n_bigrams, CAST((s * 1048576) // k AS BIGINT) AS mink_fx FROM mk), " +
+      "mv AS (SELECT doc_id, n_bigrams, CAST((s // k) * 1048576 + ((s % k) * 1048576) // k AS BIGINT) AS mink_fx FROM mk), " +
       "mr AS (SELECT doc_id, n_bigrams, mink_fx, CAST(row_number() OVER (ORDER BY mink_fx DESC, doc_id) AS BIGINT) AS rk FROM mv) "
 
   /** The shared DSIR replay (d45 batch selection / s16 at-ingest gate):

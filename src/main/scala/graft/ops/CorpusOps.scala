@@ -1990,7 +1990,14 @@ object CorpusOps {
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), (size(col("ws")) - 1).cast("long").as("n_bigrams"), score.as("score"))
-      .withColumn("avg_fx", expr("(score * 1048576) div n_bigrams"))
+      // floor(score * 2^20 / n) via the Euclidean split (q*2^20 +
+      // floor(r*2^20/n), r < n): the naive (score * 1048576) form
+      // overflows int64 once n_bigrams reaches ~2^16 (score can carry
+      // 2^27 per term — a book-length crawl document is enough), and
+      // Spark's non-ANSI Long silently wraps where DuckDB errors. The
+      // split keeps every intermediate under 2^48 for any document.
+      .withColumn("avg_fx",
+        expr("(score div n_bigrams) * 1048576 + ((score % n_bigrams) * 1048576) div n_bigrams"))
       .drop("score")
   }
 
@@ -2155,8 +2162,9 @@ object CorpusOps {
     * at-ingest gate: `(doc_id, n_bigrams, mink_fx)` as a zero-shuffle
     * projection over the two dense weight literals — each document's
     * score terms sort locally and the ascending k-prefix averages in
-    * exact fixed point (sum of k terms < 2^27 each stays far inside
-    * int64; both engines' truncating division agrees on nonnegatives).
+    * exact fixed point via the same overflow-safe Euclidean split as
+    * [[pplScored]] (every intermediate under 2^48 for any document
+    * length; both engines' truncating division agrees on nonnegatives).
     * Works identically on a batch relation and a stream (stateless).
     */
   private[graft] def minkScored(docs: DataFrame,
@@ -2171,8 +2179,10 @@ object CorpusOps {
       .select(col("doc_id"), (size(col("ws")) - 1).cast("long").as("n_bigrams"),
         array_sort(terms).as("ts"))
       .withColumn("k", greatest(lit(1L), expr(s"n_bigrams div $MinkDenom")))
+      .withColumn("s",
+        expr("aggregate(slice(ts, 1, cast(k as int)), 0L, (acc, t) -> acc + t)"))
       .withColumn("mink_fx",
-        expr("(aggregate(slice(ts, 1, cast(k as int)), 0L, (acc, t) -> acc + t) * 1048576) div k"))
+        expr("(s div k) * 1048576 + ((s % k) * 1048576) div k"))
       .select(col("doc_id"), col("n_bigrams"), col("mink_fx"))
   }
 

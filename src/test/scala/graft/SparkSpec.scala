@@ -13,6 +13,17 @@ trait SparkSpec extends BeforeAndAfterAll { self: Suite =>
 
   val sf001 = "/root/testdata/sf0.001"
   val sf01 = "/root/testdata/sf0.01"
+
+  /** The engine's 60-bit seeded integer: first 15 hex chars of md5(s),
+    * base 16 — the ONE in-memory replay of every `conv(substring(md5(
+    * ...), 1, 15), 16, 10)` draw/bucket/hash in the operators. Specs
+    * must derive salts/moduli from this helper, not re-roll the prefix
+    * convention (a drifted copy would silently pin wrong arithmetic).
+    */
+  def md5Prefix60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
 }
 
 object SparkSpec {

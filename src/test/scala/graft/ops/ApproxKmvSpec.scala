@@ -12,14 +12,6 @@ import org.scalatest.matchers.should.Matchers
   */
 class ApproxKmvSpec extends AnyFunSuite with SparkSpec with Matchers {
 
-  private def md5Prefix60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    var v = 0L
-    var j = 0
-    while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-    v >>> 4
-  }
 
   test("q_approx_stats == in-memory KMV replay, and estimates track exact") {
     val rows = graft.Tables.lineitem(spark, sf01)

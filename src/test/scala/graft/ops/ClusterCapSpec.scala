@@ -43,11 +43,7 @@ class ClusterCapSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
     // replay the seeded draw in memory: within a cluster, keep_rk must
     // sort by (md5(vec_id || ':cap') 60-bit prefix, vec_id)
-    def draw(id: Long): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$id:cap".getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
-    }
+    def draw(id: Long): Long = md5Prefix60(s"$id:cap")
     rows.groupBy(_._2).foreach { case (_, members) =>
       val expected = members.sortBy(m => (draw(m._1), m._1)).map(_._1)
       val got = members.sortBy(_._4).map(_._1)

@@ -513,11 +513,7 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   test("d50 training plan equals a full in-memory replay of all four stages") {
     import spark.implicits._
-    def drawOf(id: Long, salt: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$id$salt".getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
-    }
+    def drawOf(id: Long, salt: String): Long = md5Prefix60(s"$id$salt")
     val docs = graft.Tables.documents(spark, sf001)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
       .as[(Long, String, String, String)].collect()

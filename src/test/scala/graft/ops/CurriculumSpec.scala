@@ -13,11 +13,7 @@ import org.scalatest.matchers.should.Matchers
   */
 class CurriculumSpec extends AnyFunSuite with SparkSpec with Matchers {
 
-  private def draw(id: Long): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$id:curr".getBytes("UTF-8"))
-    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
-  }
+  private def draw(id: Long): Long = md5Prefix60(s"$id:curr")
 
   test("d69: permutation positions, contiguous phase blocks, d47 phases, draw-ordered within phase") {
     val rows = CorpusOps.d69CurriculumOrder(spark, sf001).collect().map { r =>

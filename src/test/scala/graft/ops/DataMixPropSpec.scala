@@ -18,12 +18,8 @@ import org.scalatest.matchers.should.Matchers
   */
 class DataMixPropSpec extends AnyFunSuite with SparkSpec with Matchers {
 
-  /** The engines' draw: first 15 hex chars of md5("<id><salt>"), base 16. */
-  private def drawOf(id: Long, salt: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$id$salt".getBytes("UTF-8"))
-    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
-  }
+  /** The engines' draw: the shared 60-bit md5 prefix of "<id><salt>". */
+  private def drawOf(id: Long, salt: String): Long = md5Prefix60(s"$id$salt")
 
   private def interleaveRef(rows: Seq[(Long, String)]): Set[(Long, String, Long, Long)] = {
     val slots = rows.map(_._2).distinct.sorted.zipWithIndex

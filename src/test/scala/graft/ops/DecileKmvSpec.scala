@@ -15,14 +15,6 @@ import org.scalatest.matchers.should.Matchers
   */
 class DecileKmvSpec extends AnyFunSuite with SparkSpec with Matchers {
 
-  private def md5Prefix60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    var v = 0L
-    var j = 0
-    while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-    v >>> 4
-  }
 
   test("KMV deciles == in-memory replay at truncating and full k") {
     val docs = graft.Tables.documents(spark, sf001)

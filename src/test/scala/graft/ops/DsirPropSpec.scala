@@ -19,13 +19,10 @@ class DsirPropSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   private val B = 256
 
-  /** The engines' feature hash: first 15 hex chars of md5(word), base 16,
-    * mod the bucket count.
+  /** The engines' feature hash: the shared 60-bit md5 prefix mod the
+    * bucket count.
     */
-  private def bucketOf(w: String): Int = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(w.getBytes("UTF-8"))
-    (java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16) % B).toInt
-  }
+  private def bucketOf(w: String): Int = (md5Prefix60(w) % B).toInt
 
   private def tokens(text: String): Seq[String] =
     text.trim.toLowerCase.split(" ", -1).toSeq

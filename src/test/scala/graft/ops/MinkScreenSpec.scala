@@ -16,10 +16,7 @@ import org.scalatest.matchers.should.Matchers
   */
 class MinkScreenSpec extends AnyFunSuite with SparkSpec with Matchers {
 
-  private def bucketOf(s: String, m: Int): Int = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    (java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16) % m).toInt
-  }
+  private def bucketOf(s: String, m: Int): Int = (md5Prefix60(s) % m).toInt
 
   private def toks(text: String): Seq[String] =
     text.trim.toLowerCase.split(" ", -1).toSeq
@@ -42,7 +39,8 @@ class MinkScreenSpec extends AnyFunSuite with SparkSpec with Matchers {
         }.sorted
         val n = ws.length - 1L
         val k = math.max(1L, n / 5)
-        (id, n, terms.take(k.toInt).sum * 1048576 / k)
+        val s = terms.take(k.toInt).sum
+        (id, n, s / k * 1048576 + s % k * 1048576 / k)
       }
     }
     val nd = scored.size.toLong
@@ -109,6 +107,25 @@ class MinkScreenSpec extends AnyFunSuite with SparkSpec with Matchers {
     out.count(_._5 == 1L) shouldBe 1
     assert(copies.exists(_._5 == 1L), "the suspect slot must land on a training copy")
     freshOut.foreach(r => r._5 shouldBe 0L)
+  }
+
+  test("d47/d67 fixed-point averages survive book-length documents (no int64 overflow)") {
+    import spark.implicits._
+    // 200k identical tokens: every bigram scores the same term t, so both
+    // averages must equal exactly t * 2^20. The pre-split (sum * 2^20)
+    // form overflows int64 near 140k bigrams of untrained vocabulary
+    // (term ~2^26) and wrapped negative here — a memorized book-length
+    // document would have slipped the d67 screen ranked least-suspect.
+    val long = Array.fill(200000)("zq").mkString(" ")
+    val docs = Seq((1L, false, long), (2L, true, "the cat sat"))
+      .toDF("doc_id", "is_target", "text")
+    val (bigWts, ctxWts) = CorpusOps.pplModel(docs)
+    val t = bigWts((md5Prefix60("zq zq") % CorpusOps.PplBigramBuckets).toInt) -
+      ctxWts((md5Prefix60("zq") % 256).toInt) + CorpusOps.PplTermOffset
+    CorpusOps.pplScored(docs, bigWts, ctxWts)
+      .filter($"doc_id" === 1L).head().getAs[Long]("avg_fx") shouldBe t * 1048576L
+    CorpusOps.minkScored(docs, bigWts, ctxWts)
+      .filter($"doc_id" === 1L).head().getAs[Long]("mink_fx") shouldBe t * 1048576L
   }
 
   test("d67 invariant: the worst-k average never exceeds the full average (mink_fx <= avg_fx)") {

@@ -16,10 +16,7 @@ import org.scalatest.matchers.should.Matchers
   */
 class PplFilterPropSpec extends AnyFunSuite with SparkSpec with Matchers {
 
-  private def bucketOf(s: String, m: Int): Int = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    (java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16) % m).toInt
-  }
+  private def bucketOf(s: String, m: Int): Int = (md5Prefix60(s) % m).toInt
 
   private def toks(text: String): Seq[String] =
     text.trim.toLowerCase.split(" ", -1).toSeq
@@ -41,7 +38,7 @@ class PplFilterPropSpec extends AnyFunSuite with SparkSpec with Matchers {
             CorpusOps.PplTermOffset
         }.sum
         val n = ws.length - 1L
-        (id, n, score * 1048576 / n)
+        (id, n, score / n * 1048576 + score % n * 1048576 / n)
       }
     }
     val nd = scored.size.toLong
