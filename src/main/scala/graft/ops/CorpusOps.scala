@@ -1984,21 +1984,41 @@ object CorpusOps {
     // array(lit...) of 4096 weights builds an O(buckets)-node tree
     val bigLit = typedlit(bigWts.toSeq)
     val ctxLit = typedlit(ctxWts.toSeq)
+    // the overflow-safe average rides the fold's finish lambda, so the
+    // O(tokens) fold appears exactly once in the expression (see fxAvg)
     val score = aggregate(sequence(lit(0), size(col("ws")) - 2), lit(0L),
-      (acc, i) => acc + pplTermAt(bigLit, ctxLit, i))
+      (acc, i) => acc + pplTermAt(bigLit, ctxLit, i),
+      acc => fxAvg(acc, (size(col("ws")) - 1).cast("long")))
     docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), (size(col("ws")) - 1).cast("long").as("n_bigrams"), score.as("score"))
-      // floor(score * 2^20 / n) via the Euclidean split (q*2^20 +
-      // floor(r*2^20/n), r < n): the naive (score * 1048576) form
-      // overflows int64 once n_bigrams reaches ~2^16 (score can carry
-      // 2^27 per term — a book-length crawl document is enough), and
-      // Spark's non-ANSI Long silently wraps where DuckDB errors. The
-      // split keeps every intermediate under 2^48 for any document.
-      .withColumn("avg_fx",
-        expr("(score div n_bigrams) * 1048576 + ((score % n_bigrams) * 1048576) div n_bigrams"))
-      .drop("score")
+      .select(col("doc_id"), (size(col("ws")) - 1).cast("long").as("n_bigrams"), score.as("avg_fx"))
+  }
+
+  /** floor((acc * 2^20) / n) for nonnegative `acc`, exact at ANY
+    * magnitude: the naive (acc * 1048576) form overflows int64 once a
+    * document carries ~2^16 bigrams of 2^27-scale terms (a book-length
+    * crawl page), and Spark's non-ANSI Long silently wraps where DuckDB
+    * errors. The Euclidean split (q·2^20 + floor(r·2^20/n), r = acc
+    * mod n < n) keeps every intermediate under 2^48, and each double
+    * division below is of an EXACTLY-divisible multiple — the true
+    * quotient is an integer below 2^53, so the correctly-rounded IEEE
+    * result is bit-exact (the [[log2Fx]] discipline).
+    *
+    * Built for an aggregate `finish` lambda: `acc` is the fold's
+    * accumulator slot, so the whole scoring fold appears ONCE in the
+    * expression tree. This matters because the streamed gates filter on
+    * the scored value and predicate pushdown inlines the full
+    * expression into the filter condition with no cost guard — a
+    * two-fold-reference form was MEASURED to double s21's bench CPU
+    * (9.1 -> 19.3 s) before this shape restored it.
+    */
+  private def fxAvg(acc: Column, n: Column): Column = {
+    val r = acc % n
+    val q = ((acc - r) / n).cast("long")
+    val r2 = (r * 1048576L) % n
+    val q2 = ((r * 1048576L - r2) / n).cast("long")
+    q * 1048576L + q2
   }
 
   /** The per-bigram LM score term at 0-based bigram index `i` of the
@@ -2173,17 +2193,22 @@ object CorpusOps {
     val ctxLit = typedlit(ctxWts.toSeq)
     val terms = transform(sequence(lit(0), size(col("ws")) - 2),
       i => pplTermAt(bigLit, ctxLit, i))
+    // k = max(1, n div 5) from cheap attribute arithmetic: the n % 5
+    // subtraction form avoids expr-string div so k can sit inside the
+    // fold's finish lambda (see fxAvg — the fold must appear ONCE)
+    def kOf(n: Column): Column =
+      greatest(lit(1L), ((n - n % MinkDenom) / MinkDenom).cast("long"))
+    val n = col("n_bigrams")
+    val mink = aggregate(
+      slice(col("ts"), lit(1), kOf(n).cast("int")), lit(0L),
+      (acc, t) => acc + t,
+      acc => fxAvg(acc, kOf(n)))
     docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), (size(col("ws")) - 1).cast("long").as("n_bigrams"),
         array_sort(terms).as("ts"))
-      .withColumn("k", greatest(lit(1L), expr(s"n_bigrams div $MinkDenom")))
-      .withColumn("s",
-        expr("aggregate(slice(ts, 1, cast(k as int)), 0L, (acc, t) -> acc + t)"))
-      .withColumn("mink_fx",
-        expr("(s div k) * 1048576 + ((s % k) * 1048576) div k"))
-      .select(col("doc_id"), col("n_bigrams"), col("mink_fx"))
+      .select(col("doc_id"), col("n_bigrams"), mink.as("mink_fx"))
   }
 
   /** [[minkScreenWith]]'s one live scored-projection cache (same

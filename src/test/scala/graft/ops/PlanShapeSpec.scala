@@ -300,6 +300,36 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
       s"scoring scan must prune to (doc_id, text):\n$p")
   }
 
+  test("d67_mink_screen: zero-shuffle literal scoring; suspect rank is score-bucket-partitioned") {
+    val p = plan("d67_mink_screen")
+    assert("windowspecdefinition\\(b#\\d+L, mink_fx#\\d+L DESC".r.findFirstIn(p).isDefined,
+      s"suspect rank must partition by the score bucket:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort leaked into the rank:\n$p")
+    // LM tables are literals in the term array; the per-doc sort is
+    // array_sort inside the scan — document rows never join-shuffle
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"document rows must never join-shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scoring scan must prune to (doc_id, text):\n$p")
+  }
+
+  test("d69_curriculum_order: the position rank is (phase, draw)-bucket-partitioned, no global sort") {
+    val p = plan("d69_curriculum_order")
+    assert("windowspecdefinition\\(b#\\d+L, phase_idx#\\d+L ASC".r.findFirstIn(p).isDefined,
+      s"position rank must partition by the phase/draw bucket:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort leaked into the curriculum order:\n$p")
+  }
+
+  test("d71_snapshot_diff: one fp-keyed aggregate shuffle, no join — the d1 shape") {
+    val p = plan("d71_snapshot_diff")
+    assert(!p.contains("Join"), s"no join may appear (conditional counts only):\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"exactly one shuffle (the fp aggregate):\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"diff scan must prune to (doc_id, text):\n$p")
+  }
+
   test("d48_split_leakage: one fp-keyed shuffle, no join — the d1/d41 window shape") {
     val p = plan("d48_split_leakage")
     assert("windowspecdefinition\\(fp#\\d+".r.findFirstIn(p).isDefined,
