@@ -40,6 +40,23 @@ object GraphOps {
   private[graft] val lastRoute =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 
+  /** The star stage's one live cache of the ORIGINAL edge list: it is
+    * read three times (canonical-edge distinct, the fused stats pass,
+    * and the final node-labeling join — the last at the CALLER's action,
+    * after this op returned, so a plain persist/unpersist pair cannot
+    * cover it). For a source like d63's — a parquet scan plus a semi
+    * join — leaving it uncached re-executes that plan per read.
+    */
+  private val starRawCache = new ReplaceOnCallCache
+
+  /** The returned frames reference the loop's final cached round (star's
+    * fixpoint edge set / propagation's label table) at the caller's
+    * action time — the same outlives-the-return lifetime, so the same
+    * replace-on-next-call contract instead of a leaked persist per call.
+    */
+  private val starFixpointCache = new ReplaceOnCallCache
+  private val labelsCache = new ReplaceOnCallCache
+
   /** Min-label propagation: every node starts labeled with its own id;
     * each round every node takes the min of its own and its neighbors'
     * labels. Fixpoint = every node holds its component's minimum id.
@@ -84,21 +101,6 @@ object GraphOps {
     val symRaw = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
       .persist()
-    // Size the loop's layout to the GRAPH, not the session default: the
-    // per-round cost on a small graph is pure task scheduling (dozens of
-    // shuffle tasks over a few hundred cached rows, times diameter many
-    // rounds — measured 8s of a 9.6s d60 run before this). One O(1)
-    // count (the d9 nBlocks precedent) picks the partition count; a
-    // 100 TB edge list keeps the session layout untouched. Partitioning
-    // BY THE JOIN KEY also co-locates every round's probe side — which
-    // is why the repartition is NOT skipped when parts equals the
-    // session width: the one-time key-hash exchange lets the cached edge
-    // list satisfy the loop join's distribution every round, saving
-    // (rounds - 1) full re-exchanges of the edge list.
-    val nEdges = symRaw.count()
-    val sessionParts = symRaw.rdd.getNumPartitions.max(1)
-    val parts = math.max(1L, math.min(sessionParts.toLong, nEdges / 50000L + 1L)).toInt
-    val sym = symRaw.repartition(parts, col("dst")).persist()
     // every node of an edge list appears as src after symmetrization, so
     // the per-round join below is inner and total. Initialization FUSES
     // the first propagation round (label = min(id, neighbors)) — one
@@ -106,9 +108,9 @@ object GraphOps {
     // clique components (the dedup-graph norm) then converge on the
     // loop's first no-change pass.
     // `deg` rides the same aggregate for free (same shuffle) — it feeds
-    // only the path-shape routing check below and is projected away
-    // before the caller sees the result
-    var labels: DataFrame = sym.groupBy(col("src"))
+    // only the path-shape routing probe and the edge/node counts below
+    // and is projected away before the caller sees the result
+    var labels: DataFrame = symRaw.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("label"),
         count(lit(1)).as("deg"))
       .withColumnRenamed("src", "id")
@@ -117,12 +119,20 @@ object GraphOps {
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
 
-    var prev = checksum(labels)
-    // the first checksum materialized sym's (and labels') cached blocks
-    // through symRaw — drop the raw copy now so the loop never holds the
-    // edge list in cache twice
-    symRaw.unpersist()
+    // ONE fused stats pass (each driver job here is sequential wall time
+    // at the loop's scheduling floor — this was four jobs: edge count,
+    // checksum, node count, max degree): the convergence checksum, the
+    // node count, the routing probe's max degree, and the sym-edge count
+    // as sum(deg) — so symRaw itself never needs a separate count.
+    val stats = labels
+      .agg(sum(col("label").cast("decimal(38,0)")), count(lit(1)),
+        max(col("deg")), sum(col("deg")))
+      .head()
+    var prev = stats.getDecimal(0)
     if (prev != null) { // null = empty graph: nothing to propagate
+      val nNodes = stats.getLong(1)
+      val maxDeg = stats.getLong(2)
+      val nEdges = stats.getLong(3)
       // PATH-SHAPED fast path: route straight to star contraction only
       // for graphs that are BOTH forest-sparse (sym edges < 2*nodes —
       // exact for dup-free edge lists) AND max-degree <= 2, i.e. unions
@@ -133,19 +143,31 @@ object GraphOps {
       // diameter <= 2 and converge in 1-2 propagation rounds — routing
       // them to star contraction was MEASURED to cost d25 2.1 -> 5.4 s
       // and d51 1.6 -> 6.1 s at sf0.1, more than the 9.9 -> 5.5 s it
-      // bought d63's chains. Both probes are cheap (a count plus a max
-      // over the cached O(nodes) label table; degree piggybacks on the
-      // init aggregate), and a multigraph's duplicate edges overcount
-      // BOTH nEdges and deg — i.e. fail CLOSED into the propagation
-      // path, whose escalation threshold still bounds the damage.
-      val nNodes = labels.count()
-      if (nEdges < 2L * nNodes &&
-          labels.agg(max(col("deg"))).head().getLong(0) <= 2L) {
+      // bought d63's chains. Both probes ride the one stats pass, and a
+      // multigraph's duplicate edges overcount BOTH nEdges and deg —
+      // i.e. fail CLOSED into the propagation path, whose escalation
+      // threshold still bounds the damage. The star stage reuses the
+      // CACHED symmetrized list (canonical = src < dst side of it), so
+      // the source edge plan is never re-executed on this route.
+      if (nEdges < 2L * nNodes && maxDeg <= 2L) {
         labels.unpersist()
-        sym.unpersist()
         lastRoute.set("star-direct")
-        return connectedComponentsStar(edges, math.max(maxIter, 40))
+        return starFromSym(symRaw, math.max(maxIter, 40))
       }
+      // Size the loop's layout to the GRAPH, not the session default: the
+      // per-round cost on a small graph is pure task scheduling (dozens of
+      // shuffle tasks over a few hundred cached rows, times diameter many
+      // rounds — measured 8s of a 9.6s d60 run before this). One O(1)
+      // stats read (the d9 nBlocks precedent) picks the partition count; a
+      // 100 TB edge list keeps the session layout untouched. Partitioning
+      // BY THE JOIN KEY also co-locates every round's probe side — which
+      // is why the repartition is NOT skipped when parts equals the
+      // session width: the one-time key-hash exchange lets the cached edge
+      // list satisfy the loop join's distribution every round, saving
+      // (rounds - 1) full re-exchanges of the edge list.
+      val sessionParts = symRaw.rdd.getNumPartitions.max(1)
+      val parts = math.max(1L, math.min(sessionParts.toLong, nEdges / 50000L + 1L)).toInt
+      val sym = symRaw.repartition(parts, col("dst")).persist()
       // escalation threshold: 2*ceil(log2(sym-edge count)) loop rounds
       // before handing over to star contraction. The factor 2 is
       // calibrated, not cosmetic: thresholded near-dup graphs at toy
@@ -160,6 +182,11 @@ object GraphOps {
       var converged = false
       var round = 0
       while (!converged && round < math.min(maxIter, escalateAfter)) {
+        // NOT repartitioned inside the round: an explicit graph-width
+        // repartition between the join and the aggregate was tried and
+        // REVERTED with data (d60 warm 6.0 -> 7.1 s at sf0.1) — the
+        // extra exchange's stage floor costs more than narrowing the
+        // aggregate's session-width exchange saves
         val next = truncated(
           sym.join(labels, sym("dst") === labels("id"))
             .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
@@ -171,23 +198,32 @@ object GraphOps {
         prev = cur
         labels.unpersist()
         labels = next
+        // round 1's checksum materialized sym's blocks through symRaw —
+        // drop the raw copy so the loop never holds the edge list twice
+        if (round == 0) symRaw.unpersist()
         round += 1
       }
       if (!converged) { // high diameter: switch strategies
         labels.unpersist()
         sym.unpersist()
         lastRoute.set("star-escalated")
-        return connectedComponentsStar(edges, math.max(maxIter, 40))
+        // symRaw was dropped from cache after round 1; the star stage's
+        // own cache re-registers it (one source re-evaluation — the same
+        // price the pre-fused shape paid to rebuild from `edges`)
+        return starFromSym(symRaw, math.max(maxIter, 40))
       }
-    }
+      sym.unpersist()
+    } else symRaw.unpersist() // empty graph: no loop consumed the raw copy
     lastRoute.set("propagation")
-    sym.unpersist()
+    // the caller's action reads the final cached label table after this
+    // returns — replace-on-next-call instead of a leaked persist
+    val out = labelsCache.register(labels)
     // the loop's select already dropped the routing-only deg column on
     // every path that ran a round; only the empty-graph path (prev ==
     // null, zero rows) still carries it — project it away so the output
     // contract is (id, label) everywhere
-    if (labels.columns.contains("deg")) labels.select(col("id"), col("label"))
-    else labels
+    if (out.columns.contains("deg")) out.select(col("id"), col("label"))
+    else out
   }
 
   /** Alternating large-star/small-star connected components (Kiveris et
@@ -222,7 +258,7 @@ object GraphOps {
     * ids this engine uses because dedup can only remove positive terms.
     */
   def connectedComponentsStar(edges: DataFrame, maxIter: Int = 40): DataFrame = {
-    val raw = edges.toDF("x", "y")
+    val raw = starRawCache.register(edges.toDF("x", "y"))
     val e0 = raw.filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .distinct()
@@ -232,49 +268,95 @@ object GraphOps {
     // labels are resolved against this list at the end
     val nodes = raw.select(col("x").as("id")).union(raw.select(col("y").as("id")))
       .distinct()
+    starLoop(e0, nodes, maxIter)
+  }
 
-    // the potential-based convergence check below is monotone only for
-    // non-negative ids; enforce the precondition instead of risking a
-    // silent premature "convergence" with wrong labels on a negative-id
-    // edge list. min over RAW endpoints (map-side partial min, no
-    // distinct shuffle) — the distinct-ed `nodes` relation would pay a
-    // full dedup exchange for the same scalar.
-    val minId = raw.agg(min(least(col("x"), col("y"))).cast("decimal(38,0)"))
-      .head().getDecimal(0)
-    require(minId == null || minId.signum() >= 0,
-      s"connectedComponentsStar requires non-negative node ids (min id = $minId); " +
-        "fold ids through a non-negative mapping first")
+  /** [[connectedComponentsStar]] entered from [[connectedComponents]]'s
+    * routing with the already-built (and usually already-cached)
+    * SYMMETRIZED list (src, dst): canonical edges are its src < dst
+    * side, and symmetrization guarantees every node — self-loop-only
+    * ones included — appears as src, so the node list needs no union.
+    * Registering through the same cache keeps one live copy and avoids
+    * re-executing the caller's source edge plan (for a gate like d63
+    * that plan is a parquet scan plus a semi join, re-run three times
+    * on the public path before this).
+    */
+  private def starFromSym(symRaw: DataFrame, maxIter: Int): DataFrame = {
+    val sym = starRawCache.register(symRaw)
+    val e0 = sym.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b")).distinct()
+    val nodes = sym.select(col("src").as("id")).distinct()
+    starLoop(e0, nodes, maxIter)
+  }
 
-    // large-star: for u with closed-neighborhood min m, emit (m, v) for
-    // every neighbor v > u. Output stays canonical: m <= u < v.
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.select(col("a").as("u"), col("b").as("v"))
-        .union(e.select(col("b").as("u"), col("a").as("v")))
-      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      sym.join(m, "u").filter(col("v") > col("u"))
-        .select(col("m").as("a"), col("v").as("b"))
-        .filter(col("a") =!= col("b")).distinct()
-    }
-
-    // small-star: for u = b over its smaller neighbors N (canonical
-    // edges already orient a < b), m = min(N); emit (m, v) for
-    // v in N \ {m} and (m, u). Output canonical: m < v and m < u.
-    def smallStar(e: DataFrame): DataFrame = {
-      val m = e.groupBy(col("b")).agg(min(col("a")).as("m"))
-      val nbr = e.join(m, "b").filter(col("a") =!= col("m"))
-        .select(col("m").as("a"), col("a").as("b"))
-      val self = m.select(col("m").as("a"), col("b"))
-      nbr.union(self).distinct()
-    }
-
+  private def starLoop(e0: DataFrame, nodes: DataFrame, maxIter: Int): DataFrame = {
     def potential(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("a").cast("decimal(38,0)") + col("b").cast("decimal(38,0)")))
         .head().getDecimal(0)
 
     var cur = e0.persist()
-    var prev = potential(cur)
+    // ONE first pass fuses the three loop preliminaries (the round floors
+    // here are sequential driver jobs, so every fused job is wall time):
+    // the initial potential, the edge count that sizes the loop's
+    // partition layout, and the monotonicity precondition's min id.
+    // e0 is canonical (a <= b), so min(a) IS the min endpoint of every
+    // surviving edge; a negative id appearing ONLY as a self-loop never
+    // enters `cur` (filtered above), can't touch the potential, and
+    // correctly labels itself through the final coalesce — so checking
+    // e0 rather than the raw list is exactly as safe and one job cheaper.
+    val stats = cur
+      .agg(sum(col("a").cast("decimal(38,0)") + col("b").cast("decimal(38,0)")),
+        count(lit(1)), min(col("a")))
+      .head()
+    var prev = stats.getDecimal(0)
     if (prev != null) { // null = no edges survive: every node labels itself below
+      require(stats.getLong(2) >= 0,
+        s"connectedComponentsStar requires non-negative node ids (min id = ${stats.getLong(2)}); " +
+          "fold ids through a non-negative mapping first")
+      // Size the loop's exchanges to the GRAPH, not the session default —
+      // the propagation loop's precedent (measured there: 9.6 -> 5.8 s at
+      // sf0.1): every exchange inside the loop is an explicit repartition
+      // at this width, and each groupBy/join downstream of one is planned
+      // WITHOUT its own session-width exchange because the repartition
+      // already satisfies its required distribution. A 100 TB edge list
+      // keeps the session layout (min() caps at the session width).
+      val sessionParts = cur.rdd.getNumPartitions.max(1)
+      val parts = math.max(1L,
+        math.min(sessionParts.toLong, stats.getLong(1) / 50000L + 1L)).toInt
+
+      // large-star: for u with closed-neighborhood min m, emit (m, v) for
+      // every neighbor v > u. Output stays canonical: m <= u < v. The
+      // round's only exchange is the explicit repartition; m inherits its
+      // layout through the aggregate, so the join is exchange-free. NOT
+      // dedup'd here: row count is bounded by |e| regardless (one output
+      // row per canonical edge instance), small-star's min-aggregate is
+      // duplicate-insensitive, and its closing distinct restores the set —
+      // skipping the dedup saves a full exchange + aggregate every round.
+      def largeStar(e: DataFrame): DataFrame = {
+        val sym = e.select(col("a").as("u"), col("b").as("v"))
+          .union(e.select(col("b").as("u"), col("a").as("v")))
+          .repartition(parts, col("u"))
+        val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m"))
+        sym.join(m, "u").filter(col("v") > col("u"))
+          .select(col("m").as("a"), col("v").as("b"))
+          .filter(col("a") =!= col("b"))
+      }
+
+      // small-star: for u = b over its smaller neighbors N (canonical
+      // edges already orient a < b), m = min(N); emit (m, v) for
+      // v in N \ {m} and (m, u). Output canonical: m < v and m < u.
+      // Same exchange discipline: one repartition keys the aggregate and
+      // the join; the closing repartition lets distinct dedup in place.
+      def smallStar(e: DataFrame): DataFrame = {
+        val keyed = e.repartition(parts, col("b"))
+        val m = keyed.groupBy(col("b")).agg(min(col("a")).as("m"))
+        val nbr = keyed.join(m, "b").filter(col("a") =!= col("m"))
+          .select(col("m").as("a"), col("a").as("b"))
+        val self = m.select(col("m").as("a"), col("b"))
+        nbr.union(self).repartition(parts, col("a"), col("b")).distinct()
+      }
+
       var converged = false
       var round = 0
       while (!converged && round < maxIter) {
@@ -292,7 +374,8 @@ object GraphOps {
     }
     // fixpoint edge set is a star per component: (root, member). Roots,
     // isolated and self-loop-only nodes label themselves.
-    nodes.join(cur.groupBy(col("b")).agg(min(col("a")).as("root")),
+    nodes.join(starFixpointCache.register(cur).groupBy(col("b"))
+        .agg(min(col("a")).as("root")),
         nodes("id") === col("b"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("label"))
   }
