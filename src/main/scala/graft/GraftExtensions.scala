@@ -132,6 +132,13 @@ object GraftExtensions {
       arity("bottom_k_pairs", args, 3)
       BottomKPairs(args(0), args(1), intArg("bottom_k_pairs", "k")(args(2)))
         .toAggregateExpression()
+    },
+    fn("cms_agg", classOf[CmsAgg]) { args =>
+      arity("cms_agg", args, 4)
+      CmsAgg(args(0), args(1),
+        intArg("cms_agg", "width")(args(2)),
+        intArg("cms_agg", "depth")(args(3)))
+        .toAggregateExpression()
     })
 
   /** Programmatic registration into an already-running session (the

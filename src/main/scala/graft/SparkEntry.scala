@@ -89,6 +89,10 @@ object SparkEntry {
     "d69_curriculum_order" -> (ops.CorpusOps.d69CurriculumOrder _),
     "d70_shard_manifest" -> (ops.CorpusOps.d70ShardManifest _),
     "d71_snapshot_diff" -> (ops.CorpusOps.d71SnapshotDiff _),
+    "d72_heavy_hitters" -> (ops.CorpusOps.d72HeavyHitters _),
+    "d73_rare_gate" -> (ops.CorpusOps.d73RareGate _),
+    "d74_token_fertility" ->
+      ((s: SparkSession, dir: String) => ops.CorpusOps.d74TokenFertility(s, dir)),
     "d35_ann_ivf_pq" -> (ops.VectorOps.d35AnnIvfPq _),
     "d36_ann_ivfpq_full" -> (ops.VectorOps.d36AnnIvfPqFull _),
     "d43_ann_ivfpq_residual" -> (ops.VectorOps.d43AnnIvfPqResidual _),
@@ -145,6 +149,8 @@ object SparkEntry {
       ((s: SparkSession, dir: String) => streaming.StreamingQueries.s22StreamNoveltyGate(s, dir)),
     "s23_stream_mink_gate" ->
       ((s: SparkSession, dir: String) => streaming.StreamingQueries.s23StreamMinkGate(s, dir)),
+    "s24_stream_rare_gate" ->
+      ((s: SparkSession, dir: String) => streaming.StreamingQueries.s24StreamRareGate(s, dir)),
     // relational coverage (SURVEY.md §2D → Spark built-ins)
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_revenue_by_nation" -> (ops.RelationalOps.qRevenueByNation _),
@@ -342,6 +348,49 @@ object SparkEntry {
       "s AS (SELECT doc_id, count(*) AS n_windows, count(*) FILTER (nh < 3) AS n_new FROM h GROUP BY doc_id) " +
       "SELECT doc_id, n_windows, n_new, (1000000 * n_new) // n_windows AS novelty_ppm FROM s " +
       "WHERE (1000000 * n_new) // n_windows >= 500000"
+
+  /** The shared BPE train+encode replay (d37 / d74): three greedy merge
+    * rounds, each one = the globally most frequent adjacent pair under
+    * the (count desc, l, r) total order, applied to every document via
+    * the doubled-space replace trick that prevents overlapping-pair
+    * double application — producing `s0` (pre-merge) and `s3`
+    * (post-merge) per-doc token streams for the final SELECT to
+    * account. `lang` rides `s0` for d74's rollup.
+    */
+  private def bpeCteSql: String =
+    "WITH s0 AS (SELECT doc_id, lang, lower(trim(text)) AS t FROM documents WHERE lower(trim(text)) <> ''), " +
+      "c1 AS (SELECT unnest([{'l': ws[i], 'r': ws[i+1]} for i in range(1, len(ws))]) AS u FROM (SELECT string_split(t, ' ') AS ws FROM s0) WHERE len(ws) >= 2), " +
+      "m1 AS (SELECT u.l AS l, u.r AS r, count(*) AS cnt FROM c1 GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1), " +
+      "s1 AS (SELECT doc_id, trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ', ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || '+' || m.r || ' '), '  ', ' ')) AS t FROM s0, m1 AS m), " +
+      "c2 AS (SELECT unnest([{'l': ws[i], 'r': ws[i+1]} for i in range(1, len(ws))]) AS u FROM (SELECT string_split(t, ' ') AS ws FROM s1) WHERE len(ws) >= 2), " +
+      "m2 AS (SELECT u.l AS l, u.r AS r, count(*) AS cnt FROM c2 GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1), " +
+      "s2 AS (SELECT doc_id, trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ', ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || '+' || m.r || ' '), '  ', ' ')) AS t FROM s1, m2 AS m), " +
+      "c3 AS (SELECT unnest([{'l': ws[i], 'r': ws[i+1]} for i in range(1, len(ws))]) AS u FROM (SELECT string_split(t, ' ') AS ws FROM s2) WHERE len(ws) >= 2), " +
+      "m3 AS (SELECT u.l AS l, u.r AS r, count(*) AS cnt FROM c3 GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1), " +
+      "s3 AS (SELECT doc_id, trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ', ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || '+' || m.r || ' '), '  ', ' ')) AS t FROM s2, m3 AS m) "
+
+  /** The d73/s24 Count-Min rare-token replay, shared by the batch gate
+    * and the at-ingest twin: the sketch is replayed as a (j, b, s)
+    * counter relation — buckets are integer 12-bit slices of the 60-bit
+    * md5-prefix hash and counters are plain sums, so the estimate (min
+    * over rows, empty cell = 0), every collision, the trained cutoff
+    * (top-ceil(5%)-rarest history minimum, floored at 1 ppm), and the
+    * strict-below admission all replay EXACTLY in integer arithmetic.
+    */
+  private def rareGateOracleSql: String =
+    "WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents), " +
+      "hv AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM toks), " +
+      "hist AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt FROM hv WHERE doc_id % 2 = 0 GROUP BY h), " +
+      "tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS t FROM hist), " +
+      "cells AS (SELECT g.j, (h >> (12 * g.j)) & 4095 AS b, CAST(sum(cnt) AS BIGINT) AS s FROM hist, (SELECT unnest([0, 1, 2]) AS j) g GROUP BY 1, 2), " +
+      "uh AS (SELECT DISTINCT h FROM hv), " +
+      "eh AS (SELECT uh.h, CAST(min(coalesce(c.s, 0)) AS BIGINT) AS est FROM uh CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) g LEFT JOIN cells c ON c.j = g.j AND c.b = (uh.h >> (12 * g.j)) & 4095 GROUP BY uh.h), " +
+      "d AS (SELECT hv.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(count(*) FILTER (WHERE eh.est * 256 < (SELECT t FROM tot)) AS BIGINT) AS n_rare FROM hv JOIN eh USING (h) GROUP BY hv.doc_id), " +
+      "sc AS (SELECT doc_id, n_tokens, n_rare, (1000000 * n_rare) // n_tokens AS rare_ppm FROM d), " +
+      "hr AS (SELECT doc_id, rare_ppm, row_number() OVER (ORDER BY rare_ppm DESC, doc_id) AS rk FROM sc WHERE doc_id % 2 = 0), " +
+      "nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM hr), " +
+      "cut AS (SELECT greatest(coalesce((SELECT min(rare_ppm) FROM hr, nn WHERE rk <= (n_docs + 19) // 20), 9223372036854775807), 1) AS c) " +
+      "SELECT doc_id, n_tokens, n_rare, rare_ppm FROM sc, cut WHERE doc_id % 2 = 1 AND rare_ppm < c"
 
   /** The shared kNN-graph replay (d58 / d60): all same-cell cosine
     * pairs ranked per query vector with a plain window.
@@ -792,6 +841,21 @@ object SparkEntry {
       (minkCteSql +
         "SELECT doc_id, n_bigrams, mink_fx FROM mv WHERE mink_fx < " +
         "(SELECT min(mink_fx) FROM mr, nn WHERE rk <= (n_docs + 19) // 20)"),
+    // heavy hitters: the Count-Min sketch replayed as a (j, b, s)
+    // counter relation — integer slices and sums, so the estimate and
+    // every collision are exact on both engines; top-20 cut is
+    // deterministic under the (cnt desc, token) total order
+    "d72_heavy_hitters" ->
+      ("WITH toks AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents), " +
+        "vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM toks GROUP BY w), " +
+        "cells AS (SELECT g.j, (h >> (12 * g.j)) & 4095 AS b, CAST(sum(cnt) AS BIGINT) AS s FROM vocab, (SELECT unnest([0, 1, 2]) AS j) g GROUP BY 1, 2), " +
+        "est AS (SELECT v.w, v.cnt, CAST(min(c.s) AS BIGINT) AS cms_est FROM vocab v CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) g JOIN cells c ON c.j = g.j AND c.b = (v.h >> (12 * g.j)) & 4095 GROUP BY v.w, v.cnt) " +
+        "SELECT w AS token, cnt, cms_est, cms_est - cnt AS overcount FROM est ORDER BY cnt DESC, w LIMIT 20"),
+    // d73/s24 rare-token gate: the sketch, the cutoff training, and the
+    // strict-below admission replay in one shared oracle — the gate is
+    // stateless per arrival, so streamed admissions equal batch exactly
+    "d73_rare_gate" -> rareGateOracleSql,
+    "s24_stream_rare_gate" -> rareGateOracleSql,
     // Bloom gate: k=3 20-bit hex slices of the d1 fingerprint mod 2^16 —
     // pure integer arithmetic, so the filter AND its false positives
     // replay exactly; the oracle probes the position set directly
@@ -907,20 +971,20 @@ object SparkEntry {
     // doc_id carried through), apply merge 3 too, then count tokens per
     // document before and after — parity is the same string algebra
     "d37_bpe_encode" ->
-      ("WITH s0 AS (SELECT doc_id, lower(trim(text)) AS t FROM documents WHERE lower(trim(text)) <> ''), " +
-        "c1 AS (SELECT unnest([{'l': ws[i], 'r': ws[i+1]} for i in range(1, len(ws))]) AS u FROM (SELECT string_split(t, ' ') AS ws FROM s0) WHERE len(ws) >= 2), " +
-        "m1 AS (SELECT u.l AS l, u.r AS r, count(*) AS cnt FROM c1 GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1), " +
-        "s1 AS (SELECT doc_id, trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ', ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || '+' || m.r || ' '), '  ', ' ')) AS t FROM s0, m1 AS m), " +
-        "c2 AS (SELECT unnest([{'l': ws[i], 'r': ws[i+1]} for i in range(1, len(ws))]) AS u FROM (SELECT string_split(t, ' ') AS ws FROM s1) WHERE len(ws) >= 2), " +
-        "m2 AS (SELECT u.l AS l, u.r AS r, count(*) AS cnt FROM c2 GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1), " +
-        "s2 AS (SELECT doc_id, trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ', ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || '+' || m.r || ' '), '  ', ' ')) AS t FROM s1, m2 AS m), " +
-        "c3 AS (SELECT unnest([{'l': ws[i], 'r': ws[i+1]} for i in range(1, len(ws))]) AS u FROM (SELECT string_split(t, ' ') AS ws FROM s2) WHERE len(ws) >= 2), " +
-        "m3 AS (SELECT u.l AS l, u.r AS r, count(*) AS cnt FROM c3 GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1), " +
-        "s3 AS (SELECT doc_id, trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ', ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || '+' || m.r || ' '), '  ', ' ')) AS t FROM s2, m3 AS m) " +
+      (bpeCteSql +
         "SELECT s0.doc_id, len(string_split(s0.t, ' ')) AS n_ws, len(string_split(s3.t, ' ')) AS n_bpe, " +
         "len(string_split(s0.t, ' ')) - len(string_split(s3.t, ' ')) AS saved, " +
         "(1000000 * len(string_split(s3.t, ' '))) // len(string_split(s0.t, ' ')) AS compress_ppm " +
         "FROM s0 JOIN s3 USING (doc_id)"),
+    // tokenizer fertility: the same train+encode replay rolled up per
+    // language in exact integer ppm
+    "d74_token_fertility" ->
+      (bpeCteSql +
+        "SELECT s0.lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len(string_split(s0.t, ' '))) AS BIGINT) AS total_words, " +
+        "CAST(sum(len(string_split(s3.t, ' '))) AS BIGINT) AS total_bpe, " +
+        "CAST((1000000 * sum(len(string_split(s3.t, ' ')))) // sum(len(string_split(s0.t, ' '))) AS BIGINT) AS fertility_ppm " +
+        "FROM s0 JOIN s3 USING (doc_id) GROUP BY s0.lang"),
     // PII redaction: the corpus has no PII (spec-asserted), so both
     // engines plant the same doc_id-derived emails/phones/IPs, then
     // scrub with patterns whose Java-regex and RE2 semantics coincide

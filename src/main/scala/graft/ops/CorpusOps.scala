@@ -1059,21 +1059,47 @@ object CorpusOps {
   }
 
   /** Tokenize any `(doc_id, text)` corpus with an ordered BPE merge
-    * list — see [[d37BpeEncode]].
+    * list — see [[d37BpeEncode]]. `carry` columns ride the scan into
+    * the output unchanged (d74's lang rollup — no re-attach join).
     */
-  def bpeEncode(docs: DataFrame, merges: Seq[String]): DataFrame = {
+  def bpeEncode(docs: DataFrame, merges: Seq[String], carry: Seq[String] = Nil): DataFrame = {
     val base = docs
-      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .select(col("doc_id") +: carry.map(col) :+ lower(trim(col("text"))).as("t"): _*)
       .filter(col("t") =!= "")
     val encoded = merges.foldLeft(col("t")) { (t, pair) =>
       val Array(l, r) = pair.split(" ")
       bpeMergeApply(t, l, r)
     }
-    base.select(col("doc_id"),
-        size(split(col("t"), " ")).cast("long").as("n_ws"),
-        size(split(encoded, " ")).cast("long").as("n_bpe"))
+    base.select(col("doc_id") +: carry.map(col) :+
+        size(split(col("t"), " ")).cast("long").as("n_ws") :+
+        size(split(encoded, " ")).cast("long").as("n_bpe"): _*)
       .withColumn("saved", col("n_ws") - col("n_bpe"))
       .withColumn("compress_ppm", expr("(1000000 * n_bpe) div n_ws"))
+  }
+
+  /** d74: TOKENIZER FERTILITY REPORT — the per-language audit shipped
+    * with every tokenizer release (fertility = subword tokens per
+    * whitespace word, the multilingual-equity metric of the XLM-R /
+    * NLLB tokenizer analyses): d33's trained merge list applied by
+    * [[bpeEncode]], rolled up per language into exact integer ppm. A
+    * language whose fertility stays near 10^6 gains nothing from the
+    * shared vocabulary (under-served by the training mix) — the signal
+    * mixture rebalancing (d29/d44) consumes. Output:
+    * `(lang, n_docs, total_words, total_bpe, fertility_ppm)`.
+    *
+    * SCALE: d37's zero-shuffle encode scan with lang CARRIED through
+    * it (no re-attach join, no second text pass), then one map-side-
+    * combined rollup to O(langs) rows.
+    */
+  def d74TokenFertility(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = bpeTrain(docs, iters).collect()
+      .sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    bpeEncode(docs, merges, carry = Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_ws")).as("total_words"),
+        sum(col("n_bpe")).as("total_bpe"))
+      .withColumn("fertility_ppm", expr("(1000000 * total_bpe) div total_words"))
   }
 
   /** Language-MIXTURE rebalancing — the "data mixing" step of a
@@ -2960,5 +2986,197 @@ object CorpusOps {
           .when(col("bucket") < 90, "val")
           .otherwise("test"))
       .select(col("doc_id"), col("canonical_id"), col("split"))
+  }
+
+  // ---- d72/d73/s24: Count-Min frequency sketch family ----------------
+
+  /** CMS geometry for the corpus token sketch (see
+    * [[graft.functions.CmsAgg]]): depth 3 rows of 2^12 buckets — 12,288
+    * int64 counters, a 96 KB model — keyed by three DISJOINT 12-bit
+    * slices of the 60-bit md5-prefix token hash. Deployment sizes width
+    * to the vocabulary (~e/eps buckets for an eps·total additive error
+    * bound); the estimate and probe are geometry-generic integer
+    * arithmetic, so only these two constants move.
+    */
+  private[graft] val CmsWidth = 4096
+  private[graft] val CmsDepth = 3
+  private val CmsBits = 12
+
+  /** The scalar 60-bit md5-prefix token hash (d59/d65's convention). */
+  private def tokenHash(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+
+  /** [[heavyHittersOver]]'s one live vocabulary cache: the relation
+    * feeds the sketch-training aggregate AND the estimate/rank pass at
+    * the caller's action, after this op returned — the
+    * replace-on-next-call contract (see [[ReplaceOnCallCache]]).
+    */
+  private val vocabCache = new ReplaceOnCallCache
+
+  /** The trained frequency model over a `(w, cnt)` vocabulary relation:
+    * (CMS counters, total token count), collected as ONE 96 KB row (the
+    * d62/d66 small-model precedent — bounded at O(depth·width)
+    * regardless of corpus size). The sketch is built FROM the already-
+    * collapsed vocabulary — one weighted update of cnt per distinct
+    * token — so the building pass aggregates vocabulary-sized integer
+    * rows map-side; the token stream itself never shuffles.
+    */
+  private[graft] def cmsModel(vocab: DataFrame): (Seq[Long], Long) = {
+    val r = vocab
+      .select(tokenHash(col("w")).as("h"), col("cnt"))
+      .agg(graft.functions.CmsAgg.cmsAgg(col("h"), col("cnt"), CmsWidth, CmsDepth).as("cms"),
+        coalesce(sum(col("cnt")), lit(0L)).as("total"))
+      .head()
+    (r.getSeq[Long](0), r.getLong(1))
+  }
+
+  /** The zero-shuffle CMS point-estimate expression over a 60-bit hash
+    * column — min over the depth rows' literal counters, an OVERESTIMATE
+    * never an underestimate (the one-sided CMS bound both gate
+    * directions below lean on). Shared VERBATIM by the batch rows and
+    * the s24 at-ingest gate. Bind the hash as a real column or lambda
+    * variable at call sites: the expression references `h` once per row
+    * (the d47 inline-expansion lesson).
+    */
+  private[graft] def cmsEstimate(cms: Seq[Long], h: Column): Column = {
+    val clit = typedlit(cms)
+    (0 until CmsDepth).map { j =>
+      element_at(clit, (lit((j * CmsWidth).toLong)
+        + pmod(shiftright(h, CmsBits * j), lit(CmsWidth.toLong)) + lit(1L)).cast("int"))
+    }.reduce(least(_, _))
+  }
+
+  /** Output size of [[d72HeavyHitters]]. */
+  private val HeavyHittersK = 20
+
+  /** d72: CORPUS HEAVY HITTERS — the top-[[HeavyHittersK]] tokens by
+    * exact count, each carrying its Count-Min estimate and the
+    * estimate's overcount: the frequency-sketch audit a boilerplate/
+    * stop-list builder runs before trusting the sketch at a scale where
+    * only the sketch is affordable. `overcount >= 0` always (the CMS
+    * one-sided bound), `= 0` when none of the token's three rows
+    * collide.
+    *
+    * SCALE: one tokenize collapses map-side to the vocabulary relation
+    * (the d23 single-scan discipline); the sketch build reads it ONCE
+    * into 96 KB of counters (no second text scan — the vocabulary is
+    * cached, vocabulary-sized); the top-k is TakeOrderedAndProject
+    * (distributed partial top-k, no global sort), and the estimate is
+    * three literal lookups per row.
+    */
+  def d72HeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    heavyHittersOver(Tables.documents(spark, sfDir))
+
+  /** [[d72HeavyHitters]]'s core over any `(doc_id, text)` relation. */
+  private[graft] def heavyHittersOver(docs: DataFrame): DataFrame = {
+    val vocab = vocabCache.register(
+      docs.select(explode(words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt")))
+    val (cms, _) = cmsModel(vocab)
+    vocab
+      .select(col("w").as("token"), col("cnt"),
+        cmsEstimate(cms, tokenHash(col("w"))).as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(HeavyHittersK)
+  }
+
+  /** Rarity threshold for [[d73RareGate]]: a token is RARE iff its
+    * estimated count times this denominator is below the history's
+    * total token count (est < total/256 — i.e. under ~0.4% of the
+    * stream). `est * 256` stays in int64 while total < 2^55 tokens,
+    * far beyond any corpus.
+    */
+  private[graft] val RareDen = 256L
+
+  /** [[rareGate]]'s cutoff trains on the top ceil(1/20) rarest history
+    * documents (the d67 suspect-cut convention).
+    */
+  private val RareSuspectDen = 20L
+
+  /** [[bucketRank]] width for the rare_ppm rank (range [0, 10^6]). */
+  private val RarePpmBucketWidth = 4096L
+
+  /** Per-document rare-token scoring shared VERBATIM by the batch gate
+    * and the s24 at-ingest gate: `(doc_id, n_tokens, n_rare, rare_ppm)`
+    * with multiplicity (a gibberish page repeating one OOV token IS
+    * mostly rare). Stateless zero-shuffle projection over the 96 KB
+    * literal sketch — tokens hash once each (lambda-bound), estimates
+    * are three literal lookups, the ppm is exact integer arithmetic.
+    * Works identically on a batch relation and a stream.
+    */
+  private[graft] def rareScored(docs: DataFrame, cms: Seq[Long], total: Long): DataFrame =
+    docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        size(filter(transform(col("ws"), w => tokenHash(w)),
+          h => cmsEstimate(cms, h) * lit(RareDen) < lit(total)))
+          .cast("long").as("n_rare"))
+      .withColumn("rare_ppm", expr("(1000000 * n_rare) div n_tokens"))
+
+  /** [[rareGate]]'s one live scored-history cache (consumed by the
+    * bucketRank offsets join and the count — the d67 pattern).
+    */
+  private val rareScoredCache = new ReplaceOnCallCache
+
+  /** The trained gate for d73/s24: the history half's (CMS counters,
+    * total, cutoff). The cutoff is the minimum rare_ppm of the history's
+    * own top-ceil(5%) rarest documents — scored through the SAME sketch
+    * arrivals will see — floored at 1 ppm: an all-common history (every
+    * doc rare_ppm 0) would otherwise train cutoff 0 and reject every
+    * arrival; the floor degrades that corpus to "reject any arrival
+    * with ANY rare token", closed but never total. An EMPTY history has
+    * no vocabulary to judge against: cutoff Long.MaxValue admits
+    * everything (the minkGate no-reference convention).
+    */
+  private[graft] def rareGate(spark: SparkSession, sfDir: String): (Seq[Long], Long, Long) = {
+    val docs = Tables.documents(spark, sfDir)
+    val hist = docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+    val (cms, total) = cmsModel(
+      hist.select(explode(words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt")))
+    val scored = rareScoredCache.register(rareScored(hist, cms, total)
+      .withColumn("b", expr(s"(-rare_ppm) div $RarePpmBucketWidth")))
+    val n = broadcast(scored.agg(count(lit(1)).as("n_docs")))
+    val cutRow = bucketRank(scored, Seq.empty, Seq(col("rare_ppm").desc, col("doc_id")))
+      .crossJoin(n)
+      .filter(col("rk") <= expr(s"(n_docs + ${RareSuspectDen - 1}) div $RareSuspectDen"))
+      .agg(min(col("rare_ppm"))).head()
+    val cutoff = if (cutRow.isNullAt(0)) Long.MaxValue else math.max(cutRow.getLong(0), 1L)
+    (cms, total, cutoff)
+  }
+
+  /** The arrival-side gate — shared VERBATIM by batch d73 and the s24
+    * at-ingest gate (the two must agree bit for bit per document):
+    * admitted iff rare_ppm sits strictly BELOW the trained cutoff
+    * (ties rejected — a gibberish screen fails closed at the boundary).
+    */
+  private[graft] def rareGateWith(cms: Seq[Long], total: Long, cutoff: Long,
+      arrivals: DataFrame): DataFrame =
+    rareScored(arrivals, cms, total).filter(col("rare_ppm") < cutoff)
+
+  /** d73: RARE-TOKEN (OOV/gibberish) GATE against a HISTORICAL corpus —
+    * the frequency-based quality screen crawl pipelines run at ingest
+    * (the C4/Gopher "mostly dictionary words" family, made deployable
+    * at any history size by the [[graft.functions.CmsAgg]] sketch):
+    * arrivals (odd doc_ids, the d62 convention) score the fraction of
+    * their token stream whose HISTORY-estimated frequency is below
+    * total/[[RareDen]], and are admitted iff that fraction sits below
+    * the trained cutoff. CMS collisions can only INFLATE an estimate —
+    * i.e. make a token look more common — so n_rare UNDERCOUNTS and the
+    * gate errs toward ADMITTING (the spec pins the direction and that
+    * the production geometry is collision-free on the gate corpus);
+    * the cutoff itself trains through the same sketch, so the bias
+    * cancels to first order at the boundary.
+    *
+    * SCALE: the d62/d66 collapse — a history of ANY size becomes 96 KB
+    * of counters in one map-side-combined pass over the vocabulary
+    * relation, and the arrival side is a stateless zero-shuffle
+    * projection, wire-speed at a 1000-node ingest tier.
+    */
+  def d73RareGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val (cms, total, cutoff) = rareGate(spark, sfDir)
+    rareGateWith(cms, total, cutoff,
+      Tables.documents(spark, sfDir).filter(pmod(col("doc_id"), lit(2L)) === 1L))
   }
 }

@@ -1316,6 +1316,38 @@ object StreamingQueries {
     spark.table(mem)
   }
 
+  /** RARE-TOKEN (OOV/gibberish) firewall at ingest — d73's frequency
+    * screen running at the ingest tier: the history half's Count-Min
+    * sketch, total token count, and rarity cutoff train once
+    * (`CorpusOps.rareGate` — the 96 KB sketch is the whole model),
+    * every arriving document scores the rare fraction of its token
+    * stream through the IDENTICAL zero-shuffle projection
+    * (`CorpusOps.rareGateWith`, shared verbatim — the s16/s21/s23
+    * train-in-batch / apply-at-ingest discipline), and is admitted iff
+    * rare_ppm sits strictly BELOW the cutoff (ties rejected — the
+    * screen fails closed at the boundary). Stateless, no state store,
+    * no watermark.
+    */
+  def s24StreamRareGate(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+    val shardDir = corpusShardDir(spark, sfDir)
+    val (cms, total, cutoff) = graft.ops.CorpusOps.rareGate(spark, sfDir)
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
+    val q = graft.ops.CorpusOps.rareGateWith(cms, total, cutoff,
+        ShardedCorpus.readStream(spark, shardDir, maxFilesPerTrigger)
+          .filter(pmod(col("doc_id"), lit(2L)) === 1L))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
+
   /** Streaming event-time SESSIONIZATION: the native `session_window`
     * operator (q_session_window's batch twin) run as a streaming
     * aggregation — the MERGING-window state operator, qualitatively

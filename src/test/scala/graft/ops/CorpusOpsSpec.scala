@@ -269,6 +269,40 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(rows.map(_.getLong(3)).sum > 0, "no merge applications landed")
   }
 
+  test("d74 fertility report: planted two-language rollup, and the fixture rollup equals d37 re-aggregated") {
+    import spark.implicits._
+    // lang en = the d37 fixture docs (merges land), lang xx = text the
+    // trained merges never touch (fertility exactly 10^6 — the
+    // under-served-language signal)
+    val docs = Seq(
+      (1L, "en", "a b b b b c"), (2L, "en", "x b b c y"), (3L, "en", "q b b c q"),
+      (4L, "xx", "m n o"), (6L, "xx", "o n m")
+    ).toDF("doc_id", "lang", "text")
+    val merges = CorpusOps.bpeTrain(docs, iters = 2)
+      .collect().sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    val out = CorpusOps.bpeEncode(docs, merges, carry = Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_ws")).as("tw"), sum(col("n_bpe")).as("tb"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out("en") shouldBe ((3L, 16L, 9L))  // 6+5+5 words -> 3+3+3 bpe tokens
+    out("xx") shouldBe ((2L, 6L, 6L))   // untouched
+
+    // the gate row on the fixture = d37's per-doc accounting re-aggregated
+    val fert = CorpusOps.d74TokenFertility(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val expect = CorpusOps.d37BpeEncode(spark, sf001)
+      .join(graft.Tables.documents(spark, sf001).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_ws")).as("tw"), sum(col("n_bpe")).as("tb"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          1000000L * r.getLong(3) / r.getLong(2)))).toMap
+    fert shouldBe expect
+    fert.values.foreach { case (_, tw, tb, ppm) =>
+      assert(tb <= tw && ppm <= 1000000L && ppm > 0L)
+    }
+  }
+
   test("d38 PII redaction scrubs planted emails/phones/IPs and leaves clean text byte-identical") {
     import spark.implicits._
     val docs = Seq(

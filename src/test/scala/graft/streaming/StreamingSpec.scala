@@ -1565,6 +1565,20 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
     d67.unpersist()
   }
 
+  test("streaming rare-token gate admits exactly the batch set under 1-file triggers") {
+    // the Count-Min OOV firewall (s24): the 96 KB sketch, the history
+    // total and the rarity cutoff are batch-trained and FIXED, scoring
+    // is a stateless per-row projection — so admissions must equal the
+    // batch d73 rows exactly under any shard interleaving
+    val streamed = StreamingQueries
+      .s24StreamRareGate(spark, sf001, maxFilesPerTrigger = Some(1))
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"), col("rare_ppm"))
+    val batch = graft.ops.CorpusOps.d73RareGate(spark, sf001)
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"), col("rare_ppm"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming winnow ingest emits batch-identical sketch summaries (1-file triggers)") {
     // stateless per-row selection against no trained model at all: the
     // per-doc (n_sel, gh_sum, pos_sum) rows must equal the batch d52
