@@ -45,7 +45,20 @@ spark.sql.legacy.parquet.nanosAsLong=true and converts nanos itself, so
 the scaled file must keep the parquet NANOS physical type of the
 originals.
 
-Usage: python3 tools/gen_scale.py <srcSfDir> <outDir> <replicas>
+The embedding replication has TWO modes, because the vector families
+have two distinct scale directions and each hides the other's cost:
+
+ - default (occupancy growth): replicas keep the ORIGINAL cell labels,
+   so per-cell occupancy grows R-fold and the per-cell quadratic
+   stages of d46/d55/d58/d60 see ~R^2 pair volume — the densify-stress
+   direction (what a corpus whose clusters fill in would do);
+ - --remap-labels (cell growth): replicas get label + r*offset, so
+   occupancy stays EXACTLY the source's while the cell COUNT grows
+   R-fold — the deployment direction (a production corpus re-trains
+   its quantizer as it grows, keeping cells bounded), where memory per
+   cell is flat and total work is linear in R.
+
+Usage: python3 tools/gen_scale.py <srcSfDir> <outDir> <replicas> [--remap-labels]
 """
 import os
 import sys
@@ -55,6 +68,7 @@ import duckdb
 
 def main() -> None:
     src, out, reps = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    remap_labels = "--remap-labels" in sys.argv[4:]
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
 
@@ -143,9 +157,14 @@ def main() -> None:
     emb_cases = " ".join(
         f"WHEN {r} THEN {signed_perm_sql(r)}" for r in range(1, reps))
     emb_expr = f"CASE r {emb_cases} ELSE embedding END" if reps > 1 else "embedding"
+    # label mode (module doc): copied labels grow per-cell occupancy
+    # R-fold (densify stress); remapped labels grow the cell COUNT
+    # R-fold at the source occupancy (deployment direction)
+    lbl_off = con.execute(f"SELECT max(label) + 1 FROM {read('embeddings')}").fetchone()[0]
+    lbl_expr = f"label + r * {lbl_off}" if remap_labels else "label"
     copy(f"SELECT vec_id + r * {off['embeddings']} AS vec_id, "
          f"{emb_expr} AS embedding, "
-         f"label FROM {read('embeddings')}, {rng}", "embeddings")
+         f"{lbl_expr} AS label FROM {read('embeddings')}, {rng}", "embeddings")
 
 
 if __name__ == "__main__":
