@@ -983,7 +983,8 @@ object SparkEntry {
         "SELECT s0.lang, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(len(string_split(s0.t, ' '))) AS BIGINT) AS total_words, " +
         "CAST(sum(len(string_split(s3.t, ' '))) AS BIGINT) AS total_bpe, " +
-        "CAST((1000000 * sum(len(string_split(s3.t, ' ')))) // sum(len(string_split(s0.t, ' '))) AS BIGINT) AS fertility_ppm " +
+        "CAST((sum(len(string_split(s3.t, ' '))) // sum(len(string_split(s0.t, ' ')))) * 1000000 " +
+        "+ ((sum(len(string_split(s3.t, ' '))) % sum(len(string_split(s0.t, ' ')))) * 1000000) // sum(len(string_split(s0.t, ' '))) AS BIGINT) AS fertility_ppm " +
         "FROM s0 JOIN s3 USING (doc_id) GROUP BY s0.lang"),
     // PII redaction: the corpus has no PII (spec-asserted), so both
     // engines plant the same doc_id-derived emails/phones/IPs, then

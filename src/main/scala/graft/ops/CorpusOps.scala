@@ -1099,7 +1099,13 @@ object CorpusOps {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_ws")).as("total_words"),
         sum(col("n_bpe")).as("total_bpe"))
-      .withColumn("fertility_ppm", expr("(1000000 * total_bpe) div total_words"))
+      // Euclidean split (the d47/d67 discipline): these are CORPUS-sized
+      // sums, so the naive 10^6 * total_bpe wraps int64 past ~9.2e12
+      // tokens per language; the split is value-identical and keeps
+      // every intermediate under 10^6 * total_words' REMAINDER
+      .withColumn("fertility_ppm", expr(
+        "(total_bpe div total_words) * 1000000" +
+          " + ((total_bpe % total_words) * 1000000) div total_words"))
   }
 
   /** Language-MIXTURE rebalancing — the "data mixing" step of a
@@ -3013,6 +3019,16 @@ object CorpusOps {
     */
   private val vocabCache = new ReplaceOnCallCache
 
+  /** The `(w, cnt)` token vocabulary of a corpus — the ONE relation
+    * every CMS consumer trains/ranks over (d72's exact counts, d73/s24's
+    * history sketch). Single definition so the two gates' oracles can
+    * never desynchronize on tokenization (the bpeCteSql/md5Prefix60
+    * no-copy-to-drift discipline).
+    */
+  private def vocabOver(docs: DataFrame): DataFrame =
+    docs.select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
   /** The trained frequency model over a `(w, cnt)` vocabulary relation:
     * (CMS counters, total token count), collected as ONE 96 KB row (the
     * d62/d66 small-model precedent — bounded at O(depth·width)
@@ -3069,13 +3085,14 @@ object CorpusOps {
 
   /** [[d72HeavyHitters]]'s core over any `(doc_id, text)` relation. */
   private[graft] def heavyHittersOver(docs: DataFrame): DataFrame = {
-    val vocab = vocabCache.register(
-      docs.select(explode(words(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("cnt")))
+    val vocab = vocabCache.register(vocabOver(docs))
     val (cms, _) = cmsModel(vocab)
+    // h bound as a real column: cmsEstimate references it depth times
+    // (its own documented call-site contract — the d47 lesson)
     vocab
+      .withColumn("h", tokenHash(col("w")))
       .select(col("w").as("token"), col("cnt"),
-        cmsEstimate(cms, tokenHash(col("w"))).as("cms_est"))
+        cmsEstimate(cms, col("h")).as("cms_est"))
       .withColumn("overcount", col("cms_est") - col("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(HeavyHittersK)
@@ -3114,10 +3131,6 @@ object CorpusOps {
           .cast("long").as("n_rare"))
       .withColumn("rare_ppm", expr("(1000000 * n_rare) div n_tokens"))
 
-  /** [[rareGate]]'s one live scored-history cache (consumed by the
-    * bucketRank offsets join and the count — the d67 pattern).
-    */
-  private val rareScoredCache = new ReplaceOnCallCache
 
   /** The trained gate for d73/s24: the history half's (CMS counters,
     * total, cutoff). The cutoff is the minimum rare_ppm of the history's
@@ -3132,16 +3145,20 @@ object CorpusOps {
   private[graft] def rareGate(spark: SparkSession, sfDir: String): (Seq[Long], Long, Long) = {
     val docs = Tables.documents(spark, sfDir)
     val hist = docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)
-    val (cms, total) = cmsModel(
-      hist.select(explode(words(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("cnt")))
-    val scored = rareScoredCache.register(rareScored(hist, cms, total)
-      .withColumn("b", expr(s"(-rare_ppm) div $RarePpmBucketWidth")))
+    val (cms, total) = cmsModel(vocabOver(hist))
+    // plain persist, not a ReplaceOnCallCache: unlike the pplScored/
+    // minkScored precedents nothing lazy escapes this function — every
+    // consumer (offsets join, count, the cut head()) runs before return,
+    // so the scored history is released deterministically here
+    val scored = rareScored(hist, cms, total)
+      .withColumn("b", expr(s"(-rare_ppm) div $RarePpmBucketWidth"))
+      .persist()
     val n = broadcast(scored.agg(count(lit(1)).as("n_docs")))
     val cutRow = bucketRank(scored, Seq.empty, Seq(col("rare_ppm").desc, col("doc_id")))
       .crossJoin(n)
       .filter(col("rk") <= expr(s"(n_docs + ${RareSuspectDen - 1}) div $RareSuspectDen"))
       .agg(min(col("rare_ppm"))).head()
+    scored.unpersist()
     val cutoff = if (cutRow.isNullAt(0)) Long.MaxValue else math.max(cutRow.getLong(0), 1L)
     (cms, total, cutoff)
   }

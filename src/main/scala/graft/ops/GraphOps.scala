@@ -306,13 +306,22 @@ object GraphOps {
     // e0 rather than the raw list is exactly as safe and one job cheaper.
     val stats = cur
       .agg(sum(col("a").cast("decimal(38,0)") + col("b").cast("decimal(38,0)")),
-        count(lit(1)), min(col("a")))
+        count(lit(1)),
+        // decimal, not getLong: min(a) inherits the EDGE LIST's id type
+        // (Int ids are legal public input) — the pre-fusion probe read
+        // through the same cast and must keep doing so
+        min(col("a")).cast("decimal(38,0)"))
       .head()
     var prev = stats.getDecimal(0)
     if (prev != null) { // null = no edges survive: every node labels itself below
-      require(stats.getLong(2) >= 0,
-        s"connectedComponentsStar requires non-negative node ids (min id = ${stats.getLong(2)}); " +
-          "fold ids through a non-negative mapping first")
+      if (stats.getDecimal(2).signum() < 0) {
+        // reject BEFORE entering the loop, and don't leak the canonical
+        // edge set the stats pass just materialized into cache
+        cur.unpersist()
+        throw new IllegalArgumentException(
+          s"connectedComponentsStar requires non-negative node ids (min id = ${stats.getDecimal(2)}); " +
+            "fold ids through a non-negative mapping first")
+      }
       // Size the loop's exchanges to the GRAPH, not the session default —
       // the propagation loop's precedent (measured there: 9.6 -> 5.8 s at
       // sf0.1): every exchange inside the loop is an explicit repartition

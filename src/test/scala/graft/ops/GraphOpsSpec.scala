@@ -122,4 +122,15 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
     assert(ex.getMessage.contains("non-negative"))
   }
+
+  test("star contraction accepts non-Long numeric id columns (Int ids)") {
+    // the fused stats pass reads min(a) through a decimal cast — a raw
+    // getLong here was a ClassCastException on Int-typed edge lists,
+    // which the pre-fusion probe accepted
+    import spark.implicits._
+    val out = GraphOps.connectedComponentsStar(
+        Seq((1, 2), (2, 3), (5, 6)).toDF("x", "y"))
+      .collect().map(r => (r.get(0).toString.toLong, r.get(1).toString.toLong)).toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L)
+  }
 }

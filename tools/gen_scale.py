@@ -160,8 +160,13 @@ def main() -> None:
     # label mode (module doc): copied labels grow per-cell occupancy
     # R-fold (densify stress); remapped labels grow the cell COUNT
     # R-fold at the source occupancy (deployment direction)
-    lbl_off = con.execute(f"SELECT max(label) + 1 FROM {read('embeddings')}").fetchone()[0]
-    lbl_expr = f"label + r * {lbl_off}" if remap_labels else "label"
+    if remap_labels:
+        lbl_off = con.execute(
+            f"SELECT max(label) + 1 FROM {read('embeddings')}").fetchone()[0]
+        # empty source: nothing to remap — fall through to the plain copy
+        lbl_expr = f"label + r * {lbl_off}" if lbl_off is not None else "label"
+    else:
+        lbl_expr = "label"
     copy(f"SELECT vec_id + r * {off['embeddings']} AS vec_id, "
          f"{emb_expr} AS embedding, "
          f"{lbl_expr} AS label FROM {read('embeddings')}, {rng}", "embeddings")
