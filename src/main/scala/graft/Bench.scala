@@ -370,6 +370,22 @@ object Bench {
     // push the metric line out of its window (r6's artifact had parsed:null).
     java.nio.file.Files.createDirectories(lastJson.getParent)
     java.nio.file.Files.write(lastJson, json.getBytes("UTF-8"))
+    // The driver captures only a bounded TAIL of stdout, and the full line
+    // above (128 queries x telemetry) far exceeds it — r10/r11 both shipped
+    // `parsed: null` bench artifacts because the tail held a truncated
+    // fragment of the full line. A compact totals-only summary printed LAST
+    // always fits the window; per-query detail lives in the full line above
+    // and in target/bench_last.json. `queries` carries the 5 slowest so the
+    // tail alone still names where the time went.
+    val slowest = results.sortBy(-_._2.sec).take(5)
+      .map { case (k, m, _, _) => s"\"" + k + "\":" + f(m.sec) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"""" +
+        s""","n":${results.size},"parallelism":$cpus,"contended":$contended""" +
+        s""","suspectCount":${suspectNames.size},"minSpinMs":${f(minSpinMs)}""" +
+        s""","spinNormTotal":${f(spinNormTotal(total, minSpinMs))}""" +
+        s""","queries":$slowest,"full":"target/bench_last.json"}""")
     } catch { case qf: QueryFailed => emitFailureAndExit(lastJson, sfDir, qf) }
     spark.stop()
   }

@@ -252,8 +252,38 @@ object CorpusOps {
     * pairs match many bands while background pairs almost always match
     * exactly one. minBands = 1 is plain LSH (dedup only).
     */
+  /** Band-bucket size above which [[candidatePairsFromBands]] routes a
+    * bucket through salted sub-bucket pair generation. Banding keeps
+    * TYPICAL buckets tiny (background-collision analysis at d2/d14/d16),
+    * but boilerplate-heavy crawl corpora concentrate real buckets
+    * (template pages, empty docs, licence headers): a bucket of n docs
+    * costs O(n) per-task memory in the grouped kernel, so an unguarded
+    * million-doc bucket is an executor OOM. 4096 payloads is a few
+    * hundred KB buffered — far below task memory — while the salted path
+    * it triggers bounds memory at ~2x this cap regardless of n.
+    */
+  private[ops] val BandBucketCap = 4096L
+
+  /** Ceiling on DISTINCT hot buckets the per-bucket salted split handles
+    * (the hot key list is collected to the driver to size each bucket's
+    * salt fan-out — 64k keys x 24 bytes is ~1.5 MB, a bounded model-sized
+    * collect). A corpus exceeding it is pathological everywhere, and the
+    * kernel falls back to salting EVERY bucket at a fixed fan-out instead
+    * of splitting — slower, but memory stays bounded and the pair set is
+    * unchanged.
+    */
+  private[ops] val MaxHotBandBuckets = 65536
+
+  /** Route taken by the most recent [[candidatePairsFromBands]] call —
+    * "cold" (no hot buckets), "split:<k>" (k hot buckets salted, rest
+    * cold) or "salted-all" — observability for the skew-guard specs, the
+    * GraphOps `lastRoute` convention. Test-only visibility; results are
+    * identical on every route.
+    */
+  @volatile private[ops] var lastBandRoute: String = ""
+
   private[ops] def candidatePairsFromBands(banded: DataFrame, minBands: Int = 1,
-      parts: Int = 0): DataFrame = {
+      parts: Int = 0, hotCap: Long = BandBucketCap): DataFrame = {
     val extras = banded.columns.filterNot(Set("doc_id", "band_id", "band_key"))
     val names = Seq("a_id", "b_id") ++ extras.flatMap(c => Seq(s"a_$c", s"b_$c"))
     val payload = struct((Seq("doc_id") ++ extras).map(col): _*)
@@ -264,19 +294,104 @@ object CorpusOps {
     // two pipelined Generates. A self-join materializes the signature
     // subplan TWICE (once per side — and exchange reuse cannot save a
     // broadcast side), doubling the most expensive CPU stage; here the
-    // kernel runs once per document. Per-task memory is O(largest
-    // bucket); banding is designed precisely to keep buckets small
-    // (background-collision analysis at d2/d14/d16), and no size cap is
-    // applied — a pathological corpus that concentrated a bucket would
-    // need bucket salting, not silent truncation.
-    val pairs = widened(banded, parts, col("band_id"), col("band_key"))
-      .groupBy(col("band_id"), col("band_key"))
-      .agg(collect_list(payload).as("bucket"))
+    // kernel runs once per document. Per-task memory is O(largest bucket),
+    // bounded at `hotCap` by the skew guard below.
+    def pairsOf(grouped: DataFrame): DataFrame = grouped
       .filter(size(col("bucket")) >= 2)
       .select(explode(col("bucket")).as("a"), col("bucket"))
       .select(col("a"), explode(col("bucket")).as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(out: _*)
+    // Salted sub-bucket pair generation for hot buckets, pair set provably
+    // unchanged (the ContainmentHotCap discipline, except LSH buckets
+    // cannot be DROPPED — a hot bucket is exactly the mass-duplicate case
+    // dedup exists for). Each doc gets salt = hash(doc_id) mod s and is
+    // replicated to the s sub-buckets {min(salt,k), max(salt,k)}: a
+    // cross-salt pair meets in exactly ONE sub-bucket ({sa,sb}); a
+    // same-salt pair meets in all s of them, so only its diagonal
+    // (k1 == k2 == salt) emission is kept. Per (band_id, band_key) every
+    // unordered pair is therefore emitted exactly once — the minBands
+    // consensus count below is untouched. Expected sub-bucket size is
+    // 2n/s <= 2*hotCap payloads (hash-spread salts), the memory bound.
+    def saltedPairs(hot: DataFrame): DataFrame = {
+      val salted = hot
+        .withColumn("salt", pmod(xxhash64(col("doc_id")), col("s").cast("long")).cast("int"))
+        .withColumn("k", explode(sequence(lit(0), col("s") - 1)))
+        .select(col("band_id"), col("band_key"), col("s"),
+          least(col("salt"), col("k")).as("k1"),
+          greatest(col("salt"), col("k")).as("k2"), payload.as("p"))
+      widened(salted, parts, col("band_id"), col("band_key"), col("k1"), col("k2"))
+        .groupBy(col("band_id"), col("band_key"), col("s"), col("k1"), col("k2"))
+        .agg(collect_list(col("p")).as("bucket"))
+        .filter(size(col("bucket")) >= 2)
+        .select(col("s"), col("k1"), col("k2"), explode(col("bucket")).as("a"), col("bucket"))
+        .select(col("s"), col("k1"), col("k2"), col("a"), explode(col("bucket")).as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .withColumn("sa", pmod(xxhash64(col("a.doc_id")), col("s").cast("long")).cast("int"))
+        .withColumn("sb", pmod(xxhash64(col("b.doc_id")), col("s").cast("long")).cast("int"))
+        .filter(col("sa") =!= col("sb") ||
+          (col("k1") === col("sa") && col("k2") === col("sa")))
+        .select(out: _*)
+    }
+    // Skew detection: a count pre-pass over a DETERMINISTIC 1-in-64 doc
+    // sample. The sample predicate is a plain filter on doc_id, so Catalyst
+    // pushes it below the signature projection and the pre-pass computes
+    // signatures for ~1.6% of the corpus (an unsampled count pre-pass
+    // re-paid the full signature scan: measured +57% on d2). Sampled
+    // threshold hotCap/256 catches true-size >= hotCap buckets with
+    // overwhelming probability (Binomial mean hotCap/64, e.g. 64 samples
+    // for the default cap vs a cutoff of 16); buckets a few times SMALLER
+    // than the cap occasionally flag too — routing is correctness-neutral,
+    // so over-detection only costs the salted plan shape. Hot keys are a
+    // bounded driver collect (<= corpus/hotCap buckets, further capped at
+    // MaxHotBandBuckets); the common no-skew case takes the original
+    // single-aggregation plan verbatim. Streaming callers (none today)
+    // skip detection: an eager action on an unbounded frame is illegal,
+    // and the streaming neardup family has its own stateful path.
+    val SampleMod = 64L
+    val hotKeys =
+      if (banded.isStreaming) Array.empty[org.apache.spark.sql.Row]
+      else banded.filter(pmod(xxhash64(col("doc_id")), lit(SampleMod)) === 0)
+        .groupBy(col("band_id"), col("band_key"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= math.max(1L, hotCap / (SampleMod * 4)))
+        .limit(MaxHotBandBuckets + 1).collect()
+    val pairs =
+      if (hotKeys.isEmpty) {
+        lastBandRoute = "cold"
+        pairsOf(widened(banded, parts, col("band_id"), col("band_key"))
+          .groupBy(col("band_id"), col("band_key"))
+          .agg(collect_list(payload).as("bucket")))
+      } else if (hotKeys.length > MaxHotBandBuckets) {
+        lastBandRoute = "salted-all"
+        saltedPairs(banded.withColumn("s", lit(256)))
+      } else {
+        lastBandRoute = s"split:${hotKeys.length}"
+        val spark = banded.sparkSession
+        val bkSchema = banded.select(col("band_id"), col("band_key")).schema
+        val hotSchema = org.apache.spark.sql.types.StructType(bkSchema.fields :+
+          org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.IntegerType, nullable = false))
+        val hotRows = hotKeys.toSeq.map { r =>
+          // n-hat = sampled count x SampleMod; s >= 2n/hotCap keeps
+          // expected sub-buckets at <= ~2*hotCap docs (sampling noise is
+          // within 2x whp at these means). The 4096 clamp bounds
+          // replication (fan-out is s per doc) — a bucket needing more
+          // holds >8M docs and is dominated by its own O(n^2) pair
+          // output, not by the salt replicas.
+          val nHat = r.getLong(2) * SampleMod
+          val s = math.min(4096L, math.max(2L, (2 * nHat + hotCap - 1) / hotCap)).toInt
+          org.apache.spark.sql.Row(r.get(0), r.get(1), s)
+        }
+        val hotDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(hotRows, 1), hotSchema)
+        val cold = banded.join(broadcast(hotDf.select(col("band_id"), col("band_key"))),
+          Seq("band_id", "band_key"), "left_anti")
+        val coldPairs = pairsOf(widened(cold, parts, col("band_id"), col("band_key"))
+          .groupBy(col("band_id"), col("band_key"))
+          .agg(collect_list(payload).as("bucket")))
+        coldPairs.unionByName(
+          saltedPairs(banded.join(broadcast(hotDf), Seq("band_id", "band_key"))))
+      }
     val grouped = widened(pairs, parts, col("a_id"), col("b_id"))
       .groupBy(names.map(col): _*)
       .count()

@@ -647,4 +647,48 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     bySlot.keys.toSeq.sorted shouldBe (1L to bySlot.size)
     bySlot.toSeq.sortBy(_._1).map(_._2) shouldBe bySlot.values.toSeq.sorted
   }
+
+  test("band skew guard: salted sub-bucket pairs equal the unsalted pair set, riders and minBands intact") {
+    import spark.implicits._
+    // one HOT bucket (600 docs in band 0 / key 111 — over the forced cap
+    // of 50), docs 0..9 ALSO share band 1 / key 222 (the consensus band),
+    // plus cold singleton buckets; the `fp` rider must survive both paths
+    val rows =
+      (0L until 600L).map(i => (i, 0, 111L, i * 7)) ++
+        (0L until 10L).map(i => (i, 1, 222L, i * 7)) ++
+        (600L until 650L).map(i => (i, 1, 1000L + i, i * 7))
+    val banded = rows.toDF("doc_id", "band_id", "band_key", "fp")
+    def run(minBands: Int, cap: Long) =
+      CorpusOps.candidatePairsFromBands(banded, minBands, 0, cap)
+        .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val salted = run(1, 50)
+    CorpusOps.lastBandRoute should startWith("split:") // the guard actually fired
+    val unsalted = run(1, Long.MaxValue)
+    CorpusOps.lastBandRoute shouldBe "cold"
+    salted shouldBe unsalted
+    salted.size shouldBe 600 * 599 / 2 // the 45 band-1 pairs are a subset of the hot bucket's
+    salted.foreach { case (a, b, afp, bfp) =>
+      assert(a < b); assert(afp == a * 7 && bfp == b * 7) // riders intact
+    }
+    // consensus: only docs 0..9 share BOTH bands — the count must not be
+    // inflated by a pair meeting several salted sub-buckets
+    val consensus = run(2, 50)
+    consensus.map(p => (p._1, p._2)) shouldBe
+      (for (a <- 0L until 10L; b <- (a + 1) until 10L) yield (a, b)).toSet
+  }
+
+  test("band skew guard: a planted mass-duplicate bucket over the DEFAULT cap survives with the exact pair count") {
+    import spark.implicits._
+    // 5000 docs in one band bucket (> BandBucketCap 4096) — the
+    // boilerplate-corpus shape that OOMed the unguarded kernel by
+    // buffering the whole bucket in one task; plus cold singletons
+    val n = 5000L
+    val rows = (0L until n).map(i => (i, 0, 7L)) ++
+      (n until n + 100L).map(i => (i, 0, 100000L + i))
+    val banded = rows.toDF("doc_id", "band_id", "band_key")
+    val pairs = CorpusOps.candidatePairsFromBands(banded)
+    pairs.count() shouldBe n * (n - 1) / 2
+    CorpusOps.lastBandRoute shouldBe "split:1"
+  }
 }
