@@ -725,7 +725,7 @@ object SparkEntry {
     // the plain global window the engine's decomposition must equal
     "d50_training_plan" ->
       (trainingPlanCteSql +
-        "SELECT doc_id, lang, source, round, slot, CAST(cum_before // 2048 AS BIGINT) AS chunk_id FROM p"),
+        "SELECT doc_id, lang, source, n_tokens, round, slot, CAST(cum_before // 2048 AS BIGINT) AS chunk_id FROM p"),
     // shard manifests: the d50 replay rolled up to chunk_id // 2 shards
     "d70_shard_manifest" ->
       (trainingPlanCteSql +
@@ -908,10 +908,12 @@ object SparkEntry {
     // the oracle ranks all same-cell pairs with a plain window
     "d58_knn_graph" -> (knnGraphCteSql +
         "SELECT q_id, n_id, round(sim, 6) AS sim, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3"),
-    // the at-ingest ANN lookup streams the whole corpus against the
-    // static index, so its result is exactly the batch kNN graph
+    // the at-ingest ANN lookup streams a CONSTANT query slice against
+    // the static index (the deployed fixed-rate shape), so its result is
+    // the batch kNN graph restricted to that slice
     "s19_stream_ann_lookup" -> (knnGraphCteSql +
-        "SELECT q_id, n_id, round(sim, 6) AS sim, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3"),
+        "SELECT q_id, n_id, round(sim, 6) AS sim, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3 " +
+        s"AND q_id < ${streaming.StreamingQueries.AnnQuerySlice}"),
     // semantic clusters: the d51 reach CTE over the thresholded kNN edges
     "d60_semantic_clusters" -> (semanticClustersCteSql +
         "SELECT vec_id, cluster_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size FROM lab"),

@@ -1848,10 +1848,12 @@ object CorpusOps {
     * interleave order (d42's seeded draw: round k holds every source's
     * k-th surviving pick) → token packing of that order into
     * fixed-capacity chunks (d27's greedy prefix rule at
-    * [[PlanChunkTokens]]). Output: (doc_id, lang, source, round, slot,
-    * chunk_id) — the materialized schedule a training loader consumes
-    * directly: ORDER BY (round, slot) is the read order, chunk_id the
-    * batch boundary.
+    * [[PlanChunkTokens]]). Output: (doc_id, lang, source, n_tokens,
+    * round, slot, chunk_id) — the materialized schedule a training
+    * loader consumes directly: ORDER BY (round, slot) is the read
+    * order, chunk_id the batch boundary, and n_tokens rides along so
+    * token accounting (loader sizing, the d70 manifests) never re-joins
+    * the corpus.
     *
     * SCALE: four data shuffles end to end, each O(selected rows) of
     * fixed-width integers (fp window; lang-rank; source-rank; pack
@@ -1932,7 +1934,7 @@ object CorpusOps {
     pb.withColumn("local_before", coalesce(sum(col("n_tokens")).over(localW), lit(0L)))
       .join(broadcast(prefix), Seq("pb"))
       .withColumn("chunk_id", expr(s"(prefix + local_before) div $PlanChunkTokens"))
-      .select(col("doc_id"), col("lang"), col("source"),
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
         col("round"), col("slot"), col("chunk_id"))
   }
 
@@ -2462,17 +2464,14 @@ object CorpusOps {
     * workers, verify completeness, and seek. Output: (shard_id, n_docs,
     * n_chunks, n_tokens, first_chunk, last_chunk).
     *
-    * SCALE: d50's plan verbatim, one O(docs) equi-join on doc_id to
-    * re-attach token counts (the plan's public schema is the pinned
-    * six-column schedule; a manifest builder consuming a STORED plan
-    * would do exactly this join against the corpus), then one map-side-
-    * combined groupBy over O(docs) integer rows into O(shards) rows.
+    * SCALE: d50's plan verbatim — its public schema carries `n_tokens`
+    * precisely so manifest building (and any loader doing token
+    * accounting) needs NO re-attach join against the corpus — then one
+    * map-side-combined groupBy over O(docs) integer rows into O(shards)
+    * rows.
     */
   def d70ShardManifest(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tokens"))
     d50TrainingPlan(spark, sfDir)
-      .join(toks, "doc_id")
       .withColumn("shard_id", expr(s"chunk_id div $ChunksPerShard"))
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"),

@@ -575,10 +575,10 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     var cum = 0L
     val expected = ordered.map { case (id, lang, src, nt, round, slot) =>
       val chunk = cum / CorpusOps.PlanChunkTokens; cum += nt
-      (id, lang, src, round, slot, chunk)
+      (id, lang, src, nt, round, slot, chunk)
     }.toSet
     val got = CorpusOps.d50TrainingPlan(spark, sf001)
-      .as[(Long, String, String, Long, Long, Long)].collect().toSet
+      .as[(Long, String, String, Long, Long, Long, Long)].collect().toSet
     got shouldBe expected
     assert(got.nonEmpty)
   }

@@ -368,6 +368,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(p.contains("InMemoryTableScan"), s"staged frames must persist:\n$p")
   }
 
+  test("d70_shard_manifest: the manifest rollup adds NO join to d50's plan") {
+    // d50's public schema carries n_tokens, so the manifest is a pure
+    // groupBy rollup — a re-attach equi-join against the corpus would
+    // re-shuffle O(docs) rows for a column the plan already has
+    val p = plan("d70_shard_manifest")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"manifest rollup must not join document rows:\n$p")
+  }
+
   test("d42_interleave_order: rank window is bucket-partitioned; offsets and slots broadcast; no global sort") {
     val p = plan("d42_interleave_order")
     // the document-row rank must partition by (source, draw-bucket) —

@@ -1607,16 +1607,25 @@ class StreamingSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   test("streaming ANN lookup returns the batch kNN graph exactly (1-file triggers)") {
     // the index SEARCH path: per-batch d7-shaped lookup against the
-    // static index through foreachBatch + the idempotent epoch sink;
-    // arrivals = the full corpus, so the union of per-batch lookups must
-    // equal d58's batch kNN graph under any shard interleaving
+    // static index through foreachBatch + the idempotent epoch sink. The
+    // gate streams the constant query slice, so the union of per-batch
+    // lookups must equal d58's batch kNN graph RESTRICTED to that slice
+    // under any shard interleaving — and the slice must be a strict
+    // subset here, or the reshape is vacuous at test scale
     val streamed = StreamingQueries
       .s19StreamAnnLookup(spark, sf001, maxFilesPerTrigger = Some(1))
       .select(col("q_id"), col("n_id"), col("sim"), col("rn").cast("int").as("rn"))
-    val batch = graft.ops.VectorOps.d58KnnGraph(spark, sf001)
+    val batchAll = graft.ops.VectorOps.d58KnnGraph(spark, sf001)
       .select(col("q_id"), col("n_id"), col("sim"), col("rn").cast("int").as("rn"))
+    val batch = batchAll.filter(col("q_id") < StreamingQueries.AnnQuerySlice)
     assert(streamed.count() > 0)
+    assert(batch.count() < batchAll.count(), "slice must bind at test scale")
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // the all-arrivals far-point form still equals the full graph
+    val full = StreamingQueries
+      .s19StreamAnnLookup(spark, sf001, maxFilesPerTrigger = None, querySlice = None)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rn").cast("int").as("rn"))
+    assert(full.exceptAll(batchAll).isEmpty && batchAll.exceptAll(full).isEmpty)
   }
 
   test("streaming Bloom gate flags exactly the batch d62 audit (1-file triggers)") {
