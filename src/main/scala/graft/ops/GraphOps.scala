@@ -40,6 +40,13 @@ object GraphOps {
   private[graft] val lastRoute =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 
+  /** Propagation-loop rounds of the last [[connectedComponents]] call
+    * that ran the loop (0 for star-direct) — observability for the
+    * pointer-jumping O(log diameter) claim, same spec-only role as
+    * [[lastRoute]].
+    */
+  private[graft] val lastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** The star stage's one live cache of the ORIGINAL edge list: it is
     * read three times (canonical-edge distinct, the fused stats pass,
     * and the final node-labeling join — the last at the CALLER's action,
@@ -57,10 +64,18 @@ object GraphOps {
   private val starFixpointCache = new ReplaceOnCallCache
   private val labelsCache = new ReplaceOnCallCache
 
-  /** Min-label propagation: every node starts labeled with its own id;
-    * each round every node takes the min of its own and its neighbors'
-    * labels. Fixpoint = every node holds its component's minimum id.
-    * Deterministic (min is order-independent) and exact.
+  /** Min-label propagation WITH POINTER JUMPING: every node starts
+    * labeled with its own id; each round every node takes the min of its
+    * own and its neighbors' labels (the propagation step) and then
+    * follows its label one hop through the label table itself
+    * (label[v] <- label[label[v]] — the shortcut-doubling step of
+    * pointer-jumping/Shiloach-Vishkin lineage). Fixpoint = every node
+    * holds its component's minimum id. Deterministic (min is
+    * order-independent) and exact: labels only decrease and stay node
+    * ids of the same component, and a fixpoint of the combined operator
+    * is necessarily a fixpoint of pure propagation (the jump can only
+    * lower a label, so stability forces nbr_min(v) = label(v) for all
+    * v), which is exactly the component minimum.
     *
     * Output: (id, label) — one row per node of the edge list, `label` =
     * smallest node id in the component.
@@ -68,18 +83,25 @@ object GraphOps {
     * SCALE: each round is one equi-join of the symmetrized edge list with
     * the label table (both hash-partitioned on the join key — a real
     * cluster co-partitions them once and reuses the layout every round)
-    * plus a map-side-partial min aggregation; nothing is ever collected
-    * to the driver except the one-row convergence checksum. Round count =
-    * graph diameter; near-dup graphs are overwhelmingly tiny star/clique
-    * components (diameter 1-2), so propagation converges in ~3 rounds.
-    * High-diameter graphs AUTO-ESCALATE: a graph still unconverged after
-    * ceil(log2(sym-edge count)) loop rounds has diameter past what star
-    * contraction would spend anyway, so the call hands the ORIGINAL edge
-    * list to [[connectedComponentsStar]] (O(log n) rounds independent of
-    * diameter) instead of burning diameter-many rounds or throwing —
-    * total round cost stays within ~3x of the best single strategy,
-    * chosen with zero extra driver work (the threshold reuses the one
-    * sizing count below).
+    * plus a map-side-partial min aggregation, plus one NODE-sized
+    * label-table self-join for the jump (its build side has unique keys,
+    * so no group can fan out); nothing is ever collected to the driver
+    * except the one-row convergence checksum. Round count: the jump
+    * doubles every label's reach per round, so convergence takes
+    * O(log2(diameter)) rounds instead of O(diameter) — measured: the
+    * d60 sf0.1 graph 23 -> 6 rounds, a 300-node cycle 8 rounds where it
+    * previously hit the escalation threshold. Near-dup graphs (tiny
+    * star/clique components, diameter 1-2) still converge on the loop's
+    * first no-change pass, paying one cheap extra node join. Graphs
+    * still unconverged after 2*ceil(log2(sym-edge count)) loop rounds
+    * (diameter beyond ~2^(rounds/2) — nothing a real corpus produces)
+    * AUTO-ESCALATE: the call hands the ORIGINAL edge list to
+    * [[connectedComponentsStar]] (O(log n) rounds independent of
+    * diameter) instead of burning rounds or throwing. Negative node
+    * ids (legal here, rejected by the star stage's potential
+    * precondition) disable BOTH star routes: jumped propagation bounded
+    * by maxIter is exact for them at any diameter it can reach, which
+    * the old min-label form was not.
     *
     * Round accounting: initialization FUSES the first propagation round
     * (label = min(id, neighbors)), so `maxIter` loop rounds admit up to
@@ -126,13 +148,19 @@ object GraphOps {
     // as sum(deg) — so symRaw itself never needs a separate count.
     val stats = labels
       .agg(sum(col("label").cast("decimal(38,0)")), count(lit(1)),
-        max(col("deg")), sum(col("deg")))
+        max(col("deg")), sum(col("deg")),
+        // min label = the graph's min node id (labels start as closed-
+        // neighborhood minima): negative ids must stay OFF both star
+        // routes — the star stage's potential precondition rejects them,
+        // and jumped propagation handles them exactly (ADVICE r11)
+        min(col("label")).cast("decimal(38,0)"))
       .head()
     var prev = stats.getDecimal(0)
     if (prev != null) { // null = empty graph: nothing to propagate
       val nNodes = stats.getLong(1)
       val maxDeg = stats.getLong(2)
       val nEdges = stats.getLong(3)
+      val starSafe = stats.getDecimal(4).signum() >= 0
       // PATH-SHAPED fast path: route straight to star contraction only
       // for graphs that are BOTH forest-sparse (sym edges < 2*nodes —
       // exact for dup-free edge lists) AND max-degree <= 2, i.e. unions
@@ -149,9 +177,10 @@ object GraphOps {
       // threshold still bounds the damage. The star stage reuses the
       // CACHED symmetrized list (canonical = src < dst side of it), so
       // the source edge plan is never re-executed on this route.
-      if (nEdges < 2L * nNodes && maxDeg <= 2L) {
+      if (starSafe && nEdges < 2L * nNodes && maxDeg <= 2L) {
         labels.unpersist()
         lastRoute.set("star-direct")
+        lastRounds.set(0)
         return starFromSym(symRaw, math.max(maxIter, 40))
       }
       // Size the loop's layout to the GRAPH, not the session default: the
@@ -181,29 +210,73 @@ object GraphOps {
         math.max(8, 2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nEdges - 1))))
       var converged = false
       var round = 0
-      while (!converged && round < math.min(maxIter, escalateAfter)) {
+      // negative ids cannot escalate (star's precondition); jumped
+      // propagation under the full maxIter budget is exact for them
+      val loopBound = if (starSafe) math.min(maxIter, escalateAfter) else maxIter
+      while (!converged && round < loopBound) {
         // NOT repartitioned inside the round: an explicit graph-width
         // repartition between the join and the aggregate was tried and
         // REVERTED with data (d60 warm 6.0 -> 7.1 s at sf0.1) — the
         // extra exchange's stage floor costs more than narrowing the
         // aggregate's session-width exchange saves
-        val next = truncated(
-          sym.join(labels, sym("dst") === labels("id"))
-            .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-            .join(labels, col("src") === labels("id"))
+        // ROUND 0 is plain min-label propagation: the near-dup norm
+        // (shallow star/clique forests, d25/d51) converges on this very
+        // round, and the acceleration below would only add its stages to
+        // their one-round plans (measured: d25 +0.3 s at sf0.1).
+        //
+        // Rounds >= 1 add HOOKING + POINTER JUMPS (the Shiloach–Vishkin
+        // pairing): every node's PREVIOUS root additionally learns the
+        // best neighbor-min its members just saw, then every node
+        // follows its label twice through the label table. Without the
+        // hook, a pointer at a LOCAL minimum is a dead end (label[m]=m)
+        // and the jump cannot compound on randomly-numbered graphs —
+        // measured on the d60 sf0.1 graph: 23 rounds plain, 16 with
+        // jump alone, 4 with hook + jump.
+        val interim = new scala.collection.mutable.ArrayBuffer[DataFrame](2)
+        val prop = sym.join(labels, sym("dst") === labels("id"))
+          .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+          .join(labels, col("src") === labels("id"))
+        val next = (if (round == 0)
+          truncated(prop
             .select(col("id"), least(col("label"), col("nbr_min")).as("label")))
-          .persist()
-        val cur = checksum(next) // materializes next's blocks
+        else {
+          val pre = truncated(prop
+            .select(col("id"), least(col("label"), col("nbr_min")).as("label"),
+              col("label").as("old"), col("nbr_min")))
+            .persist()
+          interim += pre
+          val hooks = pre.groupBy(col("old")).agg(min(col("nbr_min")).as("hmin"))
+            .select(col("old").as("hk"), col("hmin")) // fresh names: hooks derives from pre
+          val nm = truncated(
+            pre.join(hooks, col("id") === col("hk"), "left")
+              .select(col("id"),
+                least(col("label"), coalesce(col("hmin"), col("label"))).as("label")))
+            .persist()
+          interim += nm
+          // the jumps are total (every label is a node id, so the inner
+          // join drops nothing) and their build keys unique; nm's blocks
+          // back all references — the whole round is still materialized
+          // by the one checksum job below
+          val jmp = nm.select(col("id").as("jid"), col("label").as("jlabel"))
+          truncated(
+            nm.join(jmp, col("label") === col("jid"))
+              .select(col("id"), col("jlabel").as("label"))
+              .join(jmp, col("label") === col("jid"))
+              .select(col("id"), col("jlabel").as("label")))
+        }).persist()
+        val cur = checksum(next) // materializes the round's blocks
         converged = cur.compareTo(prev) == 0
         prev = cur
         labels.unpersist()
+        interim.foreach(_.unpersist()) // consumed into next's blocks
         labels = next
         // round 1's checksum materialized sym's blocks through symRaw —
         // drop the raw copy so the loop never holds the edge list twice
         if (round == 0) symRaw.unpersist()
         round += 1
       }
-      if (!converged) { // high diameter: switch strategies
+      lastRounds.set(round)
+      if (!converged && starSafe) { // past the threshold: switch strategies
         labels.unpersist()
         sym.unpersist()
         lastRoute.set("star-escalated")
@@ -212,6 +285,9 @@ object GraphOps {
         // price the pre-fused shape paid to rebuild from `edges`)
         return starFromSym(symRaw, math.max(maxIter, 40))
       }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents (negative-id graph, no star fallback) did not converge in $maxIter rounds")
       sym.unpersist()
     } else symRaw.unpersist() // empty graph: no loop consumed the raw copy
     lastRoute.set("propagation")

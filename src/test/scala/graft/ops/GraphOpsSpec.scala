@@ -6,9 +6,9 @@ import org.scalatest.matchers.should.Matchers
 
 class GraphOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def cc(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] = {
     import spark.implicits._
-    GraphOps.connectedComponents(edges.toDF("a", "b"))
+    GraphOps.connectedComponents(edges.toDF("a", "b"), maxIter)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -47,15 +47,35 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     GraphOps.lastRoute.get() shouldBe "star-direct"
   }
 
-  test("a long CYCLE escalates MID-LOOP at the log2 threshold and stays exact") {
+  test("a long CYCLE converges on jumped propagation in O(log diameter) rounds") {
     // 300-node cycle: sym edges = 2*nodes defeats the forest-sparsity
-    // probe, so propagation runs — diameter 150 stalls it at the
-    // 2*ceil(log2(600)) threshold and the unconverged-at-escalateAfter
-    // branch (the strategy switch the path fast path bypasses) must
-    // hand the ORIGINAL edge list to star contraction with labels exact
+    // probe, so propagation runs — diameter 150 used to stall it at the
+    // escalation threshold; pointer jumping doubles every label's reach
+    // per round, so it must now converge WITHIN the threshold, in
+    // ~log2(150) rounds (one extra no-change round detects the fixpoint)
     val cycle = (0L until 300L).map(i => (i, (i + 1) % 300L))
     cc(cycle) shouldBe (0L until 300L).map(_ -> 0L).toMap
+    GraphOps.lastRoute.get() shouldBe "propagation"
+    GraphOps.lastRounds.get() should be <= 10
+  }
+
+  test("an exhausted loop budget still escalates MID-LOOP to star contraction and stays exact") {
+    // jumping makes natural escalation unreachable (log2(diameter) always
+    // beats 2*log2(edges)), but the mid-loop strategy switch remains the
+    // safety net for an explicit too-small maxIter — force it and pin
+    // both the route and exactness
+    val cycle = (0L until 300L).map(i => (i, (i + 1) % 300L))
+    cc(cycle, maxIter = 3) shouldBe (0L until 300L).map(_ -> 0L).toMap
     GraphOps.lastRoute.get() shouldBe "star-escalated"
+  }
+
+  test("negative node ids stay on propagation (no star route) and label exactly") {
+    // the star potential requires non-negative ids; jumped propagation
+    // has no such precondition — a negative-id path graph must neither
+    // throw nor route to a star stage (ADVICE r11)
+    val path = Seq((-5L, -4L), (-4L, -3L), (-3L, 7L), (7L, 8L))
+    cc(path) shouldBe Map(-5L -> -5L, -4L -> -5L, -3L -> -5L, 7L -> -5L, 8L -> -5L)
+    GraphOps.lastRoute.get() shouldBe "propagation"
   }
 
   test("star/pair forests stay on the propagation path (the d25/d51 shape is NOT path-routed)") {
