@@ -1200,12 +1200,17 @@ object SparkEntry {
         "h AS (SELECT doc_id, canonical_id, CAST(('0x' || substr(md5(CAST(canonical_id AS VARCHAR) || ':split'), 1, 15)) AS BIGINT) % 100 AS bucket FROM c) " +
         "SELECT doc_id, canonical_id, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM h"),
     // the chain graph's components are analytic: 250-id blocks, label =
-    // block minimum; a node appears iff it has a neighbor (robust to any
-    // id range, mirroring the Spark side's existence probe)
+    // the block's smallest PRESENT id (min per block, not the block
+    // floor — correct for any id base, r11 ADVICE); membership and the
+    // edge rule replay the Spark side's existence probe literally (a
+    // node appears iff one of its two candidate edges has both endpoints
+    // and crosses no block boundary). Components = per-block runs still
+    // assumes within-block contiguity, like the engine's gate corpus.
     "d63_chain_components" ->
-      ("WITH n AS (SELECT max(doc_id) AS mx FROM documents) " +
-        "SELECT doc_id AS id, (doc_id // 250) * 250 AS label FROM documents, n " +
-        "WHERE (doc_id % 250 != 249 AND doc_id + 1 <= mx) OR doc_id % 250 != 0"),
+      ("WITH d AS (SELECT doc_id FROM documents), " +
+        "nd AS (SELECT a.doc_id FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 WHERE b.doc_id % 250 != 0 " +
+        "UNION SELECT b.doc_id FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 WHERE b.doc_id % 250 != 0) " +
+        "SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY doc_id // 250) AS label FROM nd"),
     // KMV sketch replay (see RelationalOps.qApproxStats): bottom-1024
     // rows per flag by 60-bit md5(orderkey_linenumber) → order-statistic
     // percentiles in exact cents; bottom-64 distinct md5(suppkey) hashes

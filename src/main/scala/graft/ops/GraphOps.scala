@@ -47,6 +47,11 @@ object GraphOps {
     */
   private[graft] val lastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Star-contraction rounds of the last [[connectedComponentsStar]]/
+    * star-routed call — same spec/diagnostic-only role as [[lastRounds]].
+    */
+  private[graft] val lastStarRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** The star stage's one live cache of the ORIGINAL edge list: it is
     * read three times (canonical-edge distinct, the fused stats pass,
     * and the final node-labeling join — the last at the CALLER's action,
@@ -453,6 +458,7 @@ object GraphOps {
         cur = next
         round += 1
       }
+      lastStarRounds.set(round)
       if (!converged)
         throw new IllegalStateException(
           s"connectedComponentsStar did not converge in $maxIter rounds")

@@ -17,26 +17,36 @@ import org.apache.spark.storage.StorageLevel
   */
 private[graft] final class ReplaceOnCallCache {
   private var last: Option[DataFrame] = None
+  private var lastOwned: Boolean = false
 
   /** Persist `df` (if not already) at `level` and make it this site's
-    * one live cache, unpersisting the previous occupant.
+    * one live cache, unpersisting the previous occupant IF this slot
+    * persisted it. A frame that arrives already cached (Spark's cache is
+    * keyed by PLAN, so this includes a caller-persisted equal plan, not
+    * just a repeat run's new DataFrame object) is adopted un-owned: the
+    * slot will never unpersist it, so a later call cannot silently drop
+    * a cache the caller still relies on (r11 ADVICE).
     */
   def register(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = synchronized {
-    // an already-cached plan (e.g. a repeat run on the same input) is
-    // adopted as-is — persist() again would only log a CacheManager
-    // warning
-    val cached =
-      if (df.storageLevel == StorageLevel.NONE) df.persist(level)
-      else df
-    // unpersist the previous occupant only if it is a DIFFERENT plan:
-    // Spark's cache is keyed by plan, so a repeat call's new DataFrame
-    // object ADOPTS the previous call's entry — unpersisting through the
-    // old reference would evict the very blocks just adopted (observed:
-    // a 3x warm-run regression before this check)
-    last.filter(p => !p.queryExecution.analyzed.sameResult(
-        cached.queryExecution.analyzed))
-      .foreach(_.unpersist(blocking = false))
+    val owned = df.storageLevel == StorageLevel.NONE
+    // an already-cached plan is adopted as-is — persist() again would
+    // only log a CacheManager warning
+    val cached = if (owned) df.persist(level) else df
+    // unpersist the previous occupant only if this slot persisted it AND
+    // it is a DIFFERENT plan: a repeat call's new DataFrame object ADOPTS
+    // the previous call's entry, and unpersisting through the old
+    // reference would evict the very blocks just adopted (observed: a 3x
+    // warm-run regression before this check)
+    if (lastOwned)
+      last.filter(p => !p.queryExecution.analyzed.sameResult(
+          cached.queryExecution.analyzed))
+        .foreach(_.unpersist(blocking = false))
+    // a repeat-run adoption KEEPS ownership: the blocks came from this
+    // slot's earlier persist, so the slot remains responsible for them
+    lastOwned = owned ||
+      (lastOwned && last.exists(p => p.queryExecution.analyzed.sameResult(
+        cached.queryExecution.analyzed)))
     last = Some(cached)
     cached
   }
@@ -44,9 +54,12 @@ private[graft] final class ReplaceOnCallCache {
   /** The live occupant's storage level, for specs pinning persist tiers. */
   def currentLevel: Option[StorageLevel] = synchronized { last.map(_.storageLevel) }
 
-  /** Free the slot (no-op when none is live). */
+  /** Free the slot — unpersists only a slot-owned occupant, never a
+    * caller-owned adoption (no-op when none is live).
+    */
   def release(): Unit = synchronized {
-    last.foreach(_.unpersist(blocking = false))
+    if (lastOwned) last.foreach(_.unpersist(blocking = false))
     last = None
+    lastOwned = false
   }
 }
