@@ -306,32 +306,48 @@ object CorpusOps {
     // unchanged (the ContainmentHotCap discipline, except LSH buckets
     // cannot be DROPPED — a hot bucket is exactly the mass-duplicate case
     // dedup exists for). Each doc gets salt = hash(doc_id) mod s and is
-    // replicated to the s sub-buckets {min(salt,k), max(salt,k)}: a
-    // cross-salt pair meets in exactly ONE sub-bucket ({sa,sb}); a
-    // same-salt pair meets in all s of them, so only its diagonal
-    // (k1 == k2 == salt) emission is kept. Per (band_id, band_key) every
-    // unordered pair is therefore emitted exactly once — the minBands
-    // consensus count below is untouched. Expected sub-bucket size is
-    // 2n/s <= 2*hotCap payloads (hash-spread salts), the memory bound.
+    // replicated to the s sub-buckets {min(salt,k), max(salt,k)}; the
+    // aggregate keeps the two salt classes as SEPARATE lists, so each
+    // sub-bucket emits exactly its wanted pairs — diagonal (k1 == k2):
+    // within-list ordered pairs; off-diagonal: the la x lb cross product
+    // (a cross-salt pair's two docs land in different lists of exactly
+    // ONE sub-bucket, {sa,sb}; a same-salt pair's docs share la in every
+    // (sa, k) but only the diagonal enumerates within-list). A first cut
+    // enumerated one mixed list and filtered same-salt pairs after the
+    // fact — 2.2x the wanted pairs generated, measured 1.55x the
+    // unguarded wall on a pure-hot workload; the split-list form emits
+    // each pair once. Per (band_id, band_key) every unordered pair
+    // appears exactly once, so the minBands consensus count below is
+    // untouched. Expected sub-bucket class size is n/s <= ~hotCap
+    // payloads (hash-spread salts), the memory bound.
     def saltedPairs(hot: DataFrame): DataFrame = {
       val salted = hot
         .withColumn("salt", pmod(xxhash64(col("doc_id")), col("s").cast("long")).cast("int"))
         .withColumn("k", explode(sequence(lit(0), col("s") - 1)))
-        .select(col("band_id"), col("band_key"), col("s"),
+        .select(col("band_id"), col("band_key"),
           least(col("salt"), col("k")).as("k1"),
-          greatest(col("salt"), col("k")).as("k2"), payload.as("p"))
-      widened(salted, parts, col("band_id"), col("band_key"), col("k1"), col("k2"))
-        .groupBy(col("band_id"), col("band_key"), col("s"), col("k1"), col("k2"))
-        .agg(collect_list(col("p")).as("bucket"))
-        .filter(size(col("bucket")) >= 2)
-        .select(col("s"), col("k1"), col("k2"), explode(col("bucket")).as("a"), col("bucket"))
-        .select(col("s"), col("k1"), col("k2"), col("a"), explode(col("bucket")).as("b"))
+          greatest(col("salt"), col("k")).as("k2"),
+          col("salt"), payload.as("p"))
+      val grouped = widened(salted, parts, col("band_id"), col("band_key"), col("k1"), col("k2"))
+        .groupBy(col("band_id"), col("band_key"), col("k1"), col("k2"))
+        .agg(collect_list(when(col("salt") === col("k1"), col("p"))).as("la"),
+          collect_list(when(col("salt") === col("k2"), col("p"))).as("lb"))
+      val diag = grouped.filter(col("k1") === col("k2"))
+        .filter(size(col("la")) >= 2)
+        .select(explode(col("la")).as("a"), col("la").as("lst"))
+        .select(col("a"), explode(col("lst")).as("b"))
         .filter(col("a.doc_id") < col("b.doc_id"))
-        .withColumn("sa", pmod(xxhash64(col("a.doc_id")), col("s").cast("long")).cast("int"))
-        .withColumn("sb", pmod(xxhash64(col("b.doc_id")), col("s").cast("long")).cast("int"))
-        .filter(col("sa") =!= col("sb") ||
-          (col("k1") === col("sa") && col("k2") === col("sa")))
         .select(out: _*)
+      // cross pairs carry no order guarantee between the salt classes —
+      // normalize each pair by doc_id, swapping the whole payload structs
+      // so extras stay with their document
+      val cross = grouped.filter(col("k1") =!= col("k2"))
+        .select(explode(col("la")).as("a"), col("lb"))
+        .select(col("a"), explode(col("lb")).as("b"))
+        .select(when(col("a.doc_id") < col("b.doc_id"), col("a")).otherwise(col("b")).as("a"),
+          when(col("a.doc_id") < col("b.doc_id"), col("b")).otherwise(col("a")).as("b"))
+        .select(out: _*)
+      diag.unionByName(cross)
     }
     // Skew detection: a count pre-pass over a DETERMINISTIC 1-in-64 doc
     // sample. The sample predicate is a plain filter on doc_id, so Catalyst
