@@ -88,14 +88,14 @@ object GraphOps {
     * SCALE: each round is one equi-join of the symmetrized edge list with
     * the label table (both hash-partitioned on the join key — a real
     * cluster co-partitions them once and reuses the layout every round)
-    * plus a map-side-partial min aggregation, plus one NODE-sized
-    * label-table self-join for the jump (its build side has unique keys,
-    * so no group can fan out); nothing is ever collected to the driver
-    * except the one-row convergence checksum. Round count: the jump
-    * doubles every label's reach per round, so convergence takes
-    * O(log2(diameter)) rounds instead of O(diameter) — measured: the
-    * d60 sf0.1 graph 23 -> 6 rounds, a 300-node cycle 8 rounds where it
-    * previously hit the escalation threshold. Near-dup graphs (tiny
+    * plus NODE-sized hook/jump joins (build sides have unique keys, so
+    * no group can fan out); nothing is ever collected to the driver
+    * except the one-row convergence checksum. Round count: hooking and
+    * jumping compound every label's reach per round, so convergence
+    * takes O(log2(diameter)) rounds instead of O(diameter) — measured:
+    * the d60 sf0.1 graph 23 -> 5 loop rounds (1 plain + 4 accelerated),
+    * a 300-node cycle ~6 where it previously hit the escalation
+    * threshold. Near-dup graphs (tiny
     * star/clique components, diameter 1-2) still converge on the loop's
     * first no-change pass, paying one cheap extra node join. Graphs
     * still unconverged after 2*ceil(log2(sym-edge count)) loop rounds
