@@ -471,8 +471,11 @@ object SparkEntry {
   private def pplCteSql: String =
     "WITH RECURSIVE " +
       "w AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws FROM documents), " +
-      "bg0 AS (SELECT doc_id, lang, unnest([{'b': ws[i] || ' ' || ws[i+1], 'c': ws[i]} for i in range(1, len(ws))]) AS u FROM w WHERE len(ws) >= 2), " +
-      "bg AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(u.b), 1, 15)) AS BIGINT) % 4096 AS hb, CAST(('0x' || substr(md5(u.c), 1, 15)) AS BIGINT) % 256 AS hc FROM bg0), " +
+      // each word hashed ONCE (the 60-bit md5 convention); the bigram
+      // bucket is the engine's integer combine of the two word hashes
+      "hwv AS (SELECT doc_id, lang, [CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) for w in ws] AS hws FROM w WHERE len(ws) >= 2), " +
+      "bg0 AS (SELECT doc_id, lang, unnest([{'hb': ((hws[i] % 1048576) * 1000003 + hws[i+1] % 1048576) % 4096, 'hc': hws[i] % 256} for i in range(1, len(hws))]) AS u FROM hwv), " +
+      "bg AS (SELECT doc_id, lang, u.hb AS hb, u.hc AS hc FROM bg0), " +
       "cb AS (SELECT hb, count(*) AS n FROM bg WHERE lang = 'en' GROUP BY hb), " +
       "cu AS (SELECT hc, count(*) AS n FROM bg WHERE lang = 'en' GROUP BY hc), " +
       "ns AS (SELECT DISTINCT n FROM (SELECT n + 1 AS n FROM cb UNION ALL SELECT n + 256 FROM cu)), " +

@@ -2151,13 +2151,14 @@ object CorpusOps {
     val ctxLit = typedlit(ctxWts.toSeq)
     // the overflow-safe average rides the fold's finish lambda, so the
     // O(tokens) fold appears exactly once in the expression (see fxAvg)
-    val score = aggregate(sequence(lit(0), size(col("ws")) - 2), lit(0L),
-      (acc, i) => acc + pplTermAt(bigLit, ctxLit, i),
-      acc => fxAvg(acc, (size(col("ws")) - 1).cast("long")))
+    val score = aggregate(pplTerms(bigLit, ctxLit), lit(0L),
+      (acc, t) => acc + t,
+      acc => fxAvg(acc, (size(col("hws")) - 1).cast("long")))
     docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), (size(col("ws")) - 1).cast("long").as("n_bigrams"), score.as("avg_fx"))
+      .select(col("doc_id"), transform(col("ws"), w => md5Prefix60Col(w)).as("hws"))
+      .select(col("doc_id"), (size(col("hws")) - 1).cast("long").as("n_bigrams"), score.as("avg_fx"))
   }
 
   /** floor((acc * 2^20) / n) for nonnegative `acc`, exact at ANY
@@ -2186,23 +2187,47 @@ object CorpusOps {
     q * 1048576L + q2
   }
 
-  /** The per-bigram LM score term at 0-based bigram index `i` of the
-    * bound token-array column `ws` — the one scoring expression
-    * [[pplScored]]'s sum-fold and [[minkScored]]'s per-term array share
-    * (no copy to drift: the oracle replays this exact arithmetic).
-    * `ws` MUST be a bound column, not the words(text) expression
-    * repeated inside the lambda: element_at(words(text), i)
-    * re-tokenizes the whole document per bigram access —
-    * O(tokens^2)/doc, measured 10x on the fixture corpus.
+  /** The 60-bit md5 word hash (the corpus-wide oracle convention) as a
+    * column expression — the ONE per-word hash the LM families derive
+    * every bucket from.
     */
-  private def pplTermAt(bigLit: Column, ctxLit: Column, i: Column): Column = {
-    def bucket(c: Column, m: Int): Column =
-      pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(m.toLong))
-    element_at(bigLit, (bucket(concat_ws(" ",
-      element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)), PplBigramBuckets) + 1).cast("int")) -
-      element_at(ctxLit, (bucket(element_at(col("ws"), i + 1), DsirBuckets) + 1).cast("int")) +
-      lit(PplTermOffset)
-  }
+  private def md5Prefix60Col(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Bigram LM bucket from the two words' 60-bit hashes: each word is
+    * hashed ONCE per document pass and the pair combines in integer
+    * arithmetic — (h1 mod 2^20)·1000003 + (h2 mod 2^20), mod
+    * [[PplBigramBuckets]] (every intermediate < 2^41; the odd multiplier
+    * mixes the classes so the 4096-bucket distribution matches a direct
+    * string hash). The previous form md5-hashed the CONCATENATED bigram
+    * string — one extra md5 + string alloc per bigram, ~2x the scoring
+    * constant of the whole LM family (s21/s23/d47/d67/d69), for no
+    * statistical gain at 4096 buckets. The oracle replays this exact
+    * integer combine.
+    */
+  private[graft] def bigramBucket(h1: Column, h2: Column): Column =
+    pmod(pmod(h1, lit(1048576L)) * lit(1000003L) + pmod(h2, lit(1048576L)),
+      lit(PplBigramBuckets.toLong))
+
+  /** The per-bigram LM score-term ARRAY over the bound word-hash column
+    * `hws` — the one scoring expression [[pplScored]]'s sum-fold and
+    * [[minkScored]]'s sorted array share (no copy to drift: the oracle
+    * replays this exact arithmetic). Shape matters as much as content:
+    * adjacent hashes pair through `zip_with` over two slices, whose
+    * lambda sees ELEMENTS — under optimizer substitution (the streamed
+    * gates filter on the scored value, and predicate pushdown inlines
+    * the full expression with the hws projection collapsed into it)
+    * this at worst duplicates the linear hash pass. The previous
+    * index-fold form read `element_at(hws, i)` per term, which the same
+    * substitution turned into a PER-TERM re-hash of the whole document
+    * — O(tokens^2)/doc, measured 5.6x on s21/s23 before this shape.
+    */
+  private def pplTerms(bigLit: Column, ctxLit: Column): Column =
+    zip_with(slice(col("hws"), lit(1), size(col("hws")) - 1),
+      slice(col("hws"), lit(2), size(col("hws")) - 1), (h1, h2) =>
+        element_at(bigLit, (bigramBucket(h1, h2) + 1).cast("int")) -
+          element_at(ctxLit, (pmod(h1, lit(DsirBuckets.toLong)) + 1).cast("int")) +
+          lit(PplTermOffset))
 
   private[graft] def pplFilterOver(docs: DataFrame): DataFrame = {
     val (bigWts, ctxWts) = pplModel(docs)
@@ -2243,18 +2268,18 @@ object CorpusOps {
     * shuffle, O(buckets) rows collected.
     */
   private[graft] def pplModel(docs: DataFrame): (Array[Long], Array[Long]) = {
-    def bucket(c: Column, m: Int): Column =
-      pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(m.toLong))
-    // bind ws before the per-index lambda (same O(tokens^2) trap as the
-    // scoring fold — see pplFilterOver)
+    // bind hws before the per-index lambda (same O(tokens^2) trap as the
+    // scoring fold — see pplTermAt); buckets use the SAME word-hash
+    // combine the scoring term does (bigramBucket — no copy to drift)
     val pairs = docs.filter(col("is_target"))
       .select(words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
-      .select(explode(transform(sequence(lit(0), size(col("ws")) - 2), i =>
-        struct(concat_ws(" ", element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)).as("bg"),
-          element_at(col("ws"), i + 1).as("c1")))).as("u"))
-      .select(bucket(col("u.bg"), PplBigramBuckets).as("hb"),
-        bucket(col("u.c1"), DsirBuckets).as("hc"))
+      .select(transform(col("ws"), w => md5Prefix60Col(w)).as("hws"))
+      .select(explode(zip_with(slice(col("hws"), lit(1), size(col("hws")) - 1),
+        slice(col("hws"), lit(2), size(col("hws")) - 1), (h1, h2) =>
+          struct(bigramBucket(h1, h2).as("hb"),
+            pmod(h1, lit(DsirBuckets.toLong)).as("hc")))).as("u"))
+      .select(col("u.hb").as("hb"), col("u.hc").as("hc"))
     val rows = pairs
       .groupingSets(Seq(Seq(col("hb")), Seq(col("hc"))), col("hb"), col("hc"))
       .agg(count(lit(1)).as("n"))
@@ -2356,8 +2381,7 @@ object CorpusOps {
       bigWts: Array[Long], ctxWts: Array[Long]): DataFrame = {
     val bigLit = typedlit(bigWts.toSeq)
     val ctxLit = typedlit(ctxWts.toSeq)
-    val terms = transform(sequence(lit(0), size(col("ws")) - 2),
-      i => pplTermAt(bigLit, ctxLit, i))
+    val terms = pplTerms(bigLit, ctxLit)
     // k = max(1, n div 5) from cheap attribute arithmetic: the n % 5
     // subtraction form avoids expr-string div so k can sit inside the
     // fold's finish lambda (see fxAvg — the fold must appear ONCE)
@@ -2371,7 +2395,8 @@ object CorpusOps {
     docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), (size(col("ws")) - 1).cast("long").as("n_bigrams"),
+      .select(col("doc_id"), transform(col("ws"), w => md5Prefix60Col(w)).as("hws"))
+      .select(col("doc_id"), (size(col("hws")) - 1).cast("long").as("n_bigrams"),
         array_sort(terms).as("ts"))
       .select(col("doc_id"), col("n_bigrams"), mink.as("mink_fx"))
   }

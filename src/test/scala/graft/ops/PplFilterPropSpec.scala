@@ -18,6 +18,12 @@ class PplFilterPropSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   private def bucketOf(s: String, m: Int): Int = (md5Prefix60(s) % m).toInt
 
+  // the engine's integer bigram-bucket combine of the two 60-bit word
+  // hashes (CorpusOps.bigramBucket, replayed)
+  private def bigramBucketOf(a: String, b: String): Int =
+    (((md5Prefix60(a) % 1048576L) * 1000003L + md5Prefix60(b) % 1048576L) %
+      CorpusOps.PplBigramBuckets).toInt
+
   private def toks(text: String): Seq[String] =
     text.trim.toLowerCase.split(" ", -1).toSeq
 
@@ -27,13 +33,13 @@ class PplFilterPropSpec extends AnyFunSuite with SparkSpec with Matchers {
     val tgt = rows.filter(_._2).flatMap { case (_, _, t) =>
       val ws = toks(t); ws.zip(ws.drop(1))
     }
-    val cb = tgt.groupBy { case (a, b) => bucketOf(s"$a $b", Bb) }.view.mapValues(_.size.toLong).toMap
+    val cb = tgt.groupBy { case (a, b) => bigramBucketOf(a, b) }.view.mapValues(_.size.toLong).toMap
     val cu = tgt.groupBy { case (a, _) => bucketOf(a, Bu) }.view.mapValues(_.size.toLong).toMap
     val scored = rows.flatMap { case (id, _, t) =>
       val ws = toks(t)
       if (ws.length < 2) None else Some {
         val score = ws.zip(ws.drop(1)).map { case (a, b) =>
-          CorpusOps.log2Fx(cb.getOrElse(bucketOf(s"$a $b", Bb), 0L) + 1) -
+          CorpusOps.log2Fx(cb.getOrElse(bigramBucketOf(a, b), 0L) + 1) -
             CorpusOps.log2Fx(cu.getOrElse(bucketOf(a, Bu), 0L) + 256) +
             CorpusOps.PplTermOffset
         }.sum
