@@ -151,6 +151,10 @@ object SparkEntry {
       ((s: SparkSession, dir: String) => streaming.StreamingQueries.s23StreamMinkGate(s, dir)),
     "s24_stream_rare_gate" ->
       ((s: SparkSession, dir: String) => streaming.StreamingQueries.s24StreamRareGate(s, dir)),
+    "s25_stream_drift_mix" ->
+      ((s: SparkSession, dir: String) => streaming.StreamingQueries.s25StreamDriftMix(s, dir)),
+    "s26_stream_lm_refresh" ->
+      ((s: SparkSession, dir: String) => streaming.StreamingQueries.s26StreamLmRefresh(s, dir)),
     // relational coverage (SURVEY.md §2D → Spark built-ins)
     "q_pricing_summary" -> (ops.RelationalOps.qPricingSummary _),
     "q_revenue_by_nation" -> (ops.RelationalOps.qRevenueByNation _),
@@ -859,6 +863,53 @@ object SparkEntry {
     // stateless per arrival, so streamed admissions equal batch exactly
     "d73_rare_gate" -> rareGateOracleSql,
     "s24_stream_rare_gate" -> rareGateOracleSql,
+    // drifting-target temperature rebalance: the one-epoch-lag schedule
+    // replayed as a prefix aggregation over the 16 id-axis windows —
+    // sqrt-temperature integer weights (the d44 convention) over the
+    // cumulative mixture of strictly earlier windows; epoch 0 and
+    // never-seen languages admit fully
+    "s25_stream_drift_mix" ->
+      ("WITH wd AS (SELECT (max(doc_id) // 16) + 1 AS w FROM documents), " +
+        "e AS (SELECT doc_id, lang, doc_id // wd.w AS epoch, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dmix'), 1, 15)) AS BIGINT) % 1048576 AS draw FROM documents, wd), " +
+        "c AS (SELECT epoch, lang, count(*) AS n FROM e GROUP BY epoch, lang), " +
+        "cum AS (SELECT ge.epoch, gl.lang, " +
+        "coalesce((SELECT CAST(sum(c.n) AS BIGINT) FROM c WHERE c.lang = gl.lang AND c.epoch < ge.epoch), 0) AS cn " +
+        "FROM (SELECT DISTINCT epoch FROM e) ge CROSS JOIN (SELECT DISTINCT lang FROM e) gl), " +
+        "w2 AS (SELECT epoch, lang, cn, CASE WHEN cn > 0 THEN CAST(floor(sqrt(CAST(cn AS DOUBLE)) * 1000000) AS BIGINT) ELSE 0 END AS s FROM cum), " +
+        "tot AS (SELECT epoch, CAST(sum(s) AS BIGINT) AS stot, CAST(sum(cn) AS BIGINT) AS ctot FROM w2 GROUP BY epoch), " +
+        "p AS (SELECT w2.epoch, w2.lang, CASE WHEN w2.cn = 0 OR t.stot = 0 THEN 1048576 " +
+        "ELSE least(1048576, (((w2.s * 524288) // t.stot) * t.ctot) // w2.cn) END AS p " +
+        "FROM w2 JOIN tot t USING (epoch)) " +
+        "SELECT e.doc_id, e.lang, e.epoch FROM e JOIN p ON e.epoch = p.epoch AND e.lang = p.lang WHERE e.draw < p.p"),
+    // periodic LM refresh: the d47 LM replay (same word-hash / integer
+    // bigram-bucket / recursive log2 CTEs) with an epoch dimension —
+    // per-window weights from the CUMULATIVE counts of strictly earlier
+    // windows; absent (epoch, bucket) pairs fall to the add-one
+    // defaults (0 / log2fx(256)), which is exactly the epoch-0 model
+    "s26_stream_lm_refresh" ->
+      ("WITH RECURSIVE wd AS (SELECT (max(doc_id) // 16) + 1 AS w FROM documents), " +
+        "w AS (SELECT doc_id, lang, doc_id // wd.w AS epoch, string_split(lower(trim(text)), ' ') AS ws FROM documents, wd), " +
+        "hwv AS (SELECT doc_id, lang, epoch, [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) for x in ws] AS hws FROM w WHERE len(ws) >= 2), " +
+        "bg0 AS (SELECT doc_id, lang, epoch, unnest([{'hb': ((hws[i] % 1048576) * 1000003 + hws[i+1] % 1048576) % 4096, 'hc': hws[i] % 256} for i in range(1, len(hws))]) AS u FROM hwv), " +
+        "bg AS (SELECT doc_id, lang, epoch, u.hb AS hb, u.hc AS hc FROM bg0), " +
+        "cbe AS (SELECT epoch, hb, count(*) AS n FROM bg WHERE lang = 'en' GROUP BY epoch, hb), " +
+        "cue AS (SELECT epoch, hc, count(*) AS n FROM bg WHERE lang = 'en' GROUP BY epoch, hc), " +
+        "eps AS (SELECT DISTINCT epoch FROM bg), " +
+        "cbc AS (SELECT e.epoch, c.hb, CAST(sum(c.n) AS BIGINT) AS cn FROM eps e JOIN cbe c ON c.epoch < e.epoch GROUP BY e.epoch, c.hb), " +
+        "cuc AS (SELECT e.epoch, c.hc, CAST(sum(c.n) AS BIGINT) AS cn FROM eps e JOIN cue c ON c.epoch < e.epoch GROUP BY e.epoch, c.hc), " +
+        "ns AS (SELECT DISTINCT n FROM (SELECT cn + 1 AS n FROM cbc UNION ALL SELECT cn + 256 FROM cuc)), " +
+        "lg AS (SELECT n, CAST(length(bin(n)) - 1 AS BIGINT) AS e, n / power(2.0, length(bin(n)) - 1) AS m, CAST(0 AS BIGINT) AS fr, 0 AS i FROM ns " +
+        "UNION ALL SELECT n, e, CASE WHEN m*m >= 2 THEN m*m/2 ELSE m*m END, fr*2 + CASE WHEN m*m >= 2 THEN 1 ELSE 0 END, i + 1 FROM lg WHERE i < 20), " +
+        "lgf AS (SELECT n, e * 1048576 + fr AS v FROM lg WHERE i = 20), " +
+        "cbw AS (SELECT cbc.epoch, cbc.hb, lgf.v FROM cbc JOIN lgf ON lgf.n = cbc.cn + 1), " +
+        "cuw AS (SELECT cuc.epoch, cuc.hc, lgf.v FROM cuc JOIN lgf ON lgf.n = cuc.cn + 256), " +
+        "sc AS (SELECT bg.doc_id, bg.epoch, count(*) AS n_bigrams, " +
+        "CAST(sum(coalesce(cbw.v, 0) - coalesce(cuw.v, 8388608) + 67108864) AS BIGINT) AS score " +
+        "FROM bg LEFT JOIN cbw ON cbw.hb = bg.hb AND cbw.epoch = bg.epoch " +
+        "LEFT JOIN cuw ON cuw.hc = bg.hc AND cuw.epoch = bg.epoch GROUP BY bg.doc_id, bg.epoch) " +
+        "SELECT doc_id, epoch, CAST(n_bigrams AS BIGINT) AS n_bigrams, " +
+        "(score // n_bigrams) * 1048576 + ((score % n_bigrams) * 1048576) // n_bigrams AS avg_fx FROM sc"),
     // Bloom gate: k=3 20-bit hex slices of the d1 fingerprint mod 2^16 —
     // pure integer arithmetic, so the filter AND its false positives
     // replay exactly; the oracle probes the position set directly

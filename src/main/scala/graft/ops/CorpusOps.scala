@@ -3405,4 +3405,195 @@ object CorpusOps {
     rareGateWith(cms, total, cutoff,
       Tables.documents(spark, sfDir).filter(pmod(col("doc_id"), lit(2L)) === 1L))
   }
+
+  // === Drifting-target variants (s25/s26) ==============================
+  //
+  // The r10-r12 skip reasoning for streaming rebalance was "targets
+  // drift as counts grow — semantics consciously murky; revisit only if
+  // a principled windowed definition emerges". This is that definition:
+  // the corpus's id axis (its time axis — the reference's sequence
+  // numbers, KinesisSource.scala's per-shard ordering) splits into
+  // [[DriftEpochs]] fixed recalibration WINDOWS, and the model applied
+  // to window e is derived from windows STRICTLY BEFORE e — the
+  // one-epoch-lag recurrence a deployed nightly job actually runs
+  // (today's gate uses yesterday's close). Deterministic, independent
+  // of micro-batch chunking (epoch is data-derived, not arrival-
+  // derived), and SQL-replayable via prefix aggregation.
+
+  /** Number of recalibration windows the drifting-target operators
+    * split the id axis into — FIXED at any scale (a deployed mixer
+    * rebalances on calendar boundaries, so history holds O(windows)
+    * models, not O(corpus)): model state stays O(DriftEpochs x buckets)
+    * no matter the corpus size.
+    */
+  private[graft] val DriftEpochs = 16L
+
+  /** Window width for `sfDir`'s id range: ceil-ish so every doc_id maps
+    * into epochs [0, DriftEpochs). One max() aggregate.
+    */
+  private[graft] def driftEpochWidth(spark: SparkSession, sfDir: String): Long = {
+    val mx = Tables.documents(spark, sfDir).agg(max(col("doc_id"))).head().getLong(0)
+    mx / DriftEpochs + 1
+  }
+
+  /** The trained drift-mix schedule: for every (epoch, lang), the
+    * 2^20-fixed-point admission threshold p derived from the CLOSED
+    * epochs' cumulative counts — sqrt-temperature weights (d44's
+    * integer convention) over the trailing mixture, scaled so the
+    * expected admitted volume is ~half of arrivals with the tempered
+    * language shares: p = min(2^20, ((s*2^19) div stot) * ctot div c).
+    * Epoch 0 and never-seen languages admit everything (a mixer fails
+    * OPEN on no history — exploration posture; contrast the
+    * contamination gates, which fail closed). All-integer recurrence +
+    * IEEE-exact sqrt, so the DuckDB oracle replays it bit-exactly.
+    */
+  private[graft] case class DriftMixSchedule(w: Long, langs: Seq[String], p: Array[Long])
+
+  private[graft] def driftMixSchedule(spark: SparkSession, sfDir: String): DriftMixSchedule =
+    TrainedModelCache.getOrTrain("drift-mix", sfDir)(
+      driftMixScheduleOver(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))))
+
+  /** [[driftMixSchedule]]'s trainer over any `(doc_id, lang)` relation —
+    * parameterized for the spec's replay pin (trains inline; the sfDir
+    * entry point caches).
+    */
+  private[graft] def driftMixScheduleOver(docs: DataFrame): DriftMixSchedule = {
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val w = mx / DriftEpochs + 1
+      val counts = docs
+        .select(expr(s"doc_id div $w").as("epoch"), col("lang"))
+        .groupBy(col("epoch"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+      val langs = counts.keys.map(_._2).toSeq.distinct.sorted
+      val nE = DriftEpochs.toInt
+      val p = new Array[Long](nE * langs.size)
+      val cum = scala.collection.mutable.Map(langs.map(_ -> 0L): _*)
+      for (e <- 0 until nE) {
+        val ctot = cum.values.sum
+        val s = langs.map(l => l -> (if (cum(l) > 0)
+          math.floor(math.sqrt(cum(l).toDouble) * 1000000).toLong else 0L)).toMap
+        val stot = s.values.sum
+        langs.zipWithIndex.foreach { case (l, i) =>
+          p(e * langs.size + i) =
+            if (cum(l) == 0 || stot == 0) 1048576L
+            else math.min(1048576L, s(l) * 524288L / stot * ctot / cum(l))
+        }
+        langs.foreach(l => cum(l) += counts.getOrElse((e.toLong, l), 0L))
+      }
+      DriftMixSchedule(w, langs, p)
+    }
+
+  /** Admission under a [[DriftMixSchedule]] as a stateless zero-shuffle
+    * projection — works identically on the batch relation and the
+    * ingest stream (the s16 gate discipline, with a PER-EPOCH threshold
+    * instead of one global cutoff). Output: admitted (doc_id, lang,
+    * epoch). The threshold table enters as one array literal indexed by
+    * epoch*|langs|+langIdx (element_at is O(1); the tiny lang->idx map
+    * literal's linear probe is over |langs| entries).
+    */
+  private[graft] def driftMixAdmit(docs: DataFrame, sched: DriftMixSchedule): DataFrame = {
+    val langIdx = typedlit(sched.langs.zipWithIndex.toMap)
+    val pLit = typedlit(sched.p.toSeq)
+    val draw = pmod(conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":dmix"))), 1, 15), 16, 10).cast("long"),
+      lit(1048576L))
+    docs
+      .select(col("doc_id"), col("lang"),
+        expr(s"doc_id div ${sched.w}").as("epoch"), draw.as("draw"))
+      .withColumn("p", coalesce(
+        element_at(pLit, (col("epoch").cast("int") * sched.langs.size +
+          element_at(langIdx, col("lang")) + 1)),
+        lit(1048576L)))
+      .filter(col("draw") < col("p"))
+      .select(col("doc_id"), col("lang"), col("epoch"))
+  }
+
+  /** The per-epoch REFRESHED bigram LM: for each of the
+    * [[DriftEpochs]] windows, the d47 hashed add-one LM trained on the
+    * target slice of all STRICTLY EARLIER windows (cumulative counts,
+    * one-epoch lag) — the "periodic LM refresh" a drifting-corpus
+    * deployment runs nightly. One grouping-sets aggregate over
+    * (epoch, bucket) + a driver prefix fold; model state is
+    * O(DriftEpochs x (4096+256)) longs (~0.5 MB) at ANY corpus size.
+    */
+  private[graft] case class LmRefreshModel(w: Long,
+      big: Array[Array[Long]], ctx: Array[Array[Long]])
+
+  private[graft] def lmRefreshModel(spark: SparkSession, sfDir: String): LmRefreshModel =
+    TrainedModelCache.getOrTrain("lm-refresh", sfDir)(
+      lmRefreshModelOver(lmDocs(spark, sfDir)))
+
+  /** [[lmRefreshModel]]'s trainer over any `(doc_id, is_target, text)`
+    * relation — parameterized for the spec's replay pin. The epoch
+    * width derives from the max doc_id over ALL documents (scoring
+    * epochs), not just the target slice.
+    */
+  private[graft] def lmRefreshModelOver(docs: DataFrame): LmRefreshModel = {
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val w = mx / DriftEpochs + 1
+      val pairs = docs.filter(col("is_target"))
+        .select(expr(s"doc_id div $w").as("epoch"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("epoch"), transform(col("ws"), t => md5Prefix60Col(t)).as("hws"))
+        .select(col("epoch"), explode(zip_with(
+          slice(col("hws"), lit(1), size(col("hws")) - 1),
+          slice(col("hws"), lit(2), size(col("hws")) - 1), (h1, h2) =>
+            struct(bigramBucket(h1, h2).as("hb"),
+              pmod(h1, lit(DsirBuckets.toLong)).as("hc")))).as("u"))
+        .select(col("epoch"), col("u.hb").as("hb"), col("u.hc").as("hc"))
+      val rows = pairs
+        .groupingSets(Seq(Seq(col("epoch"), col("hb")), Seq(col("epoch"), col("hc"))),
+          col("epoch"), col("hb"), col("hc"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+      val nE = DriftEpochs.toInt
+      val cumB = new Array[Long](PplBigramBuckets)
+      val cumC = new Array[Long](DsirBuckets)
+      val perB = Array.fill(nE)(Map.empty[Int, Long])
+      val perC = Array.fill(nE)(Map.empty[Int, Long])
+      rows.foreach { r =>
+        val e = r.getAs[Long]("epoch").toInt
+        if (!r.isNullAt(r.fieldIndex("hb")))
+          perB(e) += (r.getAs[Long]("hb").toInt -> r.getAs[Long]("n"))
+        else if (!r.isNullAt(r.fieldIndex("hc")))
+          perC(e) += (r.getAs[Long]("hc").toInt -> r.getAs[Long]("n"))
+      }
+      val big = Array.ofDim[Long](nE, PplBigramBuckets)
+      val ctx = Array.ofDim[Long](nE, DsirBuckets)
+      for (e <- 0 until nE) {
+        var b = 0
+        while (b < PplBigramBuckets) { big(e)(b) = log2Fx(cumB(b) + 1); b += 1 }
+        var c = 0
+        while (c < DsirBuckets) { ctx(e)(c) = log2Fx(cumC(c) + 256); c += 1 }
+        perB(e).foreach { case (k, n) => cumB(k) += n }
+        perC(e).foreach { case (k, n) => cumC(k) += n }
+      }
+      LmRefreshModel(w, big, ctx)
+    }
+
+  /** Per-document scoring under the REFRESHED LM of the document's own
+    * epoch — [[pplScored]]'s zero-shuffle shape with the weight tables
+    * epoch-dispatched through one 2-D array literal (element_at of
+    * element_at; one literal node, the d13 lesson). Stateless: batch
+    * and stream share it. Output: (doc_id, epoch, n_bigrams, avg_fx).
+    */
+  private[graft] def lmRefreshScored(docs: DataFrame, m: LmRefreshModel): DataFrame = {
+    val bigLit = typedlit(m.big.map(_.toSeq).toSeq)
+    val ctxLit = typedlit(m.ctx.map(_.toSeq).toSeq)
+    val eIdx = (col("epoch") + 1).cast("int")
+    val terms = pplTerms(element_at(bigLit, eIdx), element_at(ctxLit, eIdx))
+    val score = aggregate(terms, lit(0L),
+      (acc, t) => acc + t,
+      acc => fxAvg(acc, (size(col("hws")) - 1).cast("long")))
+    docs
+      .select(col("doc_id"), expr(s"doc_id div ${m.w}").as("epoch"),
+        words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("epoch"),
+        transform(col("ws"), t => md5Prefix60Col(t)).as("hws"))
+      .select(col("doc_id"), col("epoch"),
+        (size(col("hws")) - 1).cast("long").as("n_bigrams"), score.as("avg_fx"))
+  }
 }

@@ -1408,4 +1408,68 @@ object StreamingQueries {
     q.awaitTermination()
     spark.table(mem)
   }
+
+  /** DRIFTING-TARGET temperature rebalance at ingest (the s-series twin
+    * of d44 the r10-r12 surveys consciously deferred): the id axis
+    * splits into `CorpusOps.DriftEpochs` recalibration windows, and
+    * each arrival is admitted against the threshold its OWN window's
+    * trained schedule assigns — sqrt-temperature shares over the
+    * cumulative mixture of strictly earlier windows (one-epoch lag, the
+    * nightly-recalibration recurrence). Epoch 0 and never-seen
+    * languages admit fully (a mixer fails OPEN — exploration; the
+    * contamination gates fail closed). The schedule is the trained
+    * artifact (`TrainedModelCache`, O(epochs x langs) longs); the
+    * arrival side is a stateless zero-shuffle projection, so admission
+    * is independent of micro-batch chunking — the property that makes a
+    * drifting gate oracle-checkable at all.
+    */
+  def s25StreamDriftMix(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+    val shardDir = corpusShardDir(spark, sfDir)
+    val sched = graft.ops.CorpusOps.driftMixSchedule(spark, sfDir)
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
+    val q = graft.ops.CorpusOps.driftMixAdmit(
+        ShardedCorpus.readStream(spark, shardDir, maxFilesPerTrigger), sched)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
+
+  /** PERIODIC LM REFRESH at ingest (the drifting-LM variant the surveys
+    * deferred alongside s25): every arrival scores under the bigram LM
+    * of its OWN recalibration window — trained on the target slice of
+    * strictly earlier windows (cumulative counts, one-epoch lag) — so
+    * the model MOVES with the corpus the way a deployed nightly retrain
+    * does. Window 0 scores under the unsmoothed-prior model (all
+    * add-one defaults), pinning what "no history yet" means. Model
+    * state is O(DriftEpochs x buckets) (~0.5 MB) at any corpus size;
+    * scoring is the s21 zero-shuffle shape with the weight tables
+    * epoch-dispatched through one 2-D literal. Output: each scoreable
+    * arrival's (doc_id, epoch, n_bigrams, avg_fx).
+    */
+  def s26StreamLmRefresh(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+    val shardDir = corpusShardDir(spark, sfDir)
+    val m = graft.ops.CorpusOps.lmRefreshModel(spark, sfDir)
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
+    val q = graft.ops.CorpusOps.lmRefreshScored(
+        ShardedCorpus.readStream(spark, shardDir, maxFilesPerTrigger), m)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(mem)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(mem)
+  }
 }
