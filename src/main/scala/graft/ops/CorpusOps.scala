@@ -141,7 +141,7 @@ object CorpusOps {
     */
   def d14NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val docsT = docs
+    val docsT = scanWide(docs)
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
       .filter(length(col("t")) >= 8) // sequence(1, n) must be ascending
     // candidate side: the fused kernel — window hash + k minima straight
@@ -217,6 +217,28 @@ object CorpusOps {
     * downstream groupBy/join on the same keys reuses the layout (hash
     * distribution satisfied) rather than exchanging a second time.
     */
+  /** Round-robin widen a NARROW batch scan before a CPU-heavy per-row
+    * kernel (BPE merge chains, md5-per-token LM scoring, PQ argmin
+    * encoding): parquet splits at row-group granularity, so a
+    * few-row-group table pins the whole kernel pass to a handful of
+    * tasks no matter the session width — the sf0.1 `documents` table is
+    * ONE row group, and the heavy scan rows measured 1.2-1.6x
+    * parallelism on a 32-thread session before this. The exchange
+    * carries only the kernel's pruned input columns and is CONDITIONAL:
+    * when the scan already fills half the session — the 100 TB case,
+    * where tables arrive as thousands of row groups — this is a no-op,
+    * so no gratuitous shuffle ships at scale. Streaming frames pass
+    * through untouched (micro-batch sources size their own partitions;
+    * an RDD probe on an unbounded frame is illegal anyway). Round-robin
+    * repartition is deterministic (Spark local-sorts before routing)
+    * and every consumer is order-free.
+    */
+  private[ops] def scanWide(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
   private def widened(df: DataFrame, parts: Int, keys: Column*): DataFrame =
     if (parts > df.sparkSession.sessionState.conf.numShufflePartitions)
       df.repartition(parts, keys: _*)
@@ -1103,7 +1125,7 @@ object CorpusOps {
     * sort of the pair stream, no second shuffle.
     */
   def d30BpePairs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    scanWide(Tables.documents(spark, sfDir))
       .select(words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(explode(
@@ -1147,7 +1169,7 @@ object CorpusOps {
   def bpeTrain(docs: DataFrame, iters: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var state = docs
+    var state = scanWide(docs)
       .select(lower(trim(col("text"))).as("t"))
       .filter(col("t") =!= "")
     val merges = Seq.newBuilder[(Int, String, Long)]
@@ -1219,7 +1241,7 @@ object CorpusOps {
     * the output unchanged (d74's lang rollup — no re-attach join).
     */
   def bpeEncode(docs: DataFrame, merges: Seq[String], carry: Seq[String] = Nil): DataFrame = {
-    val base = docs
+    val base = scanWide(docs)
       .select(col("doc_id") +: carry.map(col) :+ lower(trim(col("text"))).as("t"): _*)
       .filter(col("t") =!= "")
     val encoded = merges.foldLeft(col("t")) { (t, pair) =>
@@ -1821,7 +1843,7 @@ object CorpusOps {
     // persist the O(docs)-row scored projection (the d13 persisted-cell-
     // assignment pattern): bucketRank consumes it twice (offsets + rank
     // join) and re-deriving it re-runs the md5-per-token scoring scan
-    val scored = docs.select(col("doc_id"), dsirScore(wts, col("text")).as("score"))
+    val scored = scanWide(docs).select(col("doc_id"), dsirScore(wts, col("text")).as("score"))
       .withColumn("b", expr(s"(-score) div $DsirScoreBucketWidth"))
       .persist()
     bucketRank(scored, Seq.empty, Seq(col("score").desc, col("doc_id")))
@@ -2210,7 +2232,7 @@ object CorpusOps {
     val score = aggregate(pplTerms(bigLit, ctxLit), lit(0L),
       (acc, t) => acc + t,
       acc => fxAvg(acc, (size(col("hws")) - 1).cast("long")))
-    docs
+    scanWide(docs)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), transform(col("ws"), w => md5Prefix60Col(w)).as("hws"))
@@ -2327,7 +2349,7 @@ object CorpusOps {
     // bind hws before the per-index lambda (same O(tokens^2) trap as the
     // scoring fold — see pplTermAt); buckets use the SAME word-hash
     // combine the scoring term does (bigramBucket — no copy to drift)
-    val pairs = docs.filter(col("is_target"))
+    val pairs = scanWide(docs).filter(col("is_target"))
       .select(words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(transform(col("ws"), w => md5Prefix60Col(w)).as("hws"))
@@ -2442,7 +2464,7 @@ object CorpusOps {
     val bigLit = typedlit(bigWts.toSeq)
     val ctxLit = typedlit(ctxWts.toSeq)
     val terms = pplTerms(bigLit, ctxLit)
-    docs
+    scanWide(docs)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), transform(col("ws"), w => md5Prefix60Col(w)).as("hws"))
@@ -2640,7 +2662,7 @@ object CorpusOps {
     * vs sub-second at sf0.1.
     */
   private[graft] def winnowSelected(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    scanWide(docs).select(col("doc_id"),
       graft.functions.WinnowMd5.winnowMd5(
         lower(trim(col("text"))), SpanW, WinnowW).as("sel"))
 
@@ -3587,7 +3609,7 @@ object CorpusOps {
     val score = aggregate(terms, lit(0L),
       (acc, t) => acc + t,
       acc => fxAvg(acc, (size(col("hws")) - 1).cast("long")))
-    docs
+    scanWide(docs)
       .select(col("doc_id"), expr(s"doc_id div ${m.w}").as("epoch"),
         words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)

@@ -861,13 +861,39 @@ object VectorOps {
     books
   }
 
+
+  /** Bounded ADC candidate selection + exact rerank shared by the PQ
+    * family (d35/d36/d43): the PqCand best (adc, vec_id) per query via
+    * ONE map-side-combined [[graft.functions.BottomKPairs]] aggregate
+    * over order-preserving double bits — identical selection to the
+    * row_number window it replaced (k smallest by (adc, vec_id);
+    * vec_ids are distinct per query so pair-set selection = row
+    * selection), WITHOUT shuffling the corpus-x-probes scored stream:
+    * each task keeps at most queries x PqCand pairs and only those
+    * partials shuffle. Raw vectors for the exact rerank come from a
+    * second PRUNED corpus scan broadcast-joined against the tiny
+    * candidate list (queries x PqCand rows) — at scale a 2-column
+    * rescan beats shuffling the scored stream by the probe fan-out.
+    */
+  private def adcTopCandidates(adc: DataFrame, e: DataFrame, qv: DataFrame): DataFrame = {
+    val sel = adc.groupBy(col("q_id"))
+      .agg(graft.functions.BottomKPairs.bottomKPairs(
+        graft.functions.DoubleOrderBits.bits(col("adc")), col("vec_id"), PqCand).as("bk"))
+      .select(col("q_id"), explode(expr("transform(bk, p -> p.v)")).as("n_id"))
+    topK(e.select(col("vec_id").as("n_id"), col("v"))
+      .join(broadcast(sel), "n_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("n_id"), cosine(col("qv"), col("v")).as("sim")))
+  }
+
   def d35AnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = embeddings(spark, sfDir)
     // per-subspace codebooks, trained on the deterministic 1-in-4 id sample
     val codebooks = trainedPqCodebooks(spark, sfDir)
-    // encode: 8 zero-shuffle literal-codebook argmins per row
-    val encoded = e.select(col("vec_id"), col("v"),
+    // encode: 8 zero-shuffle literal-codebook argmins per row (scan
+    // widened: the per-row argmin chain is the cost, not IO)
+    val encoded = CorpusOps.scanWide(e).select(col("vec_id"), col("v"),
       array(codebooks.zipWithIndex.map { case (cb, m) =>
         nearestCidLit(cb, slice(col("v"), m * PqSubDim + 1, PqSubDim)) }: _*).as("codes"))
     // per-query ADC tables: M x K exact subvector distances, driver-built
@@ -875,10 +901,7 @@ object VectorOps {
     val qDf = pqQueryTables(spark, e, codebooks)
     val adc = encoded.join(broadcast(qDf), col("vec_id") =!= col("q_id"))
       .withColumn("adc", adcScore)
-    val cands = adc.withColumn("crn", row_number().over(adcRank))
-      .filter(col("crn") <= PqCand)
-    topK(cands.select(col("q_id"), col("vec_id").as("n_id"),
-      cosine(col("qv"), col("v")).as("sim")))
+    adcTopCandidates(adc, e, qDf.select(col("q_id"), col("qv")))
   }
 
   /** The broadcastable query side of ADC search: (q_id, qv, tabs) where
@@ -913,9 +936,6 @@ object VectorOps {
     aggregate(zip_with(col("codes"), col("tabs"),
       (c, t) => element_at(t, c + 1)), lit(0.0), (acc, x) => acc + x)
 
-  private def adcRank: org.apache.spark.sql.expressions.WindowSpec =
-    Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id").asc)
-
   /** d36: the FULL IVF-PQ pipeline — both halves of the 100 TB layout
     * composed: the coarse quantizer prunes WHICH vectors are scored
     * (d34's exact-integer cell ranking, `nprobe` = 3 — one more probe
@@ -938,7 +958,7 @@ object VectorOps {
   def d36AnnIvfPqFull(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embeddings(spark, sfDir)
     val codebooks = trainedPqCodebooks(spark, sfDir)
-    val encoded = e.select(col("vec_id"), col("v"), col("label"),
+    val encoded = CorpusOps.scanWide(e).select(col("vec_id"), col("v"), col("label"),
       array(codebooks.zipWithIndex.map { case (cb, m) =>
         nearestCidLit(cb, slice(col("v"), m * PqSubDim + 1, PqSubDim)) }: _*).as("codes"))
     val q = e.filter(col("vec_id") < NumQueries)
@@ -950,10 +970,7 @@ object VectorOps {
     val adc = encoded.join(broadcast(probeSide),
         col("label") === col("c_label") && col("vec_id") =!= col("q_id"))
       .withColumn("adc", adcScore)
-    val cands = adc.withColumn("crn", row_number().over(adcRank))
-      .filter(col("crn") <= PqCand)
-    topK(cands.select(col("q_id"), col("vec_id").as("n_id"),
-      cosine(col("qv"), col("v")).as("sim")))
+    adcTopCandidates(adc, e, q.select(col("q_id"), col("qv")))
   }
 
   /** d43: RESIDUAL IVF-PQ — the refinement d36's doc promised: PQ
@@ -988,7 +1005,7 @@ object VectorOps {
     val codebooks = TrainedModelCache.getOrTrain("pq-residual", sfDir)(
       pqCodebooks(e.filter(pmod(col("vec_id"), lit(4)) === 0)
         .select(col("vec_id"), resid.as("v")), iters = 3))
-    val encoded = e.select(col("vec_id"), col("v"), col("label"),
+    val encoded = CorpusOps.scanWide(e).select(col("vec_id"), col("v"), col("label"),
       array(codebooks.zipWithIndex.map { case (cb, m) =>
         nearestCidLit(cb, slice(resid, m * PqSubDim + 1, PqSubDim)) }: _*).as("codes"))
     // driver-built probe side: per query, the nprobe=3 nearest cells by
@@ -1017,10 +1034,7 @@ object VectorOps {
     val adc = encoded.join(broadcast(probeSide),
         col("label") === col("c_label") && col("vec_id") =!= col("q_id"))
       .withColumn("adc", adcScore)
-    val cands = adc.withColumn("crn", row_number().over(adcRank))
-      .filter(col("crn") <= PqCand)
-    topK(cands.select(col("q_id"), col("vec_id").as("n_id"),
-      cosine(col("qv"), col("v")).as("sim")))
+    adcTopCandidates(adc, e, qs.toDF("q_id", "qv"))
   }
 
   /** Probed cells per query in [[d43AnnIvfPqResidual]] (nprobe). */

@@ -60,6 +60,19 @@ class BottomKAvgFxSpec extends AnyFunSuite with SparkSpec with Matchers {
     kernel(Seq.empty) shouldBe 0L
   }
 
+  test("DoubleOrderBits: signed-long order of the mapped bits == double order (ADC ranking exactness)") {
+    val gen = Gen.oneOf(
+      Gen.choose(-1e12, 1e12),
+      Gen.oneOf(0.0, -0.0, Double.MinPositiveValue, Double.MaxValue,
+        Double.PositiveInfinity, Double.NegativeInfinity))
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500),
+      Prop.forAll(gen, gen) { (a, b) =>
+        val (ba, bb) = (DoubleOrderBits.bitsOf(a), DoubleOrderBits.bitsOf(b))
+        (a < b) == (ba < bb) || (a == b) // -0.0 == 0.0 maps to two adjacent bit values
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("codegen path: Spark projection matches the interpreted eval") {
     import spark.implicits._
     val rows = Seq(

@@ -100,12 +100,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(!p.contains("Exchange"), s"split assignment is row-local and must not shuffle:\n$p")
   }
 
-  test("d37_bpe_encode's encode pass is a pure projection — zero exchanges") {
+  test("d37_bpe_encode's encode pass is key-shuffle-free (only the conditional scan widening)") {
     // training runs its own (bounded) aggregation jobs eagerly; the
     // RETURNED plan is the 100 TB pass — per-row merge application and
-    // token accounting, which must not shuffle
+    // token accounting. No KEY exchange is allowed; the one permitted
+    // exchange is CorpusOps.scanWide's ROUND-ROBIN widening of the
+    // pruned scan, which no-ops when the input already fills the
+    // session (the 100 TB case — scans arrive thousands of row groups
+    // wide) and exists because the gate corpus is ONE parquet row
+    // group, which pinned this CPU-heavy kernel to a single task.
     val p = plan("d37_bpe_encode")
-    assert(!p.contains("Exchange"), s"BPE encoding is row-local and must not shuffle:\n$p")
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      s"BPE encoding must not key-shuffle:\n$p")
+    assert(p.split("Exchange").length - 1 <= 1, s"at most the widening exchange:\n$p")
   }
 
   test("d24_embed_quantize is a pure projection — zero exchanges") {

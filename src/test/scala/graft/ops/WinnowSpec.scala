@@ -145,10 +145,16 @@ class WinnowSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(out.head.getLong(2) >= 1L)
   }
 
-  test("d52 sketch computation plans with ZERO shuffles (row-local)") {
+  test("d52 sketch computation plans with zero KEY shuffles (row-local after the scan widening)") {
+    // the one permitted exchange is CorpusOps.scanWide's round-robin
+    // widening of the pruned scan (no-op on wide inputs — the 100 TB
+    // case); the sketch itself must stay row-local: no hash or range
+    // partitioning anywhere
     val p = graft.SparkEntry.queries("d52_winnow")(spark, sf001)
       .queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange"), s"winnow sketching is row-local and must not shuffle:\n$p")
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      s"winnow sketching must not key-shuffle:\n$p")
+    assert(p.split("Exchange").length - 1 <= 1, s"at most the widening exchange:\n$p")
   }
 
   test("d53 overlap keeps the d49 hot-cap guard as a broadcast anti-join") {
