@@ -90,7 +90,7 @@ object CorpusOps {
   private val JaccardThreshold = 0.6
 
   private def shingleSets(docs: DataFrame): DataFrame =
-    docs
+    scanWide(docs)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), expr(ShingleSql).as("shingles"))
@@ -114,7 +114,7 @@ object CorpusOps {
     */
   def nearDupPairs(docs: DataFrame): DataFrame = {
     val k = Bands * RowsPerBand
-    val sig = docs
+    val sig = scanWide(docs)
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
       .filter(size(split(col("t"), " ")) >= 3)
       .select(col("doc_id"), graft.functions.WordShingleMinHash.wordShingleMinhash(
@@ -699,7 +699,7 @@ object CorpusOps {
     def score(markers: String*): Column =
       size(filter(ws, w => w.isin(markers: _*))).cast("long")
     val quality = qualityCol // d11's exact-ppm score (see QualityPpmSql)
-    val annotated = docs.select(
+    val annotated = scanWide(docs).select(
       col("doc_id"), col("lang"),
       when(score("the", "a", "of") >= greatest(score("der", "die", "und"),
           score("le", "la", "et"), score("el", "los", "y")), "en")
@@ -735,7 +735,7 @@ object CorpusOps {
     * distance — [[d12SimhashNeardup]] is that banded join.
     */
   def d5Simhash(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    scanWide(Tables.documents(spark, sfDir))
       .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
       .select(col("doc_id"),
         graft.functions.Md5Prefix64.md5Prefix64(col("ws")).as("hs"))
@@ -869,7 +869,7 @@ object CorpusOps {
   private def bandedGramRowsCarrying(docs: DataFrame, carry: Seq[String]): DataFrame = {
     val k = Bands * RowsPerBand
     val carried = carry.map(col)
-    val sig = docs
+    val sig = scanWide(docs)
       .select(col("doc_id") +: lower(trim(col("text"))).as("t") +: carried: _*)
       .filter(size(split(col("t"), " ")) >= 3)
       .select(col("doc_id") +: col("t") +: split(col("t"), " ").as("ws") +: carried: _*)
@@ -1082,7 +1082,7 @@ object CorpusOps {
     * doc_id join move only per-doc scalars.
     */
   def d26Repetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.documents(spark, sfDir)
+    val base = scanWide(Tables.documents(spark, sfDir))
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
     def grams(n: Int): DataFrame = {
@@ -2052,7 +2052,7 @@ object CorpusOps {
     * parameterized for the planted-subset spec.
     */
   private[graft] def containmentOver(docs: DataFrame): DataFrame = {
-    val raw = docs
+    val raw = scanWide(docs)
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.WordWindowMd5.wordWindowMd5(
           lower(trim(col("text"))), SpanW))).as("gh"))

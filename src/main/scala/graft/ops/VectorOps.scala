@@ -515,7 +515,11 @@ object VectorOps {
     * parameterized for the ScalaCheck property pin.
     */
   private[graft] def semDedupOver(e: DataFrame): DataFrame = {
-    val cs = e.join(broadcast(labelCentroidsExact(e)), col("label") === col("c_label"))
+    // widened: the per-cell quadratic cosine filter runs on the PROBE
+    // side of a broadcast join, i.e. at raw scan parallelism — one
+    // parquet row group pinned it to a single task before this
+    val cs = CorpusOps.scanWide(e)
+      .join(broadcast(labelCentroidsExact(e)), col("label") === col("c_label"))
       .select(col("vec_id"), col("label"), col("v"),
         cosine(col("v"), col("cv")).as("csim"))
     val a = cs.select(col("vec_id").as("a_id"), col("label"),
