@@ -28,9 +28,11 @@ object ShardedCorpus {
     * routed by doc_id exactly like [[ShardedEvents.materialize]] routes
     * events by partition key; within a shard, file order = doc_id order.
     */
-  def materialize(spark: SparkSession, sfDir: String, outDir: String): Unit =
+  def materialize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     ShardedEvents.routed(Tables.documents(spark, sfDir), col("doc_id"), col("doc_id"), NumShards)
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    ShardedEvents.sequenceFileClock(outDir)
+  }
 
   /** Open the corpus stream through the PACKAGED source: the provider's
     * schema is caller-overridable (`.schema(...)`), so the one registered

@@ -26,9 +26,11 @@ object ShardedEmbeddings {
     * routed by vec_id exactly like [[ShardedCorpus.materialize]] routes
     * documents by doc_id.
     */
-  def materialize(spark: SparkSession, sfDir: String, outDir: String): Unit =
+  def materialize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     ShardedEvents.routed(Tables.embeddings(spark, sfDir), col("vec_id"), col("vec_id"), NumShards)
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    ShardedEvents.sequenceFileClock(outDir)
+  }
 
   /** Open the embedding stream through the PACKAGED source (caller
     * schema, `trim_horizon` — ingest replays the full retained stream,
