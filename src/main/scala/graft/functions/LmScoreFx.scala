@@ -1,0 +1,146 @@
+package graft.functions
+
+import java.security.MessageDigest
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** The fused per-document bigram-LM scorer for the d47/d67/s21/s23
+  * family: given the document's WORD array and the two dense trained
+  * weight tables, hash every word once (the corpus-wide 60-bit md5
+  * prefix convention — bit-identical to `Md5Prefix64`), derive each
+  * bigram's score term
+  * `bigWts(bucket(h1,h2)) - ctxWts(h1 mod ctxB) + offset` with the
+  * oracle's exact integer combine
+  * `((h1 mod 2^20)·1000003 + (h2 mod 2^20)) mod bigB`, and finish the
+  * truncating fixed-point average over the k = max(1, terms div denom)
+  * SMALLEST terms — `denom = 1` selects every term, i.e. d47/s21's
+  * plain per-bigram average; `denom = 5` is d67/s23's Min-K%.
+  *
+  * Why one kernel instead of the composed
+  * `transform(ws, md5…) |> zip_with(slice, slice) |> aggregate/bottom_k`
+  * chain it replaces, bit for bit:
+  *
+  *  - ONE md5 per token, structurally. The composed form bound `hws` in
+  *    a projection and referenced it through two `slice`s plus the
+  *    length term; the streamed gates filter on the scored value and
+  *    predicate pushdown inlines the full expression into the filter
+  *    condition with the projection collapsed — each slice then
+  *    re-derives the whole hash pass (the r12 shape lesson bounded the
+  *    damage at "duplicates the linear pass"; this removes it — the
+  *    words array appears exactly ONCE in the expression tree, the
+  *    [[BottomKAvgFx]] discipline extended to the hash pass itself).
+  *  - No hex round-trip and no interpreted lambda dispatch: the
+  *    composed per-word hash built a 32-char hex string, substringed
+  *    and re-parsed it base-16, through three nested higher-order
+  *    functions (`transform`/`zip_with`/`aggregate` — CodegenFallback,
+  *    interpreted per element). Here one thread-cached MessageDigest
+  *    hashes raw UTF-8 bytes and the top 60 bits assemble from the
+  *    first 8 digest bytes directly (the [[Md5Prefix64]] move), inside
+  *    whole-stage codegen.
+  *
+  * The weight tables are constructor state, not child literals: the
+  * expression ships them once per task in its serialized form, and the
+  * plan tree stays O(1) nodes where two 4096-element `typedlit`s made
+  * analysis and canonicalization walk the table per rule.
+  *
+  * Exactness: terms are nonnegative by the offset's design
+  * (`CorpusOps.PplTermOffset`), every hash is 60-bit nonnegative, the
+  * bucket combine's intermediates stay under 2^41, term magnitude under
+  * 2^28 and the k-sum under 2^48 for any document, and the closing
+  * average replays fxAvg's truncating Euclidean split
+  * `q·2^20 + (r·2^20) div k` — LmScoreFxSpec property-pins the whole
+  * kernel against the composed form it replaced, eval and codegen
+  * paths, both denoms.
+  *
+  * Sub-2-token documents return 0 (the callers filter them out before
+  * ranking; pushdown-reordered evaluation must stay defined — the
+  * empty-array convention [[BottomKAvgFx]] set). Null words cannot
+  * occur (`words()` splits a non-null string) and are skipped
+  * defensively, shrinking the effective document.
+  */
+case class LmScoreFx(child: Expression, bigWts: Array[Long], ctxWts: Array[Long],
+    offset: Long, denom: Int) extends UnaryExpression {
+
+  require(denom >= 1, s"denom must be positive: $denom")
+  require(bigWts.nonEmpty && ctxWts.nonEmpty, "weight tables must be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lm_score_fx requires array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  /** Shared by eval and codegen: hash, score, select, average. */
+  def compute(ws: ArrayData): Long = {
+    val n0 = ws.numElements()
+    // per-word 60-bit md5 prefixes, nulls skipped
+    val h = new Array[Long](n0)
+    var len = 0
+    val md = LmScoreFx.digest.get()
+    var i = 0
+    while (i < n0) {
+      if (!ws.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(ws.getUTF8String(i).getBytes)
+        var v = 0L
+        var j = 0
+        while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+        h(len) = v >>> 4
+        len += 1
+      }
+      i += 1
+    }
+    if (len < 2) return 0L
+    val nTerms = len - 1
+    val bigB = bigWts.length
+    val ctxB = ctxWts.length
+    val terms = new Array[Long](nTerms)
+    i = 0
+    while (i < nTerms) {
+      val h1 = h(i)
+      val h2 = h(i + 1)
+      val bucket = (((h1 % 1048576L) * 1000003L + (h2 % 1048576L)) % bigB).toInt
+      terms(i) = bigWts(bucket) - ctxWts((h1 % ctxB).toInt) + offset
+      i += 1
+    }
+    val k = math.max(1, nTerms / denom)
+    if (k < nTerms) BottomKAvgFx.selectBottomK(terms, nTerms, k)
+    var sum = 0L
+    i = 0
+    while (i < k) { sum += terms(i); i += 1 }
+    val q = sum / k
+    val r = sum % k
+    q * 1048576L + r * 1048576L / k
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("lmScoreFx", this, classOf[LmScoreFx].getName)
+    defineCodeGen(ctx, ev, c => s"$self.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LmScoreFx =
+    copy(child = newChild)
+
+  override def prettyName: String = "lm_score_fx"
+}
+
+object LmScoreFx {
+  private val digest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** `lm_score_fx(ws)` as a Column. */
+  def lmScoreFx(ws: Column, bigWts: Array[Long], ctxWts: Array[Long],
+      offset: Long, denom: Int): Column =
+    ColumnBridge.column(LmScoreFx(ColumnBridge.expression(ws), bigWts, ctxWts, offset, denom))
+}

@@ -2218,26 +2218,29 @@ object CorpusOps {
     */
   /** Per-document bigram-LM scoring shared by d47's terciles and the
     * s21 at-ingest gate: `(doc_id, n_bigrams, avg_fx)` as a zero-shuffle
-    * fold over the two dense weight literals — works identically on a
-    * batch relation and a stream (stateless projection).
+    * projection through the fused [[graft.functions.LmScoreFx]] kernel
+    * (denom = 1 selects every term — the plain per-bigram average) —
+    * one native md5 per token, weights as expression state, the words
+    * array referenced once so the gate's pushdown inlining can never
+    * duplicate the hash pass. Works identically on a batch relation and
+    * a stream (stateless projection). `n_bigrams` re-reads only the
+    * cheap split (`ws`), never the hash pass.
     */
   private[graft] def pplScored(docs: DataFrame,
-      bigWts: Array[Long], ctxWts: Array[Long]): DataFrame = {
-    // ONE literal node apiece (the d13 lesson): an element-wise
-    // array(lit...) of 4096 weights builds an O(buckets)-node tree
-    val bigLit = typedlit(bigWts.toSeq)
-    val ctxLit = typedlit(ctxWts.toSeq)
-    // the overflow-safe average rides the fold's finish lambda, so the
-    // O(tokens) fold appears exactly once in the expression (see fxAvg)
-    val score = aggregate(pplTerms(bigLit, ctxLit), lit(0L),
-      (acc, t) => acc + t,
-      acc => fxAvg(acc, (size(col("hws")) - 1).cast("long")))
+      bigWts: Array[Long], ctxWts: Array[Long]): DataFrame =
+    lmScoredBy(docs, bigWts, ctxWts, 1, "avg_fx")
+
+  /** The one scored-projection shape [[pplScored]] (denom 1) and
+    * [[minkScored]] (denom [[MinkDenom]]) share.
+    */
+  private def lmScoredBy(docs: DataFrame, bigWts: Array[Long], ctxWts: Array[Long],
+      denom: Int, scoreName: String): DataFrame =
     scanWide(docs)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), transform(col("ws"), w => md5Prefix60Col(w)).as("hws"))
-      .select(col("doc_id"), (size(col("hws")) - 1).cast("long").as("n_bigrams"), score.as("avg_fx"))
-  }
+      .select(col("doc_id"), (size(col("ws")) - 1).cast("long").as("n_bigrams"),
+        graft.functions.LmScoreFx.lmScoreFx(col("ws"), bigWts, ctxWts,
+          PplTermOffset, denom).as(scoreName))
 
   /** floor((acc * 2^20) / n) for nonnegative `acc`, exact at ANY
     * magnitude: the naive (acc * 1048576) form overflows int64 once a
@@ -2288,9 +2291,12 @@ object CorpusOps {
       lit(PplBigramBuckets.toLong))
 
   /** The per-bigram LM score-term ARRAY over the bound word-hash column
-    * `hws` — the one scoring expression [[pplScored]]'s sum-fold and
-    * [[minkScored]]'s sorted array share (no copy to drift: the oracle
-    * replays this exact arithmetic). Shape matters as much as content:
+    * `hws` — the composed form of the scoring term, now used only where
+    * weight tables must DISPATCH per row (s26's epoch-indexed 2-D
+    * literal); the fixed-weights scorers ([[pplScored]]/[[minkScored]])
+    * run the fused [[graft.functions.LmScoreFx]] kernel, which replays
+    * this exact arithmetic (LmScoreFxSpec pins the two term-for-term).
+    * Shape matters as much as content:
     * adjacent hashes pair through `zip_with` over two slices, whose
     * lambda sees ELEMENTS — under optimizer substitution (the streamed
     * gates filter on the scored value, and predicate pushdown inlines
@@ -2431,7 +2437,8 @@ object CorpusOps {
     * (doc_id, n_bigrams, mink_fx, rk, suspect).
     *
     * SCALE: scoring is the [[pplScored]] zero-shuffle scan shape plus a
-    * per-document O(tokens log tokens) local sort — no extra shuffle,
+    * per-document O(tokens)-average bounded quickselect inside the same
+    * fused kernel — no extra shuffle,
     * no join; the rank is [[bucketRank]] over the score-space
     * quantization (parallel at any corpus size) plus one broadcast
     * single-row count. Document text never shuffles.
@@ -2444,33 +2451,25 @@ object CorpusOps {
 
   /** Per-document Min-K% scoring shared by [[d67MinkScreen]] and the s23
     * at-ingest gate: `(doc_id, n_bigrams, mink_fx)` as a zero-shuffle
-    * projection over the two dense weight literals — each document's
-    * k = max(1, n div [[MinkDenom]]) LOWEST score terms average in exact
-    * fixed point via [[graft.functions.BottomKAvgFx]], a bounded
-    * quickselect kernel (O(tokens) average, one primitive copy) that
-    * replaced the per-document `array_sort` + slice fold: the sort was
-    * the family's entire residual constant at far scale once training
-    * was cached (s23 85.4 s warm at 64x). The kernel derives k from the
-    * array length internally, so the terms array appears ONCE in the
-    * expression tree — the fxAvg single-reference discipline enforced
-    * structurally (the s23 gate's pushdown inlines this into its filter
-    * condition). Bit-identical output: sum of the k-smallest multiset
-    * is order-independent and the kernel replays fxAvg's truncating
+    * projection through the fused [[graft.functions.LmScoreFx]] kernel
+    * with denom = [[MinkDenom]] — each document's k = max(1, n div 5)
+    * LOWEST score terms average in exact fixed point via the bounded
+    * quickselect (the [[graft.functions.BottomKAvgFx]] selection,
+    * O(tokens) average, one primitive copy) that replaced the
+    * per-document `array_sort` + slice fold (the sort was the family's
+    * entire residual constant at far scale once training was cached —
+    * s23 85.4 s warm at 64x); the fusion then removed the remaining
+    * duplicated hash pass (see [[pplScored]]). Single structural
+    * reference to the words array: the s23 gate's pushdown inlines this
+    * into its filter condition without re-deriving anything.
+    * Bit-identical output: sum of the k-smallest multiset is
+    * order-independent and the kernel replays fxAvg's truncating
     * Euclidean split. Works identically on a batch relation and a
     * stream (stateless).
     */
   private[graft] def minkScored(docs: DataFrame,
-      bigWts: Array[Long], ctxWts: Array[Long]): DataFrame = {
-    val bigLit = typedlit(bigWts.toSeq)
-    val ctxLit = typedlit(ctxWts.toSeq)
-    val terms = pplTerms(bigLit, ctxLit)
-    scanWide(docs)
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), transform(col("ws"), w => md5Prefix60Col(w)).as("hws"))
-      .select(col("doc_id"), (size(col("hws")) - 1).cast("long").as("n_bigrams"),
-        graft.functions.BottomKAvgFx.bottomKAvgFx(terms, MinkDenom.toInt).as("mink_fx"))
-  }
+      bigWts: Array[Long], ctxWts: Array[Long]): DataFrame =
+    lmScoredBy(docs, bigWts, ctxWts, MinkDenom.toInt, "mink_fx")
 
   /** [[minkScreenWith]]'s one live scored-projection cache (same
     * lifetime contract as [[pplScoredCache]]).
