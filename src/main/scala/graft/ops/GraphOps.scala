@@ -52,6 +52,57 @@ object GraphOps {
     */
   private[graft] val lastStarRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Local-finish budget: a graph is finished on the DRIVER when its
+    * symmetrized edge count is at most this — 2^20 rows of two longs,
+    * ~16 MB collected, the explicit-bound discipline of the hot-key
+    * collect (`CorpusOps.MaxHotBandBuckets`). Above it the distributed
+    * loops run untouched, so no deployment-scale graph ever lands on
+    * the driver at entry; the star loop's shrinking edge set may cross
+    * it mid-run, which is exactly the point (the tail rounds are the
+    * floor-bound ones).
+    */
+  private[graft] val LocalFinishSymEdgeCap = 1L << 20
+
+  /** Which finish the last star loop used — "distributed",
+    * "local-entry" or "local-midloop". Observability for specs only,
+    * like [[lastRoute]].
+    */
+  private[graft] val lastStarFinish =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** Exact union-find over a bounded driver edge collect (rows of two
+    * non-null longs): union-by-min — the smaller root absorbs, so every
+    * root IS its component's minimum id when the pass ends — with
+    * path-halving finds (amortized near-linear at any input order).
+    * Returns every node (both endpoints, self-loops included) mapped to
+    * its component-minimum label.
+    */
+  private def unionFindLabels(
+      rows: Array[org.apache.spark.sql.Row]): scala.collection.mutable.LongMap[Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    @inline def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      val a = r.getLong(0)
+      val b = r.getLong(1)
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+      i += 1
+    }
+    val out = scala.collection.mutable.LongMap.empty[Long]
+    parent.foreachKey { k => out(k) = find(k) }
+    out
+  }
+
   /** The star stage's one live cache of the ORIGINAL edge list: it is
     * read three times (canonical-edge distinct, the fused stats pass,
     * and the final node-labeling join — the last at the CALLER's action,
@@ -122,12 +173,81 @@ object GraphOps {
     * at any id range, no float drift) is strictly decreasing until
     * fixpoint; one single-row aggregate per round detects it without a
     * second join.
+    *
+    * LOCAL FINISH (the round-floor cut): a graph whose symmetrized edge
+    * count fits [[LocalFinishSymEdgeCap]] — an EXPLICIT driver-memory
+    * budget, ~16 MB of long pairs at the default — skips the loop
+    * entirely: one bounded collect of the canonical edges, an exact
+    * union-find, and the labels parallelize back. Every distributed
+    * round here is a fixed stack of shuffle stages whose cost at small
+    * edge counts is pure scheduling+planning floor (measured: the d60
+    * sf0.1 graph, 1439 edges, 5 rounds, ~4.5 s of floors for
+    * millisecond-sized data), so below the cap the driver pass is
+    * 10-100x cheaper — and at deployment scale the cap is simply never
+    * hit at entry, while the STAR loop's shrinking edge set (toward one
+    * edge per non-root node — m >> n dense components collapse fast)
+    * can cross it mid-run (see [[starLoop]]'s mid-loop check), cutting
+    * tail rounds of floors there too. Both
+    * routes are exact and deterministic (min-id labels); GraphOpsSpec
+    * pins local ≡ distributed on random graphs via the cap parameter,
+    * and the d63 gate shape is additionally pinned distributed-vs-local
+    * end-to-end.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame =
+    connectedComponentsBounded(edges, maxIter, LocalFinishSymEdgeCap)
+
+  /** [[connectedComponents]] with an explicit local-finish cap —
+    * `localCap = 0` forces the distributed loops (the spec's lever and
+    * the far-point probes' distributed-path measurement hook).
+    */
+  private[graft] def connectedComponentsBounded(edges: DataFrame, maxIter: Int,
+      localCap: Long): DataFrame = {
     val e = edges.toDF("a", "b")
     val symRaw = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
       .persist()
+    // CHEAP routing pre-pass: one narrow no-shuffle aggregate over the
+    // symmetrized list — the sym-edge count (the local-finish decision)
+    // and the min node id (every node appears as src, so min(src) IS
+    // the graph minimum — negative ids must stay OFF both star routes:
+    // the star stage's potential precondition rejects them, and jumped
+    // propagation handles them exactly, ADVICE r11). This materializes
+    // the cache either way; the shuffle-bearing label/degree stats
+    // build ONLY on the distributed path below, so a below-cap graph
+    // never pays their groupBy.
+    val pre = symRaw
+      .agg(count(lit(1)), min(col("src")).cast("decimal(38,0)")).head()
+    val nEdges = pre.getLong(0)
+    val starSafe = nEdges == 0 || pre.getDecimal(1).signum() >= 0
+
+    // LOCAL FINISH (before any routing — it beats both distributed
+    // strategies wherever it applies, and absorbs the empty graph): the
+    // whole graph fits the driver budget, so one bounded collect of the
+    // canonical side of the cached symmetrized list (src <= dst keeps
+    // each undirected edge and every self-loop; duplicates are
+    // union-find no-ops) replaces diameter-or-log many rounds of
+    // shuffle-stage floors. Exact for ANY id range including negatives;
+    // output ids keep the input's column type (the Int-id contract,
+    // cast back losslessly).
+    if (nEdges <= localCap || nEdges == 0) {
+      val spark = symRaw.sparkSession
+      val rows = symRaw.filter(col("src") <= col("dst"))
+        .select(col("src").cast("long"), col("dst").cast("long")).collect()
+      val idType = symRaw.schema("src").dataType
+      symRaw.unpersist()
+      val labs = unionFindLabels(rows)
+      val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](labs.size)
+      labs.foreach { case (id, lab) => out += org.apache.spark.sql.Row(id, lab) }
+      lastRoute.set("local-finish")
+      lastRounds.set(0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.LongType, nullable = false)))
+      return spark.createDataFrame(
+          spark.sparkContext.parallelize(out.toSeq, math.max(1, labs.size / 500000 + 1)), schema)
+        .select(col("id").cast(idType).as("id"), col("label").cast(idType).as("label"))
+    }
+
     // every node of an edge list appears as src after symmetrization, so
     // the per-round join below is inner and total. Initialization FUSES
     // the first propagation round (label = min(id, neighbors)) — one
@@ -135,8 +255,8 @@ object GraphOps {
     // clique components (the dedup-graph norm) then converge on the
     // loop's first no-change pass.
     // `deg` rides the same aggregate for free (same shuffle) — it feeds
-    // only the path-shape routing probe and the edge/node counts below
-    // and is projected away before the caller sees the result
+    // only the path-shape routing probe and the node count below and is
+    // projected away before the caller sees the result
     var labels: DataFrame = symRaw.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("label"),
         count(lit(1)).as("deg"))
@@ -146,26 +266,19 @@ object GraphOps {
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
 
-    // ONE fused stats pass (each driver job here is sequential wall time
-    // at the loop's scheduling floor — this was four jobs: edge count,
-    // checksum, node count, max degree): the convergence checksum, the
-    // node count, the routing probe's max degree, and the sym-edge count
-    // as sum(deg) — so symRaw itself never needs a separate count.
+    // ONE fused stats pass for the remaining routing inputs (each driver
+    // job here is sequential wall time at the loop's scheduling floor):
+    // the convergence checksum, the node count and the routing probe's
+    // max degree — the edge count and sign probe already rode the cheap
+    // pre-pass.
     val stats = labels
       .agg(sum(col("label").cast("decimal(38,0)")), count(lit(1)),
-        max(col("deg")), sum(col("deg")),
-        // min label = the graph's min node id (labels start as closed-
-        // neighborhood minima): negative ids must stay OFF both star
-        // routes — the star stage's potential precondition rejects them,
-        // and jumped propagation handles them exactly (ADVICE r11)
-        min(col("label")).cast("decimal(38,0)"))
+        max(col("deg")))
       .head()
     var prev = stats.getDecimal(0)
-    if (prev != null) { // null = empty graph: nothing to propagate
+    locally {
       val nNodes = stats.getLong(1)
       val maxDeg = stats.getLong(2)
-      val nEdges = stats.getLong(3)
-      val starSafe = stats.getDecimal(4).signum() >= 0
       // PATH-SHAPED fast path: route straight to star contraction only
       // for graphs that are BOTH forest-sparse (sym edges < 2*nodes —
       // exact for dup-free edge lists) AND max-degree <= 2, i.e. unions
@@ -186,7 +299,7 @@ object GraphOps {
         labels.unpersist()
         lastRoute.set("star-direct")
         lastRounds.set(0)
-        return starFromSym(symRaw, math.max(maxIter, 40))
+        return starFromSym(symRaw, math.max(maxIter, 40), localCap)
       }
       // Size the loop's layout to the GRAPH, not the session default: the
       // per-round cost on a small graph is pure task scheduling (dozens of
@@ -288,13 +401,13 @@ object GraphOps {
         // symRaw was dropped from cache after round 1; the star stage's
         // own cache re-registers it (one source re-evaluation — the same
         // price the pre-fused shape paid to rebuild from `edges`)
-        return starFromSym(symRaw, math.max(maxIter, 40))
+        return starFromSym(symRaw, math.max(maxIter, 40), localCap)
       }
       if (!converged)
         throw new IllegalStateException(
           s"connectedComponents (negative-id graph, no star fallback) did not converge in $maxIter rounds")
       sym.unpersist()
-    } else symRaw.unpersist() // empty graph: no loop consumed the raw copy
+    } // (the empty graph exits through the local-finish path above)
     lastRoute.set("propagation")
     // the caller's action reads the final cached label table after this
     // returns — replace-on-next-call instead of a leaked persist
@@ -338,7 +451,14 @@ object GraphOps {
     * [[connectedComponents]], and collision-free for the non-negative
     * ids this engine uses because dedup can only remove positive terms.
     */
-  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 40): DataFrame = {
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 40): DataFrame =
+    connectedComponentsStarBounded(edges, maxIter, LocalFinishSymEdgeCap)
+
+  /** [[connectedComponentsStar]] with an explicit local-finish cap —
+    * 0 forces the distributed loop (spec/probe lever).
+    */
+  private[graft] def connectedComponentsStarBounded(edges: DataFrame, maxIter: Int,
+      localCap: Long): DataFrame = {
     val raw = starRawCache.register(edges.toDF("x", "y"))
     val e0 = raw.filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
@@ -349,7 +469,7 @@ object GraphOps {
     // labels are resolved against this list at the end
     val nodes = raw.select(col("x").as("id")).union(raw.select(col("y").as("id")))
       .distinct()
-    starLoop(e0, nodes, maxIter)
+    starLoop(e0, nodes, maxIter, localCap)
   }
 
   /** [[connectedComponentsStar]] entered from [[connectedComponents]]'s
@@ -362,18 +482,54 @@ object GraphOps {
     * that plan is a parquet scan plus a semi join, re-run three times
     * on the public path before this).
     */
-  private def starFromSym(symRaw: DataFrame, maxIter: Int): DataFrame = {
+  private def starFromSym(symRaw: DataFrame, maxIter: Int, localCap: Long): DataFrame = {
     val sym = starRawCache.register(symRaw)
     val e0 = sym.filter(col("src") < col("dst"))
       .select(col("src").as("a"), col("dst").as("b")).distinct()
     val nodes = sym.select(col("src").as("id")).distinct()
-    starLoop(e0, nodes, maxIter)
+    starLoop(e0, nodes, maxIter, localCap)
   }
 
-  private def starLoop(e0: DataFrame, nodes: DataFrame, maxIter: Int): DataFrame = {
-    def potential(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("a").cast("decimal(38,0)") + col("b").cast("decimal(38,0)")))
-        .head().getDecimal(0)
+  private def starLoop(e0: DataFrame, nodes: DataFrame, maxIter: Int,
+      localCap: Long): DataFrame = {
+    // the potential AND the surviving edge count in one per-round job:
+    // the count feeds the mid-loop local-finish check below for free
+    def potential(df: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = df.agg(
+        sum(col("a").cast("decimal(38,0)") + col("b").cast("decimal(38,0)")),
+        count(lit(1))).head()
+      (r.getDecimal(0), r.getLong(1))
+    }
+
+    // LOCAL FINISH (see [[connectedComponents]]): union-find the current
+    // canonical edge set on the driver — exact at any round because
+    // every node of a >= 2-component persists through every star round
+    // (large-star keeps each such node as an `a` (local-min emissions)
+    // or a `b` (larger endpoint); small-star re-emits every `b` through
+    // its self edge and every local-min `a` through its neighbors), and
+    // the component minimum can never be displaced (endpoints are only
+    // ever REPLACED by existing smaller labels). Isolated and
+    // self-loop-only nodes label themselves through the same closing
+    // left join as the distributed fixpoint path.
+    def finishLocally(edgesNow: DataFrame, how: String): DataFrame = {
+      val spark = edgesNow.sparkSession
+      val rows = edgesNow
+        .select(col("a").cast("long"), col("b").cast("long")).collect()
+      val labs = unionFindLabels(rows)
+      val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](labs.size)
+      labs.foreach { case (id, lab) => out += org.apache.spark.sql.Row(id, lab) }
+      edgesNow.unpersist()
+      lastStarFinish.set(how)
+      val idType = nodes.schema("id").dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("root", org.apache.spark.sql.types.LongType, nullable = false)))
+      val labelled = spark.createDataFrame(
+          spark.sparkContext.parallelize(out.toSeq, math.max(1, labs.size / 500000 + 1)), schema)
+        .select(col("b").cast(idType).as("b"), col("root").cast(idType).as("root"))
+      return nodes.join(broadcast(labelled), nodes("id") === col("b"), "left")
+        .select(col("id"), coalesce(col("root"), col("id")).as("label"))
+    }
 
     var cur = e0.persist()
     // ONE first pass fuses the three loop preliminaries (the round floors
@@ -403,6 +559,10 @@ object GraphOps {
           s"connectedComponentsStar requires non-negative node ids (min id = ${stats.getDecimal(2)}); " +
             "fold ids through a non-negative mapping first")
       }
+      // entry-time local finish: the whole canonical set fits the
+      // driver budget (the precondition check above stays first — the
+      // negative-id contract must not become cap-dependent)
+      if (stats.getLong(1) <= localCap) return finishLocally(cur, "local-entry")
       // Size the loop's exchanges to the GRAPH, not the session default —
       // the propagation loop's precedent (measured there: 9.6 -> 5.8 s at
       // sf0.1): every exchange inside the loop is an explicit repartition
@@ -451,18 +611,30 @@ object GraphOps {
       var round = 0
       while (!converged && round < maxIter) {
         val next = truncated(smallStar(largeStar(cur))).persist()
-        val p = potential(next) // materializes next's blocks
+        val (p, nEdges) = potential(next) // materializes next's blocks
         converged = p.compareTo(prev) == 0
         prev = p
         cur.unpersist()
         cur = next
         round += 1
+        // mid-loop local finish: contraction shrinks the edge set
+        // toward one edge per non-root node, so this fires when m >> n
+        // — the near-dup CLIQUE norm, where a dense component collapses
+        // to a star in one round — cutting the tail rounds whose cost
+        // is all scheduling floor. Checked after the convergence update
+        // so a converged round exits through the fixpoint path
+        // unchanged.
+        if (!converged && nEdges <= localCap) {
+          lastStarRounds.set(round)
+          return finishLocally(cur, "local-midloop")
+        }
       }
       lastStarRounds.set(round)
       if (!converged)
         throw new IllegalStateException(
           s"connectedComponentsStar did not converge in $maxIter rounds")
     }
+    lastStarFinish.set("distributed")
     // fixpoint edge set is a star per component: (root, member). Roots,
     // isolated and self-loop-only nodes label themselves.
     nodes.join(starFixpointCache.register(cur).groupBy(col("b"))

@@ -1,14 +1,27 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
 class GraphOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
 
+  /** Distributed-path components (localCap = 0 disables the local
+    * finisher): the loop/routing behavior pins below run against THIS,
+    * because the public default finishes every test-sized graph on the
+    * driver — the local ≡ distributed pins at the bottom close the loop.
+    */
   private def cc(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] = {
     import spark.implicits._
-    GraphOps.connectedComponents(edges.toDF("a", "b"), maxIter)
+    GraphOps.connectedComponentsBounded(edges.toDF("a", "b"), maxIter, 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Public-default components — the bounded local finisher. */
+  private def ccLocal(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.connectedComponents(edges.toDF("a", "b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -36,6 +49,7 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   test("empty edge list yields an empty labeling") {
     cc(Seq.empty) shouldBe Map.empty
+    ccLocal(Seq.empty) shouldBe Map.empty
   }
 
   test("a diameter far past maxIter routes to star contraction and stays exact (path fast path)") {
@@ -92,7 +106,7 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   private def ccStar(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
-    GraphOps.connectedComponentsStar(edges.toDF("a", "b"))
+    GraphOps.connectedComponentsStarBounded(edges.toDF("a", "b"), 40, 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -112,11 +126,12 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     ccStar(edges) shouldBe cc(edges)
   }
 
-  test("self-loop-only nodes keep a row in both implementations") {
+  test("self-loop-only nodes keep a row in every implementation") {
     val edges = Seq((5L, 5L), (1L, 2L))
     val expected = Map(5L -> 5L, 1L -> 1L, 2L -> 1L)
     cc(edges) shouldBe expected
     ccStar(edges) shouldBe expected
+    ccLocal(edges) shouldBe expected
   }
 
   test("large-star/small-star agrees with propagation on a pseudo-random graph") {
@@ -136,11 +151,16 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
   }
 
   test("star contraction rejects negative node ids (convergence-check precondition)") {
+    // the precondition must not become cap-dependent: the public default
+    // (local finisher armed) and the forced-distributed loop both throw
     import spark.implicits._
-    val ex = intercept[IllegalArgumentException] {
-      GraphOps.connectedComponentsStar(Seq((-1L, 2L), (2L, 3L)).toDF("x", "y"))
+    for (cap <- Seq(0L, GraphOps.LocalFinishSymEdgeCap)) {
+      val ex = intercept[IllegalArgumentException] {
+        GraphOps.connectedComponentsStarBounded(
+          Seq((-1L, 2L), (2L, 3L)).toDF("x", "y"), 40, cap)
+      }
+      assert(ex.getMessage.contains("non-negative"))
     }
-    assert(ex.getMessage.contains("non-negative"))
   }
 
   test("star contraction accepts non-Long numeric id columns (Int ids)") {
@@ -148,9 +168,89 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     // getLong here was a ClassCastException on Int-typed edge lists,
     // which the pre-fusion probe accepted
     import spark.implicits._
-    val out = GraphOps.connectedComponentsStar(
-        Seq((1, 2), (2, 3), (5, 6)).toDF("x", "y"))
+    val out = GraphOps.connectedComponentsStarBounded(
+        Seq((1, 2), (2, 3), (5, 6)).toDF("x", "y"), 40, 0L)
       .collect().map(r => (r.get(0).toString.toLong, r.get(1).toString.toLong)).toMap
     out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L)
+  }
+
+  // ---- bounded local finisher (the round-floor cut) -------------------
+
+  test("the public default finishes a small graph locally and matches the distributed loop") {
+    var x = 98765L
+    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) >>> 1; x }
+    val edges = (1 to 200).map { _ => (next() % 90, next() % 90) }
+      .filter { case (a, b) => a != b }
+    val localLabels = ccLocal(edges)
+    GraphOps.lastRoute.get() shouldBe "local-finish"
+    localLabels shouldBe cc(edges)
+    localLabels shouldBe ccStar(edges)
+  }
+
+  test("local finish handles negative ids, duplicates, self-loops and chains exactly") {
+    val edges = Seq((-5L, -4L), (-4L, -3L), (7L, 7L), (1L, 2L), (2L, 1L), (2L, 3L))
+    ccLocal(edges) shouldBe Map(
+      -5L -> -5L, -4L -> -5L, -3L -> -5L, 7L -> 7L, 1L -> 1L, 2L -> 1L, 3L -> 1L)
+    GraphOps.lastRoute.get() shouldBe "local-finish"
+    // a long chain (the star-direct shape) also lands local under the default
+    val chain = (1L until 300L).map(i => (i, i + 1))
+    ccLocal(chain) shouldBe (1L to 300L).map(_ -> 1L).toMap
+    GraphOps.lastRoute.get() shouldBe "local-finish"
+  }
+
+  test("local finish preserves Int-typed id columns (the Int-id output contract)") {
+    import spark.implicits._
+    val rows = GraphOps.connectedComponents(Seq((1, 2), (2, 3), (5, 6)).toDF("a", "b"))
+      .collect()
+    rows.head.get(0) shouldBe a[Integer] // cast back to the input type, not widened
+    rows.map(r => (r.getInt(0).toLong, r.getInt(1).toLong)).toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L)
+  }
+
+  test("star loop finishes MID-LOOP on the driver once contraction crosses the cap") {
+    // contraction shrinks the edge set toward one edge per non-root
+    // node, so the mid-loop trigger needs m >> n — the near-dup CLIQUE
+    // shape: a 60-clique (1770 canonical edges) over a cap of 200
+    // enters distributed, collapses to a 59-edge star in one round, and
+    // the driver union-find closes — same labels as the fixpoint path
+    import spark.implicits._
+    val clique = for (a <- 1L to 60L; b <- (a + 1) to 60L) yield (a, b)
+    val out = GraphOps.connectedComponentsStarBounded(clique.toDF("x", "y"), 40, 200L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe (1L to 60L).map(_ -> 1L).toMap
+    GraphOps.lastStarFinish.get() shouldBe "local-midloop"
+    GraphOps.lastStarRounds.get() should be >= 1
+  }
+
+  test("star loop finishes at ENTRY when the whole canonical set fits the cap") {
+    import spark.implicits._
+    val chain = (1L until 50L).map(i => (i, i + 1))
+    val out = GraphOps.connectedComponentsStarBounded(chain.toDF("x", "y"), 40, 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe (1L to 50L).map(_ -> 1L).toMap
+    GraphOps.lastStarFinish.get() shouldBe "local-entry"
+  }
+
+  test("d63's gate shape: the local default equals the forced-distributed star end-to-end") {
+    // the oracle gates d63 on the public (now local-finish) path; this
+    // pin keeps the DISTRIBUTED contraction equal to it on the real
+    // chain-block edge list, so the correctness artifact's coverage of
+    // the star loop is preserved by spec where the gate no longer
+    // drives it
+    val sf = "/root/testdata/sf0.001"
+    val ids = graft.Tables.documents(spark, sf).select(col("doc_id"))
+    val edges = ids
+      .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      .filter(pmod(col("b"), lit(250)) =!= 0)
+      .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      .select(col("a"), col("b"))
+      .persist()
+    val viaDefault = GraphOps.d63ChainComponents(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    GraphOps.lastRoute.get() shouldBe "local-finish"
+    val viaStar = GraphOps.connectedComponentsStarBounded(edges, 40, 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    edges.unpersist()
+    viaStar shouldBe viaDefault
   }
 }
