@@ -2268,13 +2268,6 @@ object CorpusOps {
     q * 1048576L + q2
   }
 
-  /** The 60-bit md5 word hash (the corpus-wide oracle convention) as a
-    * column expression — the ONE per-word hash the LM families derive
-    * every bucket from.
-    */
-  private def md5Prefix60Col(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
   /** Bigram LM bucket from the two words' 60-bit hashes: each word is
     * hashed ONCE per document pass and the pair combines in integer
     * arithmetic — (h1 mod 2^20)·1000003 + (h2 mod 2^20), mod
@@ -2358,7 +2351,7 @@ object CorpusOps {
     val pairs = scanWide(docs).filter(col("is_target"))
       .select(words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
-      .select(transform(col("ws"), w => md5Prefix60Col(w)).as("hws"))
+      .select(graft.functions.Md5Prefix64.md5Prefix64(col("ws")).as("hws"))
       .select(explode(zip_with(slice(col("hws"), lit(1), size(col("hws")) - 1),
         slice(col("hws"), lit(2), size(col("hws")) - 1), (h1, h2) =>
           struct(bigramBucket(h1, h2).as("hb"),
@@ -3347,18 +3340,20 @@ object CorpusOps {
   /** Per-document rare-token scoring shared VERBATIM by the batch gate
     * and the s24 at-ingest gate: `(doc_id, n_tokens, n_rare, rare_ppm)`
     * with multiplicity (a gibberish page repeating one OOV token IS
-    * mostly rare). Stateless zero-shuffle projection over the 96 KB
-    * literal sketch — tokens hash once each (lambda-bound), estimates
-    * are three literal lookups, the ppm is exact integer arithmetic.
-    * Works identically on a batch relation and a stream.
+    * mostly rare). Stateless zero-shuffle projection through the fused
+    * [[graft.functions.RareCountFx]] kernel — one native md5 per
+    * token, the 96 KB sketch as expression state, the words array
+    * referenced once so the s24 gate's pushdown inlining can never
+    * duplicate the hash pass (the [[pplScored]] discipline); the ppm
+    * is exact integer arithmetic. Works identically on a batch
+    * relation and a stream.
     */
   private[graft] def rareScored(docs: DataFrame, cms: Seq[Long], total: Long): DataFrame =
     docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
-        size(filter(transform(col("ws"), w => tokenHash(w)),
-          h => cmsEstimate(cms, h) * lit(RareDen) < lit(total)))
-          .cast("long").as("n_rare"))
+        graft.functions.RareCountFx.rareCountFx(col("ws"), cms.toArray, total,
+          RareDen, CmsWidth, CmsDepth).as("n_rare"))
       .withColumn("rare_ppm", expr("(1000000 * n_rare) div n_tokens"))
 
 
@@ -3557,7 +3552,7 @@ object CorpusOps {
       val pairs = docs.filter(col("is_target"))
         .select(expr(s"doc_id div $w").as("epoch"), words(col("text")).as("ws"))
         .filter(size(col("ws")) >= 2)
-        .select(col("epoch"), transform(col("ws"), t => md5Prefix60Col(t)).as("hws"))
+        .select(col("epoch"), graft.functions.Md5Prefix64.md5Prefix64(col("ws")).as("hws"))
         .select(col("epoch"), explode(zip_with(
           slice(col("hws"), lit(1), size(col("hws")) - 1),
           slice(col("hws"), lit(2), size(col("hws")) - 1), (h1, h2) =>
@@ -3613,7 +3608,7 @@ object CorpusOps {
         words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), col("epoch"),
-        transform(col("ws"), t => md5Prefix60Col(t)).as("hws"))
+        graft.functions.Md5Prefix64.md5Prefix64(col("ws")).as("hws"))
       .select(col("doc_id"), col("epoch"),
         (size(col("hws")) - 1).cast("long").as("n_bigrams"), score.as("avg_fx"))
   }
