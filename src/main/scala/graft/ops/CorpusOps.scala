@@ -1162,8 +1162,26 @@ object CorpusOps {
     * `iters` would persist the re-tokenized corpus every few rounds to
     * cap lineage depth, exactly as d25 checkpoints its label iteration).
     */
-  def d33BpeTrain(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame =
-    bpeTrain(Tables.documents(spark, sfDir), iters)
+  def d33BpeTrain(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    trainedBpeMerges(spark, sfDir, iters).toDF("iter", "pair", "cnt")
+  }
+
+  /** The BPE merge table trained ONCE per corpus snapshot
+    * ([[TrainedModelCache]] — the r13 batch-trainer discipline): d33,
+    * d37 and d74 all need the same `iters`-round merge list, and each
+    * training round is a full corpus scan plus a pair-count shuffle, so
+    * the three rows re-paid 3x scans apiece per run before this.
+    * Deterministic (exact integer pair counts, text-ordered tie
+    * breaks), so a hit is bit-identical to a retrain; the spec-
+    * parameterized [[bpeTrain]] core keeps training inline for the
+    * property pins.
+    */
+  private[graft] def trainedBpeMerges(spark: SparkSession, sfDir: String,
+      iters: Int): Seq[(Int, String, Long)] =
+    TrainedModelCache.getOrTrain(s"bpe-merges-$iters", sfDir)(
+      bpeTrain(Tables.documents(spark, sfDir), iters).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq)
 
   /** The BPE training loop over any `(text)` corpus — see [[d33BpeTrain]]. */
   def bpeTrain(docs: DataFrame, iters: Int): DataFrame = {
@@ -1231,8 +1249,8 @@ object CorpusOps {
     */
   def d37BpeEncode(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val merges = bpeTrain(docs, iters).collect()
-      .sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    val merges = trainedBpeMerges(spark, sfDir, iters)
+      .sortBy(_._1).map(_._2)
     bpeEncode(docs, merges)
   }
 
@@ -1271,8 +1289,8 @@ object CorpusOps {
     */
   def d74TokenFertility(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val merges = bpeTrain(docs, iters).collect()
-      .sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    val merges = trainedBpeMerges(spark, sfDir, iters)
+      .sortBy(_._1).map(_._2)
     bpeEncode(docs, merges, carry = Seq("lang"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_ws")).as("total_words"),
