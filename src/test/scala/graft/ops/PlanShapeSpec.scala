@@ -400,4 +400,52 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
       s"document scan must prune to (doc_id, source):\n$p")
   }
+
+  // ---- fused-kernel single-reference discipline ------------------------
+  //
+  // The streamed gates filter on the scored value and predicate pushdown
+  // inlines the scoring expression into the filter condition — so the
+  // optimized plan legitimately holds exactly TWO kernel references: one
+  // in the pushed filter, one in the output projection (filter-and-emit
+  // of the same value; rejected rows pay only the filter's). The
+  // regression class these pins guard is anything ABOVE two: the
+  // composed (transform/zip_with/aggregate) forms duplicated the
+  // per-token hash pass INSIDE each site under the same rewrite
+  // (measured 2x s21 cpu in r12, 5.6x before the zip_with shape), and a
+  // refactor that splits the kernel back into hash + score sub-
+  // expressions would reintroduce that multiplicity.
+
+  private def occurrences(hay: String, needle: String): Int =
+    needle.r.findAllIn(hay).length
+
+  test("lm_score_fx appears exactly twice under a score filter — pushed filter + projection, nothing more") {
+    // parquet-backed: ConvertToLocalRelation would evaluate a literal
+    // relation at optimize time and hide the rewrite under test
+    val fn = org.apache.spark.sql.functions
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(fn.col("doc_id"), (fn.col("lang") === "en").as("is_target"), fn.col("text"))
+    val big = Array.fill(4096)(5L)
+    val ctx = Array.fill(256)(3L)
+    val ppl = CorpusOps.pplScored(docs, big, ctx)
+      .filter(fn.col("avg_fx") >= 100L)
+      .queryExecution.optimizedPlan.toString
+    assert(occurrences(ppl, "lm_score_fx") == 2,
+      s"LM scoring kernel reference count drifted:\n$ppl")
+    val mink = CorpusOps.minkScored(docs, big, ctx)
+      .filter(fn.col("mink_fx") >= 100L)
+      .queryExecution.optimizedPlan.toString
+    assert(occurrences(mink, "lm_score_fx") == 2,
+      s"Min-K scoring kernel reference count drifted:\n$mink")
+  }
+
+  test("rare_count_fx appears exactly twice under the gate's admission filter") {
+    val fn = org.apache.spark.sql.functions
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(fn.col("doc_id"), fn.col("text"))
+    val p = CorpusOps.rareScored(docs, Seq.fill(4096 * 3)(7L), 1000L)
+      .filter(fn.col("rare_ppm") < 10L)
+      .queryExecution.optimizedPlan.toString
+    assert(occurrences(p, "rare_count_fx") == 2,
+      s"CMS probe kernel reference count drifted:\n$p")
+  }
 }
