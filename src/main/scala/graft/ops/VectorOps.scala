@@ -38,6 +38,26 @@ object VectorOps {
   private[graft] def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity.cosineSim(a, b)
 
+  /** The per-vector squared norm — computed once in the scan projection
+    * and carried through pair joins so the quadratic stage pays only the
+    * dot product (see [[cosineFromParts]]).
+    */
+  private def sumSq(v: Column): Column = graft.functions.SumSquares.sumSquares(v)
+
+  /** Cosine DECOMPOSED for the quadratic pair stages: the dot product
+    * per pair plus the carried squared norms — IEEE-bit-identical to
+    * [[cosine]] for equal-length arrays (every accumulator runs the same
+    * FP ops in the same index order; `sqrt`/`*`/`/` and the zero-denom
+    * guard replicate the kernel's finish exactly — CosinePartsSpec pins
+    * it bit-for-bit), at a third of the per-element pair work. Only for
+    * fixed-dim columns: the parity contract needs equal lengths.
+    */
+  private def cosineFromParts(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val denom = sqrt(na) * sqrt(nb)
+    when(denom === 0.0, lit(0.0))
+      .otherwise(graft.functions.DotProduct.dotProduct(a, b) / denom)
+  }
+
   private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
@@ -115,7 +135,11 @@ object VectorOps {
     * exercises the operator on the distribution's tail.
     */
   def d9EmbedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    // n2 rides the block replication: the squared norm is per-VECTOR
+    // (linear), so the O(B^2) pair tasks pay only the dot product
+    // (cosineFromParts — bit-identical to the fused kernel)
     val e = embeddings(spark, sfDir).withColumn("blk", floor(col("vec_id") / BlockSize))
+      .withColumn("n2", sumSq(col("v")))
     // One O(1) scalar job to size the block grid — the analog of the stats
     // collection AQE does before picking a join strategy. Not a data scan
     // loop: a single max() aggregate returning one long to the driver.
@@ -127,15 +151,16 @@ object VectorOps {
     // the diagonal since blocks tile the id range in order).
     val lo = e.select(
       col("blk").as("lo"), explode(sequence(col("blk"), lit(nBlocks - 1))).as("hi"),
-      col("vec_id").as("a_id"), col("v").as("va"))
+      col("vec_id").as("a_id"), col("v").as("va"), col("n2").as("na"))
     val hi = e.select(
       explode(sequence(lit(0L), col("blk"))).as("lo"), col("blk").as("hi"),
-      col("vec_id").as("b_id"), col("v").as("vb"))
+      col("vec_id").as("b_id"), col("v").as("vb"), col("n2").as("nb"))
     // shuffle_hash: replicated sides grow with the block count, so neither
     // may ever be broadcast — the pair key distributes them instead.
     lo.hint("shuffle_hash").join(hi, Seq("lo", "hi"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), cosine(col("va"), col("vb")).as("sim"))
+      .select(col("a_id"), col("b_id"),
+        cosineFromParts(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
       .filter(col("sim") >= 0.45)
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
   }
@@ -518,17 +543,21 @@ object VectorOps {
     // widened: the per-cell quadratic cosine filter runs on the PROBE
     // side of a broadcast join, i.e. at raw scan parallelism — one
     // parquet row group pinned it to a single task before this
+    // n2 (per-vector, linear) rides into the per-cell quadratic join so
+    // the pair filter pays only the dot product (cosineFromParts)
     val cs = CorpusOps.scanWide(e)
       .join(broadcast(labelCentroidsExact(e)), col("label") === col("c_label"))
       .select(col("vec_id"), col("label"), col("v"),
-        cosine(col("v"), col("cv")).as("csim"))
+        cosine(col("v"), col("cv")).as("csim"),
+        sumSq(col("v")).as("n2"))
     val a = cs.select(col("vec_id").as("a_id"), col("label"),
-      col("v").as("va"), col("csim").as("ca"))
+      col("v").as("va"), col("csim").as("ca"), col("n2").as("na"))
     val b = cs.select(col("vec_id").as("b_id"), col("label").as("b_label"),
-      col("v").as("vb"), col("csim").as("cb"))
+      col("v").as("vb"), col("csim").as("cb"), col("n2").as("nb"))
     val dropped = a.join(b,
         col("label") === col("b_label") && col("a_id") =!= col("b_id"))
-      .filter(cosine(col("va"), col("vb")) >= SemDedupThreshold)
+      .filter(cosineFromParts(col("va"), col("vb"), col("na"), col("nb"))
+        >= SemDedupThreshold)
       .filter(col("cb") < col("ca") ||
         (col("cb") === col("ca") && col("b_id") < col("a_id")))
       .select(col("a_id")).distinct()
@@ -597,20 +626,24 @@ object VectorOps {
     */
   def d58KnnGraph(spark: SparkSession, sfDir: String): DataFrame = {
     val idxW = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    // n2 rides the block replication (the d9 decomposed-cosine move):
+    // the quadratic block-pair tasks pay only the dot product
     val e = embeddings(spark, sfDir)
       .withColumn("blk", floor((row_number().over(idxW) - 1) / BlockSize))
+      .withColumn("n2", sumSq(col("v")))
     // per-cell block counts: O(cells) rows, broadcast back
     val nb = e.groupBy(col("label")).agg((max(col("blk")) + 1).as("nb"))
     val withNb = e.join(broadcast(nb), Seq("label"))
     val lo = withNb.select(col("label"),
       col("blk").as("lo"), explode(sequence(col("blk"), col("nb") - 1)).as("hi"),
-      col("vec_id").as("a_id"), col("v").as("va"))
+      col("vec_id").as("a_id"), col("v").as("va"), col("n2").as("na"))
     val hi = withNb.select(col("label"),
       explode(sequence(lit(0L), col("blk"))).as("lo"), col("blk").as("hi"),
-      col("vec_id").as("b_id"), col("v").as("vb"))
+      col("vec_id").as("b_id"), col("v").as("vb"), col("n2").as("nb2"))
     val pairs = lo.hint("shuffle_hash").join(hi, Seq("label", "lo", "hi"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), cosine(col("va"), col("vb")).as("sim"))
+      .select(col("a_id"), col("b_id"),
+        cosineFromParts(col("va"), col("vb"), col("na"), col("nb2")).as("sim"))
     val directed = pairs.select(explode(array(
         struct(col("a_id").as("q_id"), col("b_id").as("n_id"), col("sim")),
         struct(col("b_id").as("q_id"), col("a_id").as("n_id"), col("sim")))).as("p"))
