@@ -295,7 +295,22 @@ object Bench {
     // components), so leftover blocks are pure cross-query memory
     // pressure that skews later timings, never a warm-start benefit.
     def timed(name: String): Measure = {
-      val spin = spinProbe()
+      // best of two probe samples: the probe runs right after the
+      // previous query's scrub, so a GC pause or scheduler hiccup can
+      // land on a single ~15 ms sample and inflate that query's spin
+      // reading; a transient cannot hit both samples, while genuine
+      // sustained contention inflates both — the min keeps the
+      // heuristic's sensitivity to the real signals. (This hardens the
+      // spinMs signal only: measured at 16x, the bulk of that scale's
+      // 23-25 suspect rows come from querySuspect's deliberate
+      // LOW-PARALLELISM signal — heavy rows with cpu ~ wall from
+      // sequential driver phases and stateful-stream commits — which
+      // is the designed re-measure trigger, not probe noise.)
+      val s1 = spinProbe(); val s2 = spinProbe()
+      val spin = Spin(
+        if (s1.ratio < 0 || s2.ratio < 0) math.max(s1.ratio, s2.ratio)
+        else math.min(s1.ratio, s2.ratio),
+        math.min(s1.wallMs, s2.wallMs))
       val gc0 = gcTimeMs; val cpu0 = processCpuNs; val st0 = stealSec()
       val t0 = System.nanoTime()
       runOnce(name)
