@@ -1,14 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Scratch timing harness: time one named query N times outside the full
-  * bench (usage: runMain graft.TimeQuery <name> <n> [scrub] [confK=V ...]).
-  * `scrub` clears the SQL cache between runs (the bench's discipline), so
-  * warm runs measure recompute, not a replace-on-call cache hit.
+/** Scratch timing harness: time named queries N times each outside the
+  * full bench (usage: runMain graft.TimeQuery <name>[,<name>...] <n>
+  * [scrub] [confK=V ...]). `scrub` clears the SQL cache between runs (the
+  * bench's discipline), so warm runs measure recompute, not a
+  * replace-on-call cache hit.
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    val name = args(0); val n = args(1).toInt
+    val names = args(0).split(',').toSeq; val n = args(1).toInt
     val scrub = args.contains("scrub")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -22,8 +23,11 @@ object TimeQuery {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    for (i <- 1 to n) {
-      if (scrub) spark.catalog.clearCache()
+    for (name <- names; i <- 1 to n) {
+      if (scrub) {
+        spark.catalog.clearCache()
+        org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
+      }
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()

@@ -69,6 +69,26 @@ case class LmScoreFx(child: Expression, bigWts: Array[Long], ctxWts: Array[Long]
   require(denom >= 1, s"denom must be positive: $denom")
   require(bigWts.nonEmpty && ctxWts.nonEmpty, "weight tables must be non-empty")
 
+  // Array fields compare by REFERENCE under the synthesized case-class
+  // equals, so Catalyst structural comparison (semanticEquals, subtree
+  // canonicalization, plan-cache keys) would treat two kernels built by
+  // separate calls over the same trained tables as distinct — the
+  // streamed s21/s23/s26 gates re-plan per micro-batch and re-build the
+  // kernel each time (ADVICE r13; TrainedModelCache interning makes
+  // same-run tables usually the same instance, but the contract should
+  // not depend on it). Compare contents.
+  override def equals(other: Any): Boolean = other match {
+    case that: LmScoreFx =>
+      child == that.child && offset == that.offset && denom == that.denom &&
+        java.util.Arrays.equals(bigWts, that.bigWts) &&
+        java.util.Arrays.equals(ctxWts, that.ctxWts)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, java.lang.Long.valueOf(offset), Integer.valueOf(denom),
+    Integer.valueOf(java.util.Arrays.hashCode(bigWts)),
+    Integer.valueOf(java.util.Arrays.hashCode(ctxWts)))
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(

@@ -42,8 +42,36 @@ case class RareCountFx(child: Expression, cms: Array[Long], total: Long,
   require(width > 0 && (width & (width - 1)) == 0, s"width must be a power of two: $width")
   require(depth >= 1 && cms.length == width * depth,
     s"counter length ${cms.length} != width $width x depth $depth")
+  require(rareDen >= 1 && total >= 0, s"need rareDen >= 1, total >= 0: $rareDen / $total")
 
   private val bits = java.lang.Integer.numberOfTrailingZeros(width)
+
+  /** `est * rareDen < total` rewritten overflow-free: the product form
+    * wraps Long once a counter nears 2^63/rareDen (2^55 at the gate's
+    * rareDen = 256), silently flipping the strict predicate (ADVICE
+    * r13). For any est >= 0, total >= 0, rareDen >= 1 it is the same
+    * integer predicate as `est < ceil(total / rareDen)` — no
+    * overflowable product, hoisted out of the loop.
+    */
+  private val rareBelow = total / rareDen + (if (total % rareDen != 0) 1L else 0L)
+
+  // Array fields compare by REFERENCE under the synthesized case-class
+  // equals, so Catalyst structural comparison (semanticEquals, subtree
+  // canonicalization, plan-cache keys) would treat two kernels built by
+  // separate calls over identical trained sketches as distinct — the
+  // streamed s24 gate re-plans per micro-batch and re-builds the kernel
+  // each time (ADVICE r13). Compare contents.
+  override def equals(other: Any): Boolean = other match {
+    case that: RareCountFx =>
+      child == that.child && total == that.total && rareDen == that.rareDen &&
+        width == that.width && depth == that.depth &&
+        java.util.Arrays.equals(cms, that.cms)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, java.lang.Long.valueOf(total), java.lang.Long.valueOf(rareDen),
+    Integer.valueOf(width), Integer.valueOf(depth),
+    Integer.valueOf(java.util.Arrays.hashCode(cms)))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -75,7 +103,7 @@ case class RareCountFx(child: Expression, cms: Array[Long], total: Long,
           if (c < est) est = c
           j += 1
         }
-        if (est * rareDen < total) nRare += 1L
+        if (est < rareBelow) nRare += 1L
       }
       i += 1
     }

@@ -53,15 +53,20 @@ object GraphOps {
   private[graft] val lastStarRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Local-finish budget: a graph is finished on the DRIVER when its
-    * symmetrized edge count is at most this — 2^20 rows of two longs,
-    * ~16 MB collected, the explicit-bound discipline of the hot-key
-    * collect (`CorpusOps.MaxHotBandBuckets`). Above it the distributed
-    * loops run untouched, so no deployment-scale graph ever lands on
-    * the driver at entry; the star loop's shrinking edge set may cross
-    * it mid-run, which is exactly the point (the tail rounds are the
-    * floor-bound ones).
+    * CANONICAL (one row per undirected edge, src <= dst) edge count is
+    * at most this — both the entry check and the star loop's mid-run
+    * check compare this same definition. 2^20 canonical edges collect
+    * as packed primitive long pairs (2^21 longs = 16 MB of array
+    * payload; the transient driver footprint is that plus the
+    * union-find's LongMap, ~48 B/node open-addressed — ~64 MB worst
+    * case at the cap, not the raw 16 MB). The explicit-bound
+    * discipline of the hot-key collect (`CorpusOps.MaxHotBandBuckets`).
+    * Above it the distributed loops run untouched, so no
+    * deployment-scale graph ever lands on the driver at entry; the
+    * star loop's shrinking edge set may cross it mid-run, which is
+    * exactly the point (the tail rounds are the floor-bound ones).
     */
-  private[graft] val LocalFinishSymEdgeCap = 1L << 20
+  private[graft] val LocalFinishEdgeCap = 1L << 20
 
   /** Which finish the last star loop used — "distributed",
     * "local-entry" or "local-midloop". Observability for specs only,
@@ -70,37 +75,81 @@ object GraphOps {
   private[graft] val lastStarFinish =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 
-  /** Exact union-find over a bounded driver edge collect (rows of two
-    * non-null longs): union-by-min — the smaller root absorbs, so every
-    * root IS its component's minimum id when the pass ends — with
-    * path-halving finds (amortized near-linear at any input order).
-    * Returns every node (both endpoints, self-loops included) mapped to
-    * its component-minimum label.
+  /** Bounded driver collect of a two-long-column edge frame as PACKED
+    * primitive long arrays, one per partition ([a0,b0,a1,b1,...]) — no
+    * per-edge Row, no boxed endpoints, no driver-side re-copy: the
+    * driver holds exactly 16 B per edge plus one small array object per
+    * partition (vs ~100 B/edge as collected GenericRows, the footprint
+    * the 16 MB budget comment used to understate).
+    */
+  private def collectPackedEdges(df: DataFrame): Array[Array[Long]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(df.columns(0)).cast("long"), col(df.columns(1)).cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { p => b += p._1; b += p._2 }
+        Iterator.single(b.result())
+      }
+      .collect()
+  }
+
+  /** Exact union-find over packed edge chunks ([a,b,a,b,...] longs):
+    * union-by-min — the smaller root absorbs, so every root IS its
+    * component's minimum id when the pass ends — with path-halving
+    * finds (amortized near-linear at any input order). Returns every
+    * node (both endpoints, self-loops included) mapped to its
+    * component-minimum label.
     */
   private def unionFindLabels(
-      rows: Array[org.apache.spark.sql.Row]): scala.collection.mutable.LongMap[Long] = {
+      chunks: Array[Array[Long]]): scala.collection.mutable.LongMap[Long] = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
     @inline def find(x0: Long): Long = {
       var x = x0
       while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
       x
     }
-    var i = 0
-    while (i < rows.length) {
-      val r = rows(i)
-      val a = r.getLong(0)
-      val b = r.getLong(1)
-      if (!parent.contains(a)) parent(a) = a
-      if (!parent.contains(b)) parent(b) = b
-      val ra = find(a)
-      val rb = find(b)
-      if (ra < rb) parent(rb) = ra
-      else if (rb < ra) parent(ra) = rb
-      i += 1
+    var c = 0
+    while (c < chunks.length) {
+      val pairs = chunks(c)
+      var i = 0
+      while (i < pairs.length) {
+        val a = pairs(i)
+        val b = pairs(i + 1)
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a)
+        val rb = find(b)
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+        i += 2
+      }
+      c += 1
     }
     val out = scala.collection.mutable.LongMap.empty[Long]
     parent.foreachKey { k => out(k) = find(k) }
     out
+  }
+
+  /** The label map back to a two-long-column DataFrame without a
+    * driver-side Row per node: labels pack into primitive chunks
+    * ([id,label,...], ~500k pairs each) that parallelize compactly and
+    * expand to rows on the EXECUTORS.
+    */
+  private def packedLabelsDf(spark: org.apache.spark.sql.SparkSession,
+      labs: scala.collection.mutable.LongMap[Long],
+      aName: String, bName: String): DataFrame = {
+    val packed = new scala.collection.mutable.ArrayBuilder.ofLong
+    packed.sizeHint(2 * labs.size)
+    labs.foreach { case (id, lab) => packed += id; packed += lab }
+    val chunks = packed.result().grouped(1000000).toSeq
+    import spark.implicits._
+    spark.sparkContext.parallelize(chunks, math.max(1, chunks.size))
+      .flatMap { a =>
+        Iterator.range(0, a.length, 2).map(i => (a(i), a(i + 1)))
+      }
+      .toDF(aName, bName)
   }
 
   /** The star stage's one live cache of the ORIGINAL edge list: it is
@@ -174,11 +223,12 @@ object GraphOps {
     * fixpoint; one single-row aggregate per round detects it without a
     * second join.
     *
-    * LOCAL FINISH (the round-floor cut): a graph whose symmetrized edge
-    * count fits [[LocalFinishSymEdgeCap]] — an EXPLICIT driver-memory
-    * budget, ~16 MB of long pairs at the default — skips the loop
-    * entirely: one bounded collect of the canonical edges, an exact
-    * union-find, and the labels parallelize back. Every distributed
+    * LOCAL FINISH (the round-floor cut): a graph whose CANONICAL edge
+    * count fits [[LocalFinishEdgeCap]] — an EXPLICIT driver-memory
+    * budget; see the cap's doc for the measured footprint — skips the
+    * loop entirely: one bounded packed-primitive collect of the
+    * canonical edges, an exact union-find, and the labels parallelize
+    * back as packed chunks. Every distributed
     * round here is a fixed stack of shuffle stages whose cost at small
     * edge counts is pure scheduling+planning floor (measured: the d60
     * sf0.1 graph, 1439 edges, 5 rounds, ~4.5 s of floors for
@@ -194,7 +244,7 @@ object GraphOps {
     * end-to-end.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame =
-    connectedComponentsBounded(edges, maxIter, LocalFinishSymEdgeCap)
+    connectedComponentsBounded(edges, maxIter, LocalFinishEdgeCap)
 
   /** [[connectedComponents]] with an explicit local-finish cap —
     * `localCap = 0` forces the distributed loops (the spec's lever and
@@ -216,8 +266,13 @@ object GraphOps {
     // build ONLY on the distributed path below, so a below-cap graph
     // never pays their groupBy.
     val pre = symRaw
-      .agg(count(lit(1)), min(col("src")).cast("decimal(38,0)")).head()
+      .agg(count(lit(1)), min(col("src")).cast("decimal(38,0)"),
+        // canonical row count (src <= dst side): the local-finish check
+        // compares the SAME edge-count definition as the star loop's
+        // mid-run check — what the driver would actually collect
+        count(when(col("src") <= col("dst"), 1))).head()
     val nEdges = pre.getLong(0)
+    val nCanon = pre.getLong(2)
     val starSafe = nEdges == 0 || pre.getDecimal(1).signum() >= 0
 
     // LOCAL FINISH (before any routing — it beats both distributed
@@ -229,22 +284,15 @@ object GraphOps {
     // shuffle-stage floors. Exact for ANY id range including negatives;
     // output ids keep the input's column type (the Int-id contract,
     // cast back losslessly).
-    if (nEdges <= localCap || nEdges == 0) {
+    if (nCanon <= localCap || nEdges == 0) {
       val spark = symRaw.sparkSession
-      val rows = symRaw.filter(col("src") <= col("dst"))
-        .select(col("src").cast("long"), col("dst").cast("long")).collect()
+      val chunks = collectPackedEdges(symRaw.filter(col("src") <= col("dst")))
       val idType = symRaw.schema("src").dataType
       symRaw.unpersist()
-      val labs = unionFindLabels(rows)
-      val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](labs.size)
-      labs.foreach { case (id, lab) => out += org.apache.spark.sql.Row(id, lab) }
+      val labs = unionFindLabels(chunks)
       lastRoute.set("local-finish")
       lastRounds.set(0)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.LongType, nullable = false)))
-      return spark.createDataFrame(
-          spark.sparkContext.parallelize(out.toSeq, math.max(1, labs.size / 500000 + 1)), schema)
+      return packedLabelsDf(spark, labs, "id", "label")
         .select(col("id").cast(idType).as("id"), col("label").cast(idType).as("label"))
     }
 
@@ -452,7 +500,7 @@ object GraphOps {
     * ids this engine uses because dedup can only remove positive terms.
     */
   def connectedComponentsStar(edges: DataFrame, maxIter: Int = 40): DataFrame =
-    connectedComponentsStarBounded(edges, maxIter, LocalFinishSymEdgeCap)
+    connectedComponentsStarBounded(edges, maxIter, LocalFinishEdgeCap)
 
   /** [[connectedComponentsStar]] with an explicit local-finish cap —
     * 0 forces the distributed loop (spec/probe lever).
@@ -490,6 +538,58 @@ object GraphOps {
     starLoop(e0, nodes, maxIter, localCap)
   }
 
+  /** Large-star half-round: for u with closed-neighborhood min m, emit
+    * (m, v) for every neighbor v > u. Output stays canonical: m <= u < v.
+    * The round's only exchange is the explicit repartition; m inherits
+    * its layout through the aggregate, so the join is exchange-free. NOT
+    * dedup'd here: row count is bounded by |e| regardless (one output
+    * row per canonical edge instance), small-star's min-aggregate is
+    * duplicate-insensitive, and its closing distinct restores the set —
+    * skipping the dedup saves a full exchange + aggregate every round.
+    *
+    * `private[graft]` (with [[smallStar]]/[[starRound]]) so GraphOpsSpec
+    * can pin the NODE-PERSISTENCE invariant the mid-loop local finish
+    * relies on, independently of any one test graph's shape: every node
+    * of a >= 2-node component must survive each round's edge set
+    * (large-star keeps it as a local-min `a` or larger endpoint `b`;
+    * small-star re-emits every `b` through its self edge) — a future
+    * edit that dedups large-star output differently or drops the
+    * small-star self edge would break [[starLoop]]'s `finishLocally`
+    * silently without that pin.
+    */
+  private[graft] def largeStar(e: DataFrame, parts: Int): DataFrame = {
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+      .repartition(parts, col("u"))
+    val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(m, "u").filter(col("v") > col("u"))
+      .select(col("m").as("a"), col("v").as("b"))
+      .filter(col("a") =!= col("b"))
+  }
+
+  /** Small-star half-round: for u = b over its smaller neighbors N
+    * (canonical edges already orient a < b), m = min(N); emit (m, v) for
+    * v in N \ {m} and (m, u). Output canonical: m < v and m < u. Same
+    * exchange discipline: one repartition keys the aggregate and the
+    * join; the closing repartition lets distinct dedup in place. See
+    * [[largeStar]] for the visibility rationale.
+    */
+  private[graft] def smallStar(e: DataFrame, parts: Int): DataFrame = {
+    val keyed = e.repartition(parts, col("b"))
+    val m = keyed.groupBy(col("b")).agg(min(col("a")).as("m"))
+    val nbr = keyed.join(m, "b").filter(col("a") =!= col("m"))
+      .select(col("m").as("a"), col("a").as("b"))
+    val self = m.select(col("m").as("a"), col("b"))
+    nbr.union(self).repartition(parts, col("a"), col("b")).distinct()
+  }
+
+  /** One full star round over a canonical edge set — [[starLoop]]'s loop
+    * body and the spec's invariant probe.
+    */
+  private[graft] def starRound(e: DataFrame, parts: Int): DataFrame =
+    smallStar(largeStar(e, parts), parts)
+
   private def starLoop(e0: DataFrame, nodes: DataFrame, maxIter: Int,
       localCap: Long): DataFrame = {
     // the potential AND the surviving edge count in one per-round job:
@@ -513,19 +613,12 @@ object GraphOps {
     // left join as the distributed fixpoint path.
     def finishLocally(edgesNow: DataFrame, how: String): DataFrame = {
       val spark = edgesNow.sparkSession
-      val rows = edgesNow
-        .select(col("a").cast("long"), col("b").cast("long")).collect()
-      val labs = unionFindLabels(rows)
-      val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](labs.size)
-      labs.foreach { case (id, lab) => out += org.apache.spark.sql.Row(id, lab) }
+      val chunks = collectPackedEdges(edgesNow)
+      val labs = unionFindLabels(chunks)
       edgesNow.unpersist()
       lastStarFinish.set(how)
       val idType = nodes.schema("id").dataType
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("root", org.apache.spark.sql.types.LongType, nullable = false)))
-      val labelled = spark.createDataFrame(
-          spark.sparkContext.parallelize(out.toSeq, math.max(1, labs.size / 500000 + 1)), schema)
+      val labelled = packedLabelsDf(spark, labs, "b", "root")
         .select(col("b").cast(idType).as("b"), col("root").cast(idType).as("root"))
       return nodes.join(broadcast(labelled), nodes("id") === col("b"), "left")
         .select(col("id"), coalesce(col("root"), col("id")).as("label"))
@@ -574,43 +667,10 @@ object GraphOps {
       val parts = math.max(1L,
         math.min(sessionParts.toLong, stats.getLong(1) / 50000L + 1L)).toInt
 
-      // large-star: for u with closed-neighborhood min m, emit (m, v) for
-      // every neighbor v > u. Output stays canonical: m <= u < v. The
-      // round's only exchange is the explicit repartition; m inherits its
-      // layout through the aggregate, so the join is exchange-free. NOT
-      // dedup'd here: row count is bounded by |e| regardless (one output
-      // row per canonical edge instance), small-star's min-aggregate is
-      // duplicate-insensitive, and its closing distinct restores the set —
-      // skipping the dedup saves a full exchange + aggregate every round.
-      def largeStar(e: DataFrame): DataFrame = {
-        val sym = e.select(col("a").as("u"), col("b").as("v"))
-          .union(e.select(col("b").as("u"), col("a").as("v")))
-          .repartition(parts, col("u"))
-        val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
-          .select(col("u"), least(col("u"), col("mn")).as("m"))
-        sym.join(m, "u").filter(col("v") > col("u"))
-          .select(col("m").as("a"), col("v").as("b"))
-          .filter(col("a") =!= col("b"))
-      }
-
-      // small-star: for u = b over its smaller neighbors N (canonical
-      // edges already orient a < b), m = min(N); emit (m, v) for
-      // v in N \ {m} and (m, u). Output canonical: m < v and m < u.
-      // Same exchange discipline: one repartition keys the aggregate and
-      // the join; the closing repartition lets distinct dedup in place.
-      def smallStar(e: DataFrame): DataFrame = {
-        val keyed = e.repartition(parts, col("b"))
-        val m = keyed.groupBy(col("b")).agg(min(col("a")).as("m"))
-        val nbr = keyed.join(m, "b").filter(col("a") =!= col("m"))
-          .select(col("m").as("a"), col("a").as("b"))
-        val self = m.select(col("m").as("a"), col("b"))
-        nbr.union(self).repartition(parts, col("a"), col("b")).distinct()
-      }
-
       var converged = false
       var round = 0
       while (!converged && round < maxIter) {
-        val next = truncated(smallStar(largeStar(cur))).persist()
+        val next = truncated(starRound(cur, parts)).persist()
         val (p, nEdges) = potential(next) // materializes next's blocks
         converged = p.compareTo(prev) == 0
         prev = p

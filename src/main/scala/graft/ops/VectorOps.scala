@@ -136,33 +136,39 @@ object VectorOps {
     */
   def d9EmbedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     // n2 rides the block replication: the squared norm is per-VECTOR
-    // (linear), so the O(B^2) pair tasks pay only the dot product
-    // (cosineFromParts — bit-identical to the fused kernel)
+    // (linear), so the O(B^2) pair work pays only the dot product — and
+    // since r14 the whole B x B tile is scored by ONE kernel call
+    // (graft.functions.BlockPairsFx) from primitive arrays, with a
+    // reassociated fast-dot screen and the exact in-order fold only for
+    // survivors (emitted sims bit-identical to the cosineFromParts
+    // composition, BlockPairsFxSpec pins raw bits)
     val e = embeddings(spark, sfDir).withColumn("blk", floor(col("vec_id") / BlockSize))
       .withColumn("n2", sumSq(col("v")))
     // One O(1) scalar job to size the block grid — the analog of the stats
     // collection AQE does before picking a join strategy. Not a data scan
     // loop: a single max() aggregate returning one long to the driver.
     val nBlocks = e.agg(coalesce(max(col("blk")), lit(0L))).head().getLong(0) + 1
-    // Row in block b appears once per block pair it belongs to:
-    // as the lo-side for pairs (b, hi), hi in [b, nBlocks); as the hi-side
-    // for pairs (lo, b), lo in [0, b]. The diagonal pair (b, b) gets both
-    // sides from block b; a_id < b_id dedups it (and is trivially true off
-    // the diagonal since blocks tile the id range in order).
-    val lo = e.select(
-      col("blk").as("lo"), explode(sequence(col("blk"), lit(nBlocks - 1))).as("hi"),
-      col("vec_id").as("a_id"), col("v").as("va"), col("n2").as("na"))
-    val hi = e.select(
-      explode(sequence(lit(0L), col("blk"))).as("lo"), col("blk").as("hi"),
-      col("vec_id").as("b_id"), col("v").as("vb"), col("n2").as("nb"))
+    // Each block's vectors gather ONCE (one tiny N/B-group aggregation),
+    // then the GROUPED row replicates to its block pairs: as the lo side
+    // for pairs (b, hi), hi in [b, nBlocks); as the hi side for (lo, b),
+    // lo in [0, b]. Shuffle volume is the same per-vector replication as
+    // the old per-row join; per-task memory is one tile = 2·B vectors
+    // (the documented block contract). The diagonal pair (b, b) gets the
+    // same list on both sides; the kernel's diag mode scores i < j once.
+    val item = struct(col("vec_id").as("id"), col("v"), col("n2"), lit(0.0).as("aux"))
+    val blocks = e.select(col("blk"), item.as("it"))
+      .groupBy(col("blk")).agg(collect_list(col("it")).as("items"))
+    val lo = blocks.select(col("blk").as("lo"),
+      explode(sequence(col("blk"), lit(nBlocks - 1))).as("hi"), col("items").as("as_"))
+    val hi = blocks.select(explode(sequence(lit(0L), col("blk"))).as("lo"),
+      col("blk").as("hi"), col("items").as("bs_"))
     // shuffle_hash: replicated sides grow with the block count, so neither
     // may ever be broadcast — the pair key distributes them instead.
     lo.hint("shuffle_hash").join(hi, Seq("lo", "hi"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        cosineFromParts(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
-      .filter(col("sim") >= 0.45)
-      .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+      .select(explode(graft.functions.BlockPairsFx.pairsAboveFx(
+        col("as_"), col("bs_"), col("lo") === col("hi"), 0.45)).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        round(col("p.sim"), 6).as("sim"))
   }
 
   // d16 parameters: 8 bands x 16 bits of sign-random-projection signature.
@@ -539,28 +545,61 @@ object VectorOps {
   /** [[d46SemDedup]]'s core over any `(vec_id, v, label)` relation —
     * parameterized for the ScalaCheck property pin.
     */
+  /** [[semDedupOver]]'s one live per-cell block cache (the grouped
+    * block lists feed both replicated join sides —
+    * [[ReplaceOnCallCache]] lifetime contract).
+    */
+  private val d46BlockCache = new ReplaceOnCallCache
+
   private[graft] def semDedupOver(e: DataFrame): DataFrame = {
     // widened: the per-cell quadratic cosine filter runs on the PROBE
     // side of a broadcast join, i.e. at raw scan parallelism — one
     // parquet row group pinned it to a single task before this
-    // n2 (per-vector, linear) rides into the per-cell quadratic join so
-    // the pair filter pays only the dot product (cosineFromParts)
+    // n2 (per-vector, linear) rides into the per-cell quadratic work so
+    // the pair stage pays only the dot product — since r14 as whole
+    // B x B tiles through the BlockPairsFx kernel (primitive arrays,
+    // fast-dot screen, exact fold for survivors — emitted sims
+    // bit-identical to the old cosineFromParts pair join). Cells block
+    // into per-cell id-ordered tiles (the d58 decomposition), so
+    // parallelism is cells x block-pairs and per-task memory one tile.
     val cs = CorpusOps.scanWide(e)
       .join(broadcast(labelCentroidsExact(e)), col("label") === col("c_label"))
       .select(col("vec_id"), col("label"), col("v"),
         cosine(col("v"), col("cv")).as("csim"),
         sumSq(col("v")).as("n2"))
-    val a = cs.select(col("vec_id").as("a_id"), col("label"),
-      col("v").as("va"), col("csim").as("ca"), col("n2").as("na"))
-    val b = cs.select(col("vec_id").as("b_id"), col("label").as("b_label"),
-      col("v").as("vb"), col("csim").as("cb"), col("n2").as("nb"))
-    val dropped = a.join(b,
-        col("label") === col("b_label") && col("a_id") =!= col("b_id"))
-      .filter(cosineFromParts(col("va"), col("vb"), col("na"), col("nb"))
-        >= SemDedupThreshold)
-      .filter(col("cb") < col("ca") ||
-        (col("cb") === col("ca") && col("b_id") < col("a_id")))
-      .select(col("a_id")).distinct()
+    val idxW = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    // csim rides the tiles as the kernel's aux payload, so the keep-rule
+    // needs no join back to the corpus
+    val item = struct(col("vec_id").as("id"), col("v"), col("n2"),
+      col("csim").as("aux"))
+    val blocks = d46BlockCache.register(cs
+      .withColumn("blk", floor((row_number().over(idxW) - 1) / BlockSize))
+      .select(col("label"), col("blk"), item.as("it"))
+      .groupBy(col("label"), col("blk")).agg(collect_list(col("it")).as("items")))
+    // per-cell block counts from a count aggregate (O(cells) rows,
+    // broadcast back): ceil(m/B) == max block index + 1
+    val nb = cs.groupBy(col("label"))
+      .agg(((count(lit(1)) + BlockSize - 1L) / BlockSize).cast("long").as("nb"))
+    val withNb = blocks.join(broadcast(nb), Seq("label"))
+    val lo = withNb.select(col("label"), col("blk").as("lo"),
+      explode(sequence(col("blk"), col("nb") - 1)).as("hi"), col("items").as("as_"))
+    val hi = withNb.select(col("label"),
+      explode(sequence(lit(0L), col("blk"))).as("lo"), col("blk").as("hi"),
+      col("items").as("bs_"))
+    val pairs = lo.hint("shuffle_hash").join(hi, Seq("label", "lo", "hi"))
+      .select(explode(graft.functions.BlockPairsFx.pairsAboveFx(
+        col("as_"), col("bs_"), col("lo") === col("hi"), SemDedupThreshold)).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        col("p.a_aux").as("ca"), col("p.b_aux").as("cb"))
+    // of each qualifying unordered pair, the member LATER in the keep
+    // order (higher csim, ties higher id — SemDeDup keeps the
+    // least-redundant member) is the dropped one: exactly the old
+    // exists-a-preceding-partner predicate, pair by pair
+    val dropped = pairs.select(
+        when(col("ca") > col("cb") ||
+          (col("ca") === col("cb") && col("a_id") > col("b_id")),
+          col("a_id")).otherwise(col("b_id")).as("a_id"))
+      .distinct()
     cs.join(dropped, col("vec_id") === col("a_id"), "left")
       .select(col("vec_id"), col("label").cast("long").as("cell"),
         round(col("csim"), 6).as("cent_sim"),
@@ -598,6 +637,11 @@ object VectorOps {
   /** Neighbors per vector in [[d58KnnGraph]]. */
   private val KnnGraphK = 3
 
+  /** [[d58KnnGraph]]'s one live grouped-tile cache
+    * ([[ReplaceOnCallCache]] lifetime contract).
+    */
+  private val d58BlockCache = new ReplaceOnCallCache
+
   /** d58: the k-NN GRAPH — every vector's top-[[KnnGraphK]] cosine
     * neighbors within its coarse cell, the primitive under graph-based
     * curation (SemDeDup/D4 derive from it in practice, connected-
@@ -626,28 +670,38 @@ object VectorOps {
     */
   def d58KnnGraph(spark: SparkSession, sfDir: String): DataFrame = {
     val idxW = Window.partitionBy(col("label")).orderBy(col("vec_id"))
-    // n2 rides the block replication (the d9 decomposed-cosine move):
-    // the quadratic block-pair tasks pay only the dot product
+    // n2 rides the block replication (the d9 decomposed-cosine move);
+    // since r14 each (label, lo, hi) tile is scored by ONE
+    // BlockPairsFx.topK kernel call from primitive arrays, which emits
+    // only each side's TILE-LOCAL top-k (fast-dot shortlist, exact
+    // in-order rescore — sims bit-identical to the old per-pair form).
+    // The union of tile-local top-k lists provably contains every
+    // vector's global top-k under the same (sim desc, n_id asc)
+    // comparator, so the q_id window sees 2·B·k rows per tile instead
+    // of B² — the stage that used to shuffle the full quadratic pair
+    // stream into the window sort now shuffles O(N·k·blocks-per-cell).
     val e = embeddings(spark, sfDir)
       .withColumn("blk", floor((row_number().over(idxW) - 1) / BlockSize))
       .withColumn("n2", sumSq(col("v")))
+    val item = struct(col("vec_id").as("id"), col("v"), col("n2"), lit(0.0).as("aux"))
+    // persisted: the grouped tiles feed both replicated join sides and
+    // the block-count aggregate (ReplaceOnCallCache lifetime contract —
+    // the returned frame reads it at the caller's action)
+    val blocks = d58BlockCache.register(
+      e.select(col("label"), col("blk"), item.as("it"))
+        .groupBy(col("label"), col("blk")).agg(collect_list(col("it")).as("items")))
     // per-cell block counts: O(cells) rows, broadcast back
-    val nb = e.groupBy(col("label")).agg((max(col("blk")) + 1).as("nb"))
-    val withNb = e.join(broadcast(nb), Seq("label"))
-    val lo = withNb.select(col("label"),
-      col("blk").as("lo"), explode(sequence(col("blk"), col("nb") - 1)).as("hi"),
-      col("vec_id").as("a_id"), col("v").as("va"), col("n2").as("na"))
+    val nb = blocks.groupBy(col("label")).agg((max(col("blk")) + 1).as("nb"))
+    val withNb = blocks.join(broadcast(nb), Seq("label"))
+    val lo = withNb.select(col("label"), col("blk").as("lo"),
+      explode(sequence(col("blk"), col("nb") - 1)).as("hi"), col("items").as("as_"))
     val hi = withNb.select(col("label"),
       explode(sequence(lit(0L), col("blk"))).as("lo"), col("blk").as("hi"),
-      col("vec_id").as("b_id"), col("v").as("vb"), col("n2").as("nb2"))
-    val pairs = lo.hint("shuffle_hash").join(hi, Seq("label", "lo", "hi"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        cosineFromParts(col("va"), col("vb"), col("na"), col("nb2")).as("sim"))
-    val directed = pairs.select(explode(array(
-        struct(col("a_id").as("q_id"), col("b_id").as("n_id"), col("sim")),
-        struct(col("b_id").as("q_id"), col("a_id").as("n_id"), col("sim")))).as("p"))
-      .select(col("p.q_id"), col("p.n_id"), col("p.sim"))
+      col("items").as("bs_"))
+    val directed = lo.hint("shuffle_hash").join(hi, Seq("label", "lo", "hi"))
+      .select(explode(graft.functions.BlockPairsFx.blockTopKFx(
+        col("as_"), col("bs_"), col("lo") === col("hi"), KnnGraphK)).as("p"))
+      .select(col("p.q_id").as("q_id"), col("p.n_id").as("n_id"), col("p.sim").as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     directed.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= KnnGraphK)

@@ -227,6 +227,17 @@ object StreamingQueries {
     * delay to the source's real arrival disorder — that delay, times the
     * per-side arrival rate, IS the state size, which is the point of the
     * range condition.
+    *
+    * DEPLOYMENT NOTE — do not copy the 35-day delay: it is a FIXTURE
+    * correctness requirement (a bounded replay whose shards interleave
+    * the corpus's whole 30-day span out of event-time order), not the
+    * operator's sizing rule. A live source delivers roughly in event
+    * time, so the rule is `watermark delay ≈ join interval (30 min
+    * here) + the source's maximum arrival disorder` (minutes on a
+    * healthy bus) — two-sided state then holds minutes of traffic, not
+    * weeks. A 35-day delay copied onto a production stream keeps ~35
+    * days of BOTH sides in the state store: at any real arrival rate
+    * that is the first operational incident this query would cause.
     */
   def s6StreamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
     val (shardDir, ckpt, mem) = freshDirs(spark, sfDir)
@@ -612,13 +623,43 @@ object StreamingQueries {
     spark.table(mem)
   }
 
+  /** Sorted ascending copy of a gram-hash array: bucket members store
+    * their DISTINCT 60-bit gram hashes sorted, so the per-pair exact
+    * verify is one primitive merge ([[sortedIntersectCount]]) instead of
+    * a boxed `Set[Long]` probe per element — the probe built one boxed
+    * Long per gram per PAIR, which was the s8/s12 16x far points'
+    * dominant constant factor. Sorting is once per document per bucket
+    * (O(g log g)), amortized over every pair the member ever verifies.
+    */
+  private def sortedGrams(g: Array[Long]): Array[Long] = {
+    val c = java.util.Arrays.copyOf(g, g.length)
+    java.util.Arrays.sort(c)
+    c
+  }
+
+  /** `|A ∩ B|` over two sorted distinct long arrays — one linear
+    * allocation-free merge. Equal to `s.grams.count(r.grams.toSet)` for
+    * the distinct arrays the banding produces.
+    */
+  private def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
   /** The bucket-probe step s8 and s12 share: pair each arriving banded
     * row against the bucket's stored members (exact gram-hash Jaccard —
     * `|A∪B| = |A| + |B| - |A∩B|` over distinct gram hashes, exactly the
-    * oracle's `list_distinct(a || b)` size), then store it. The
-    * stored-docId check makes the operator idempotent under
-    * at-least-once replay — and, under s12's initial state, prevents a
-    * seeded document from re-pairing if its tranche is ever replayed.
+    * oracle's `list_distinct(a || b)` size; members store grams SORTED,
+    * see [[sortedGrams]]), then store it. The stored-docId check makes
+    * the operator idempotent under at-least-once replay — and, under
+    * s12's initial state, prevents a seeded document from re-pairing if
+    * its tranche is ever replayed.
     */
   private val nearDupTracker =
     (_: Long, rows: Iterator[BandedGramRow], state: GroupState[BucketDocs]) => {
@@ -626,17 +667,17 @@ object StreamingQueries {
       val out = List.newBuilder[RawPair]
       rows.foreach { r =>
         if (!stored.exists(_.docId == r.doc_id)) { // at-least-once replay guard
-          val gset = r.grams.toSet
+          val g = sortedGrams(r.grams)
           stored.foreach { s =>
-            val inter = s.grams.count(gset.contains)
-            val j = inter.toDouble / (r.grams.length + s.grams.length - inter)
+            val inter = sortedIntersectCount(g, s.grams)
+            val j = inter.toDouble / (g.length + s.grams.length - inter)
             if (j >= 0.6) {
               val (a, b) = if (s.docId < r.doc_id) (s.docId, r.doc_id)
                 else (r.doc_id, s.docId)
               out += RawPair(a, b, j)
             }
           }
-          stored = StoredDoc(r.doc_id, r.grams) :: stored
+          stored = StoredDoc(r.doc_id, g) :: stored
         }
       }
       state.update(BucketDocs(stored))
@@ -672,7 +713,9 @@ object StreamingQueries {
     val seed = graft.ops.CorpusOps.bandedGramRows(docs.filter(col("doc_id") < cut))
       .as[BandedGramRow]
       .groupByKey(_.band_key)
-      .mapGroups { (k, it) => k -> BucketDocs(it.map(r => StoredDoc(r.doc_id, r.grams)).toList) }
+      .mapGroups { (k, it) =>
+        k -> BucketDocs(it.map(r => StoredDoc(r.doc_id, sortedGrams(r.grams))).toList)
+      }
       .groupByKey(_._1).mapValues(_._2)
     val shardDir = seededShardCache.computeIfAbsent(sfDir, { _ =>
       val d = Files.createTempDirectory("graft-corpus-t2-").toString + "/shards"
@@ -1044,19 +1087,20 @@ object StreamingQueries {
         val out = List.newBuilder[RawPairTs]
         rows.foreach { r =>
           if (!stored.exists(_.docId == r.doc_id)) { // at-least-once replay guard
-            val gset = r.grams.toSet
+            val g = sortedGrams(r.grams)
             stored.foreach { s =>
-              val inter = s.grams.count(gset.contains)
+              val inter = sortedIntersectCount(g, s.grams)
               // |A∪B| = |A| + |B| - |A∩B| over distinct gram hashes,
-              // exactly as s8StreamNearDup / the d2 oracle
-              val j = inter.toDouble / (r.grams.length + s.grams.length - inter)
+              // exactly as s8StreamNearDup / the d2 oracle (members
+              // store grams sorted — see sortedGrams)
+              val j = inter.toDouble / (g.length + s.grams.length - inter)
               if (j >= 0.6) {
                 val (a, b) = if (s.docId < r.doc_id) (s.docId, r.doc_id)
                   else (r.doc_id, s.docId)
                 out += RawPairTs(a, b, j, r.ts)
               }
             }
-            stored = StoredDocTs(r.doc_id, r.grams, r.ts.getTime) :: stored
+            stored = StoredDocTs(r.doc_id, g, r.ts.getTime) :: stored
           }
         }
         // a data invocation always lands at least one member, so the
@@ -1082,7 +1126,8 @@ object StreamingQueries {
           .filter(r => cutoffMs.forall(r.ts.getTime > _))
           .groupByKey(_.band_key)
           .mapGroups { (k, it) =>
-            k -> BucketDocsTs(it.map(r => StoredDocTs(r.doc_id, r.grams, r.ts.getTime)).toList)
+            k -> BucketDocsTs(it.map(r =>
+              StoredDocTs(r.doc_id, sortedGrams(r.grams), r.ts.getTime)).toList)
           }
           .groupByKey(_._1).mapValues(_._2)
         grouped.flatMapGroupsWithState(

@@ -89,6 +89,26 @@ class BenchTelemetrySpec extends AnyFunSuite with Matchers {
     assert(!Bench.querySuspect(0.5, 0.5, 15.0, 0.0, 15.0))
   }
 
+  test("signal 3's wall gate scales with the run's replication factor") {
+    // a 5 s cpu~=wall row at 16x is legitimate sequential-phase growth
+    // (23-37 such rows per 16x run were adjudicated honest in r13) —
+    // the scaled gate stops the third measured pass there...
+    assert(!Bench.querySuspect(5.0, 5.1, 15.0, 0.0, 15.0, lowParWallGate = 16.0))
+    // ...while a row slow EVEN FOR THAT SCALE still flags
+    assert(Bench.querySuspect(20.0, 20.5, 15.0, 0.0, 15.0, lowParWallGate = 16.0))
+    // and the other two signals are gate-independent
+    assert(Bench.querySuspect(0.5, 4.0, spinMs = 30.0, 0.0, 15.0, lowParWallGate = 16.0))
+    assert(Bench.querySuspect(2.0, 20.0, 15.0, queryStealSec = 0.5, 15.0, lowParWallGate = 16.0))
+  }
+
+  test("replication factor parses from the gen_scale dir convention, else 1") {
+    Bench.replicationOf("/tmp/scale/sf0.1x16") shouldBe 16
+    Bench.replicationOf("/tmp/scale/sf0.1x4/") shouldBe 4
+    Bench.replicationOf("/root/testdata/sf0.1") shouldBe 1
+    Bench.replicationOf("/root/testdata/sf0.001") shouldBe 1
+    Bench.replicationOf("weird") shouldBe 1
+  }
+
   test("one artificially-stalled query flags itself while the run-scope flag stays false") {
     // 72 quiet queries + 1 stalled: the stall inflates that query's wall
     // (cpu ~= wall) and its probe, but every run-scope MEDIAN stays quiet

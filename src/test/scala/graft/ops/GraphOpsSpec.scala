@@ -154,7 +154,7 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     // the precondition must not become cap-dependent: the public default
     // (local finisher armed) and the forced-distributed loop both throw
     import spark.implicits._
-    for (cap <- Seq(0L, GraphOps.LocalFinishSymEdgeCap)) {
+    for (cap <- Seq(0L, GraphOps.LocalFinishEdgeCap)) {
       val ex = intercept[IllegalArgumentException] {
         GraphOps.connectedComponentsStarBounded(
           Seq((-1L, 2L), (2L, 3L)).toDF("x", "y"), 40, cap)
@@ -229,6 +229,38 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     out shouldBe (1L to 50L).map(_ -> 1L).toMap
     GraphOps.lastStarFinish.get() shouldBe "local-entry"
+  }
+
+  test("star rounds preserve the node set (the invariant the mid-loop local finish relies on)") {
+    // finishLocally is exact mid-loop ONLY because every node of a
+    // >= 2-node component survives each round's edge set (large-star's
+    // v > u emissions + small-star's self edge) — pin that structurally
+    // on randomized graphs, independent of the single clique-shaped
+    // local-finish test, so a future edit to either half-round that
+    // breaks the persistence property fails HERE, not silently in a
+    // vanished-node mislabel (ADVICE r13)
+    import spark.implicits._
+    var x = 555L
+    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) >>> 1; x }
+    for (trial <- 1 to 2) {
+      val raw = (1 to 80 * trial).map(_ => (next() % (40 * trial), next() % (40 * trial)))
+        .filter { case (a, b) => a != b }
+      var cur = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct.toDF("a", "b")
+      def nodeSet(rows: Array[org.apache.spark.sql.Row]): Set[Long] =
+        rows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+      var nodes = nodeSet(cur.collect())
+      for (_ <- 1 to 3) { // past any test graph's fixpoint
+        // re-root each round on its computed rows (the loop's truncated()
+        // discipline): the invariant is about ROUND semantics, and an
+        // unbounded 3-round lineage re-executed per assertion is the
+        // plan-blowup the production loop exists to avoid
+        val roundRows = GraphOps.starRound(cur, 4).collect()
+        nodeSet(roundRows) shouldBe nodes
+        nodes = nodeSet(roundRows)
+        cur = roundRows.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("a", "b")
+      }
+    }
   }
 
   test("d63's gate shape: the local default equals the forced-distributed star end-to-end") {
