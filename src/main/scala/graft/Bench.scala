@@ -491,7 +491,8 @@ object Bench {
         s""","minAllCoreSpinMs":${f(minAllCoreMs)}""" +
         s""","spinNormTotal":${f(spinNormTotal(total, minAllCoreMs, ReferenceAllCoreSpinFloorMs))}""" +
         s""","spinNormTotalSingleCore":${f(spinNormTotal(total, minSpinMs))}""" +
-        s""","shapes":{"s19":"querySlice=vec_id<${graft.streaming.StreamingQueries.AnnQuerySlice}"}""" +
+        s""","shapes":{"s19":"querySlice=vec_id<${graft.streaming.StreamingQueries.AnnQuerySlice}"""" +
+        s""","d70":"reads the materialized d50 plan artifact (snapshot-keyed, written once per corpus — the loader contract)"}""" +
         s""","queries":$slowest,"full":"target/bench_last.json"}"""
     println(summary)
     // Three more channels for the driver's parser, which still read
