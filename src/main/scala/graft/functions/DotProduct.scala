@@ -11,15 +11,18 @@ import org.apache.spark.sql.types._
   * decomposed cosine (see [[SumSquares]] for the per-vector half and
   * the bit-parity contract). [[CosineSimilarity]] accumulates the dot
   * product AND both squared norms per pair — 3 multiply-accumulates
-  * per element; on the quadratic pair stages (d9/d46/d55/d58: every
-  * vector scored against every same-cell/block partner) the norms are
-  * a per-VECTOR quantity being recomputed per PAIR. Carrying
-  * `sum_squares(v)` through the pair join and doing only the dot here
-  * cuts the quadratic stage's element work 3x; the composed
+  * per element; on quadratic pair stages the norms are a per-VECTOR
+  * quantity being recomputed per PAIR. Carrying `sum_squares(v)`
+  * through the pair replication and doing only the dot per pair cuts
+  * the quadratic stage's element work 3x; the composed
   * `dot / (sqrt(na) * sqrt(nb))` (zero-guarded) is IEEE-bit-identical
   * to the fused kernel for equal-length arrays because each
   * accumulator runs the same FP ops in the same index order
-  * (CosinePartsSpec pins it bit-for-bit, eval and codegen).
+  * (CosinePartsSpec pins it bit-for-bit, eval and codegen). This
+  * expression is the REFERENCE form of that contract: the tile kernels
+  * ([[BlockPairsFx]]) replay exactly this sequential fold for every
+  * emitted pair (BlockPairsFxSpec pins the raw bits), which is what
+  * keeps the pair families' DuckDB oracles hash-exact.
   *
   * Same conventions as [[CosineSimilarity]]: null ARRAY yields null;
   * mismatched lengths use the common prefix (note the parity contract

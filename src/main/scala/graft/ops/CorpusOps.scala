@@ -571,7 +571,9 @@ object CorpusOps {
   private def qualityCol: Column = expr(QualityPpmSql) / lit(1000000.0)
 
   def d11Quality(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    // widened: see d39's note — the quality lambdas, not the scan, are
+    // the cost, and they were pinned to row-group parallelism
+    scanWide(Tables.documents(spark, sfDir))
       .select(col("doc_id"),
         size(words(col("text"))).cast("long").as("n_tokens"),
         qualityCol.as("quality"))
@@ -594,7 +596,7 @@ object CorpusOps {
   def d32QualityDeciles(spark: SparkSession, sfDir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("q_ppm"), col("doc_id"))
-    Tables.documents(spark, sfDir)
+    scanWide(Tables.documents(spark, sfDir)) // the d39 quality-lambda note
       .select(col("doc_id"), col("lang"), expr(QualityPpmSql).as("q_ppm"))
       .withColumn("decile", ntile(10).over(w).cast("long"))
       .select(col("doc_id"), col("lang"),
@@ -640,7 +642,7 @@ object CorpusOps {
     * rank-splitting).
     */
   private[graft] def qualityDecilesKmv(docs: DataFrame, k: Int): DataFrame = {
-    val scored = docs
+    val scored = scanWide(docs) // the d39 quality-lambda note
       .select(col("doc_id"), col("lang"), expr(QualityPpmSql).as("q_ppm"))
     val cuts = scored
       .withColumn("h", element_at(
@@ -1382,8 +1384,11 @@ object CorpusOps {
   def dupSpans(docs: DataFrame): DataFrame = {
     // no length pre-filter: the kernel returns an empty array for
     // sub-window documents and posexplode drops it — a size(split(...))
-    // filter would re-tokenize every document just to decide nothing
-    val grams = docs
+    // filter would re-tokenize every document just to decide nothing.
+    // widened: the window-hash kernel is the d28 wall and this scan is
+    // referenced twice (occurrence count + the mark join) — unwidened it
+    // ran both passes at row-group parallelism (16x: 2.7x on 32 threads)
+    val grams = scanWide(docs)
       .select(col("doc_id"),
         posexplode(graft.functions.WordWindowMd5.wordWindowMd5(
           lower(trim(col("text"))), SpanW)))
@@ -1435,7 +1440,10 @@ object CorpusOps {
     * 100 TB this is scan-bound, exactly as a compliance sweep should be.
     */
   def d38PiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    // widened: three regex passes per row ran at row-group parallelism
+    // (16x: 1.4x on 32 threads); at deployment width this is a no-op
+    // and the pass stays scan-bound as documented
+    val docs = scanWide(Tables.documents(spark, sfDir))
     val planted = docs.select(col("doc_id"),
       concat(lower(trim(col("text"))),
         when(pmod(col("doc_id"), lit(4)) === 0,
@@ -1529,7 +1537,10 @@ object CorpusOps {
     */
   def d39TokenBudget(spark: SparkSession, sfDir: String): DataFrame =
     tokenBudgetOver(
-      Tables.documents(spark, sfDir)
+      // widened: the quality score re-tokenizes the text through three
+      // interpreted lambdas per row — at row-group parallelism that scan
+      // was the whole 16x wall (the d59/d28 starvation class)
+      scanWide(Tables.documents(spark, sfDir))
         .select(col("doc_id"),
           size(words(col("text"))).cast("long").as("n_tokens"),
           expr(QualityPpmSql).as("q_ppm")),
@@ -2840,7 +2851,7 @@ object CorpusOps {
   /** [[d61SpanScrub]]'s core over any `(doc_id, text)` relation. */
   private[graft] def spanScrubOver(docs: DataFrame): DataFrame = {
     val w = SpanW
-    val grams = docs
+    val grams = scanWide(docs) // window-kernel scan (the d28 note)
       .select(col("doc_id"),
         posexplode(graft.functions.WordWindowMd5.wordWindowMd5(
           lower(trim(col("text"))), w)))
@@ -2988,7 +2999,7 @@ object CorpusOps {
     * (the d62 small-model precedent).
     */
   private[graft] def windowBloomBitmap(docs: DataFrame): Seq[Long] =
-    docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+    scanWide(docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)) // window-kernel scan
       .select(explode(array_distinct(graft.functions.WordWindowMd5
         .wordWindowMd5(lower(trim(col("text"))), SpanW))).as("gh"))
       .select(explode(array(windowBloomPositions(col("gh")): _*)).as("p"))
@@ -3036,7 +3047,7 @@ object CorpusOps {
     * at-ingest gate (the two must agree bit for bit per document).
     */
   private[graft] def noveltyGateWith(bitmap: Seq[Long], arrivals: DataFrame): DataFrame =
-    arrivals
+    scanWide(arrivals) // window kernel + per-window probes; streaming passes through
       .select(col("doc_id"), array_distinct(graft.functions.WordWindowMd5
         .wordWindowMd5(lower(trim(col("text"))), SpanW)).as("ws"))
       .filter(size(col("ws")) > 0)
@@ -3079,10 +3090,15 @@ object CorpusOps {
   /** [[d59HashedEmbed]]'s core over any `(doc_id, text)` relation. */
   private[graft] def hashedEmbedOver(docs: DataFrame): DataFrame = {
     val d = HashedEmbedDims
-    val v = docs
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("hv"))
+    // widened + native: the token hashes come from ONE Md5Prefix64
+    // kernel pass over the word array (same top-60-bit value as the
+    // composed conv(substring(md5(w))) per exploded token it replaces,
+    // bit-identical — the kernel's pinned convention) and the explode
+    // carries longs, not strings; the per-token hex round-trip was this
+    // row's whole 16x wall (5.3 s at 1.8x parallelism on 32 threads)
+    val v = scanWide(docs)
+      .select(col("doc_id"), explode(
+        graft.functions.Md5Prefix64.md5Prefix64(words(col("text")))).as("hv"))
       .select(col("doc_id"), pmod(col("hv"), lit(d)).as("dim"),
         when(pmod(expr(s"hv div $d"), lit(2L)) === 0L, lit(1L))
           .otherwise(lit(-1L)).as("sgn"))
@@ -3222,7 +3238,7 @@ object CorpusOps {
     */
   private[graft] def noveltyOver(docs: DataFrame): DataFrame = {
     val ghW = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
-    docs
+    scanWide(docs) // window-kernel scan (the d28 note)
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.WordWindowMd5.wordWindowMd5(lower(trim(col("text"))), SpanW))).as("gh"))
       .withColumn("first_id", min(col("doc_id")).over(ghW))

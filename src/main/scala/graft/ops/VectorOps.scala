@@ -39,24 +39,16 @@ object VectorOps {
     graft.functions.CosineSimilarity.cosineSim(a, b)
 
   /** The per-vector squared norm — computed once in the scan projection
-    * and carried through pair joins so the quadratic stage pays only the
-    * dot product (see [[cosineFromParts]]).
+    * and carried through the tile replication so the quadratic pair
+    * stages pay only the dot product. The decomposition's bit-parity
+    * contract (sequential dot + carried norms ≡ the fused
+    * [[graft.functions.CosineSimilarity]] kernel, raw IEEE bits) is
+    * pinned by CosinePartsSpec over [[graft.functions.DotProduct]] /
+    * [[graft.functions.SumSquares]]; the tile kernels
+    * ([[graft.functions.BlockPairsFx]]) emit exactly that decomposed
+    * value, pinned again by BlockPairsFxSpec.
     */
   private def sumSq(v: Column): Column = graft.functions.SumSquares.sumSquares(v)
-
-  /** Cosine DECOMPOSED for the quadratic pair stages: the dot product
-    * per pair plus the carried squared norms — IEEE-bit-identical to
-    * [[cosine]] for equal-length arrays (every accumulator runs the same
-    * FP ops in the same index order; `sqrt`/`*`/`/` and the zero-denom
-    * guard replicate the kernel's finish exactly — CosinePartsSpec pins
-    * it bit-for-bit), at a third of the per-element pair work. Only for
-    * fixed-dim columns: the parity contract needs equal lengths.
-    */
-  private def cosineFromParts(a: Column, b: Column, na: Column, nb: Column): Column = {
-    val denom = sqrt(na) * sqrt(nb)
-    when(denom === 0.0, lit(0.0))
-      .otherwise(graft.functions.DotProduct.dotProduct(a, b) / denom)
-  }
 
   private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)

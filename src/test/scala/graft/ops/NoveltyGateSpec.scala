@@ -70,10 +70,15 @@ class NoveltyGateSpec extends AnyFunSuite with SparkSpec with Matchers {
       s"FP undercount rejected ${(exactAdmit -- gate.keySet).size} of ${exactAdmit.size} truly-novel docs")
   }
 
-  test("the probe plans as a zero-shuffle scan projection") {
+  test("the probe plans as a scan projection — no key shuffle, at most the widening exchange") {
+    // the r13 scanWide relaxation (CorpusOps.scanWide): a narrow batch
+    // scan may gain ONE round-robin widening Exchange; the pin's point —
+    // the bitmap is a literal, so no hash/range partitioning and no join
+    // anywhere in the probe — stands
     val p = graft.SparkEntry.queries("d66_novelty_gate")(spark, sf001)
       .queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange"),
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
       s"the window probe must ride the scan (the bitmap is a literal):\n$p")
+    assert(!p.contains("Join"), s"no join belongs in the probe:\n$p")
   }
 }
