@@ -855,6 +855,13 @@ object CorpusOps {
     * verification. Gram-hash Jaccard equals shingle-string Jaccard except
     * under a 60-bit collision within one candidate pair (~2^-60 · |grams|²
     * — the d12/d20 acceptance).
+    *
+    * CONTRACT: `grams` arrives SORTED ascending — the sort runs once per
+    * DOCUMENT in the scan projection (native `array_sort`, before the
+    * band explode replicates the array `Bands` times), so the stateful
+    * trackers' per-pair exact verify is a plain primitive merge with no
+    * per-arrival re-sort (`StreamingQueries.sortedIntersectCount`).
+    * Jaccard is set-valued, so ordering is free to choose.
     */
   def bandedGramRows(docs: DataFrame): DataFrame =
     bandedGramRowsCarrying(docs, Nil)
@@ -878,7 +885,7 @@ object CorpusOps {
       .select(col("doc_id") +:
         graft.functions.WordShingleMinHash.wordShingleMinhash(
           col("t"), 3, Seeds.take(k).map(_._1), Seeds.take(k).map(_._2), MinhashP).as("mh") +:
-        graft.functions.Md5Prefix64.md5Prefix64(expr(ShingleSql)).as("grams") +: carried: _*)
+        array_sort(graft.functions.Md5Prefix64.md5Prefix64(expr(ShingleSql))).as("grams") +: carried: _*)
     val bandKeys = (0 until Bands).map { b =>
       xxhash64(lit(b) +: (0 until RowsPerBand).map(r => col("mh").getItem(b * RowsPerBand + r)): _*)
     }

@@ -623,23 +623,15 @@ object StreamingQueries {
     spark.table(mem)
   }
 
-  /** Sorted ascending copy of a gram-hash array: bucket members store
-    * their DISTINCT 60-bit gram hashes sorted, so the per-pair exact
-    * verify is one primitive merge ([[sortedIntersectCount]]) instead of
-    * a boxed `Set[Long]` probe per element — the probe built one boxed
-    * Long per gram per PAIR, which was the s8/s12 16x far points'
-    * dominant constant factor. Sorting is once per document per bucket
-    * (O(g log g)), amortized over every pair the member ever verifies.
-    */
-  private def sortedGrams(g: Array[Long]): Array[Long] = {
-    val c = java.util.Arrays.copyOf(g, g.length)
-    java.util.Arrays.sort(c)
-    c
-  }
-
   /** `|A ∩ B|` over two sorted distinct long arrays — one linear
     * allocation-free merge. Equal to `s.grams.count(r.grams.toSet)` for
-    * the distinct arrays the banding produces.
+    * the distinct arrays the banding produces. The sort the merge relies
+    * on is `bandedGramRows`' delivery contract: grams arrive sorted from
+    * the scan projection (once per DOCUMENT, native `array_sort`, before
+    * the band explode) — the trackers used to re-sort per ARRIVAL per
+    * band, one O(g log g) copy per bucket row, which was the s8/s12 16x
+    * far points' second constant factor after the boxed `Set[Long]`
+    * per-pair probe both replaced.
     */
   private def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var n = 0
@@ -655,8 +647,9 @@ object StreamingQueries {
   /** The bucket-probe step s8 and s12 share: pair each arriving banded
     * row against the bucket's stored members (exact gram-hash Jaccard —
     * `|A∪B| = |A| + |B| - |A∩B|` over distinct gram hashes, exactly the
-    * oracle's `list_distinct(a || b)` size; members store grams SORTED,
-    * see [[sortedGrams]]), then store it. The stored-docId check makes
+    * oracle's `list_distinct(a || b)` size; grams arrive and are stored
+    * SORTED — `bandedGramRows`' contract), then store it. The
+    * stored-docId check makes
     * the operator idempotent under at-least-once replay — and, under
     * s12's initial state, prevents a seeded document from re-pairing if
     * its tranche is ever replayed.
@@ -667,7 +660,7 @@ object StreamingQueries {
       val out = List.newBuilder[RawPair]
       rows.foreach { r =>
         if (!stored.exists(_.docId == r.doc_id)) { // at-least-once replay guard
-          val g = sortedGrams(r.grams)
+          val g = r.grams // sorted by bandedGramRows' contract
           stored.foreach { s =>
             val inter = sortedIntersectCount(g, s.grams)
             val j = inter.toDouble / (g.length + s.grams.length - inter)
@@ -714,7 +707,7 @@ object StreamingQueries {
       .as[BandedGramRow]
       .groupByKey(_.band_key)
       .mapGroups { (k, it) =>
-        k -> BucketDocs(it.map(r => StoredDoc(r.doc_id, sortedGrams(r.grams))).toList)
+        k -> BucketDocs(it.map(r => StoredDoc(r.doc_id, r.grams)).toList)
       }
       .groupByKey(_._1).mapValues(_._2)
     val shardDir = seededShardCache.computeIfAbsent(sfDir, { _ =>
@@ -1087,12 +1080,12 @@ object StreamingQueries {
         val out = List.newBuilder[RawPairTs]
         rows.foreach { r =>
           if (!stored.exists(_.docId == r.doc_id)) { // at-least-once replay guard
-            val g = sortedGrams(r.grams)
+            val g = r.grams // sorted by bandedGramRows' contract
             stored.foreach { s =>
               val inter = sortedIntersectCount(g, s.grams)
               // |A∪B| = |A| + |B| - |A∩B| over distinct gram hashes,
-              // exactly as s8StreamNearDup / the d2 oracle (members
-              // store grams sorted — see sortedGrams)
+              // exactly as s8StreamNearDup / the d2 oracle (grams
+              // arrive and are stored sorted)
               val j = inter.toDouble / (g.length + s.grams.length - inter)
               if (j >= 0.6) {
                 val (a, b) = if (s.docId < r.doc_id) (s.docId, r.doc_id)
@@ -1127,7 +1120,7 @@ object StreamingQueries {
           .groupByKey(_.band_key)
           .mapGroups { (k, it) =>
             k -> BucketDocsTs(it.map(r =>
-              StoredDocTs(r.doc_id, sortedGrams(r.grams), r.ts.getTime)).toList)
+              StoredDocTs(r.doc_id, r.grams, r.ts.getTime)).toList)
           }
           .groupByKey(_._1).mapValues(_._2)
         grouped.flatMapGroupsWithState(
