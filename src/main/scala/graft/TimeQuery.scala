@@ -27,12 +27,25 @@ object TimeQuery {
       if (scrub) {
         spark.catalog.clearCache()
         org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
+        // the bench's full discipline: drop the streaming memory-sink
+        // views too — at far-point scales their retained result rows are
+        // real heap pressure that degrades every LATER run in the JVM
+        spark.catalog.listTables().collect()
+          .filter(t => t.isTemporary && t.name.startsWith("graft_mem_"))
+          .foreach(t => spark.catalog.dropTempView(t.name))
       }
+      def gcMs: Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).sum
+      }
+      val g0 = gcMs
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
       println(f"TIME $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
-        f" cpu ${(osBean.getProcessCpuTime - c0) / 1e9}%.2f s")
+        f" cpu ${(osBean.getProcessCpuTime - c0) / 1e9}%.2f s" +
+        f" gc ${(gcMs - g0) / 1e3}%.2f s")
     }
     spark.stop()
   }

@@ -103,18 +103,38 @@ object VectorOps {
     topK(scored)
   }
 
-  /** Block edge length for the d9 blocked self-join. Per-task memory is
-    * O(2·B·dim); B is small here so the fixture corpora exercise several
-    * block pairs — at 100 TB you size B so one block pair (~2·B·dim·8
-    * bytes of vectors) fits an executor core's working set.
+  /** Block edge length for the per-cell blocked pair stages (d46/d55/
+    * d58). Per-task memory is O(2·B·dim); B is small here so the fixture
+    * corpora exercise several block pairs — at 100 TB you size B so one
+    * block pair (~2·B·dim·8 bytes of vectors) fits an executor core's
+    * working set.
     */
   private val BlockSize = 256L
+
+  /** DATA-SIZED block edge for d9's GLOBAL blocked self-join. The blocked
+    * self-join's shuffle volume is N·nBlocks = N²/B (every vector
+    * replicates to its block's ~nBlocks pair keys), so a FIXED edge makes
+    * replication grow linearly with the corpus while per-task memory
+    * stays needlessly tiny. Sizing the edge to hold the grid near
+    * [[D9TargetBlocks]] blocks keeps replication ~constant until the
+    * [[D9MaxBlockEdge]] per-task-memory cap binds (2·2048 vectors ≈ 2.2
+    * MB/task at dim 64 — at deployment dims, lower the cap to the
+    * documented working-set rule). The floor keeps fixture-scale behavior
+    * identical to the fixed-edge form. Blocking is pure partitioning —
+    * which tile a pair is scored in — so the emitted pair set and every
+    * similarity bit are invariant to B (BlockPairsFxSpec's exactness
+    * argument is per pair; VectorOpsSpec pins d9 across edges).
+    */
+  private[graft] def d9BlockEdge(nVec: Long): Long =
+    math.min(D9MaxBlockEdge, math.max(BlockSize, (nVec + D9TargetBlocks - 1) / D9TargetBlocks))
+  private val D9TargetBlocks = 32L
+  private val D9MaxBlockEdge = 2048L
 
   /** Embedding-cosine near-duplicate pairs: exact all-pairs self-similarity
     * at a threshold. Exact low-threshold pair search is inherently
     * quadratic — no LSH family guarantees recall at moderate thresholds —
     * so the honest scale story is a BLOCKED exact self-join: vectors are
-    * tiled into blocks of [[BlockSize]] by id, each side is replicated to
+    * tiled into blocks of [[d9BlockEdge]] by id, each side is replicated to
     * the (lo, hi) block pairs it participates in, and the pairs meet in a
     * SHUFFLE hash equi-join on the block-pair key. Each task scores one
     * block pair with the fused native kernel: O(B²) compares and O(B·dim)
@@ -126,7 +146,15 @@ object VectorOps {
     * Corpus here has no planted embedding dups, so the threshold 0.45
     * exercises the operator on the distribution's tail.
     */
-  def d9EmbedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+  def d9EmbedNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    d9EmbedNeardupOver(embeddings(spark, sfDir))
+
+  /** [[d9EmbedNeardup]]'s core over any `(vec_id, v)` relation, with the
+    * block edge overridable for the edge-invariance spec (None = the
+    * data-sized [[d9BlockEdge]]).
+    */
+  private[graft] def d9EmbedNeardupOver(src: DataFrame,
+      edgeOverride: Option[Long] = None): DataFrame = {
     // n2 rides the block replication: the squared norm is per-VECTOR
     // (linear), so the O(B^2) pair work pays only the dot product — and
     // since r14 the whole B x B tile is scored by ONE kernel call
@@ -134,12 +162,16 @@ object VectorOps {
     // reassociated fast-dot screen and the exact in-order fold only for
     // survivors (emitted sims bit-identical to the cosineFromParts
     // composition, BlockPairsFxSpec pins raw bits)
-    val e = embeddings(spark, sfDir).withColumn("blk", floor(col("vec_id") / BlockSize))
-      .withColumn("n2", sumSq(col("v")))
     // One O(1) scalar job to size the block grid — the analog of the stats
     // collection AQE does before picking a join strategy. Not a data scan
     // loop: a single max() aggregate returning one long to the driver.
-    val nBlocks = e.agg(coalesce(max(col("blk")), lit(0L))).head().getLong(0) + 1
+    // The edge is DATA-SIZED (see d9BlockEdge): replication stays ~flat
+    // as the corpus grows until the per-task memory cap binds.
+    val nVec = src.agg(coalesce(max(col("vec_id")), lit(-1L))).head().getLong(0) + 1
+    val edge = edgeOverride.getOrElse(d9BlockEdge(nVec))
+    val nBlocks = (math.max(nVec, 1L) + edge - 1) / edge
+    val e = src.withColumn("blk", floor(col("vec_id") / edge))
+      .withColumn("n2", sumSq(col("v")))
     // Each block's vectors gather ONCE (one tiny N/B-group aggregation),
     // then the GROUPED row replicates to its block pairs: as the lo side
     // for pairs (b, hi), hi in [b, nBlocks); as the hi side for (lo, b),

@@ -39,6 +39,23 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     blocked shouldBe brute
   }
 
+  test("d9 emitted pairs and similarity BITS are invariant to the block edge") {
+    // blocking is pure partitioning — which tile a pair is scored in —
+    // so the data-sized edge (d9BlockEdge) must change nothing but the
+    // plan's replication factor
+    val e = graft.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    def run(edge: Option[Long]): Set[(Long, Long, Long)] =
+      VectorOps.d9EmbedNeardupOver(e, edge).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toSet
+    val sized = run(None)
+    assert(sized.nonEmpty)
+    run(Some(64L)) shouldBe sized
+    run(Some(256L)) shouldBe sized
+    run(Some(1000L)) shouldBe sized
+  }
+
   test("d16 SRP-LSH finds exactly the brute-force pairs over the planted corpus") {
     // rebuild the planted corpus with the same arithmetic d16 uses
     val e = graft.Tables.embeddings(spark, sf001)
