@@ -13,6 +13,19 @@ import org.scalatest.matchers.should.Matchers
   */
 class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
 
+  test("bandedGramRows delivers gram arrays SORTED and distinct (the tracker merge contract)") {
+    // StreamingQueries.sortedIntersectCount merges without re-sorting;
+    // this pins the delivery contract independently of the pair results
+    val rows = CorpusOps.bandedGramRows(graft.Tables.documents(spark, sf001))
+      .select(col("grams")).limit(500).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getSeq[Long](0)
+      assert(g == g.sorted, "grams must arrive sorted ascending")
+      assert(g.distinct.size == g.size, "grams must be distinct per document")
+    }
+  }
+
   test("d2 MinHash-LSH finds high-Jaccard pairs with exact scores") {
     val pairs = CorpusOps.d2MinhashLsh(spark, sf001).collect()
     // sf0.001 plants a handful of near-dup pairs; LSH must surface them
