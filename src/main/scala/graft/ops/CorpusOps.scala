@@ -866,6 +866,29 @@ object CorpusOps {
   def bandedGramRows(docs: DataFrame): DataFrame =
     bandedGramRowsCarrying(docs, Nil)
 
+  /** `(band_key, doc_id)` rows WITHOUT the gram payload — the banding
+    * for the side-table near-dup layout (`StreamingQueries`' s8/s12):
+    * bucket state stores doc IDS and the exact verify runs in a join
+    * against [[sortedGramSets]], so the band explode must not replicate
+    * every document's gram array once per band ([[Bands]]× the gram
+    * volume through the shuffle AND the state store — measured as the
+    * dominant byte volume of the tracker rows). Same scan, same ≥3-word
+    * floor, same band keys as [[bandedGramRows]].
+    */
+  def bandedKeyRows(docs: DataFrame): DataFrame =
+    bandedGramRowsCarrying(docs, Nil, includeGrams = false)
+
+  /** `(doc_id, grams)` — each banded document's SORTED DISTINCT 60-bit
+    * gram-hash set, exactly the `grams` column [[bandedGramRows]] would
+    * deliver (same scan, same floor, same hashes — the verify-join side
+    * table for the [[bandedKeyRows]] layout). At fixture scale the
+    * relation broadcasts; at 100 TB it is the doc-keyed gram-set table
+    * the near-dup scaladocs name, met by a shuffle join on doc_id.
+    */
+  def sortedGramSets(docs: DataFrame): DataFrame =
+    shingleSets(docs).select(col("doc_id"),
+      array_sort(graft.functions.Md5Prefix64.md5Prefix64(col("shingles"))).as("grams"))
+
   /** [[bandedGramRows]] with the ingest event time carried through every
     * projection — the bounded-state streaming near-dup
     * (`StreamingQueries.boundedNearDupPairs`) needs each banded row
@@ -875,9 +898,13 @@ object CorpusOps {
   def bandedGramRowsTs(docs: DataFrame): DataFrame =
     bandedGramRowsCarrying(docs, Seq("ts"))
 
-  private def bandedGramRowsCarrying(docs: DataFrame, carry: Seq[String]): DataFrame = {
+  private def bandedGramRowsCarrying(docs: DataFrame, carry: Seq[String],
+      includeGrams: Boolean = true): DataFrame = {
     val k = Bands * RowsPerBand
     val carried = carry.map(col)
+    val gramCols = if (includeGrams)
+      Seq(array_sort(graft.functions.Md5Prefix64.md5Prefix64(expr(ShingleSql))).as("grams"))
+    else Nil
     val sig = scanWide(docs)
       .select(col("doc_id") +: lower(trim(col("text"))).as("t") +: carried: _*)
       .filter(size(split(col("t"), " ")) >= 3)
@@ -885,12 +912,12 @@ object CorpusOps {
       .select(col("doc_id") +:
         graft.functions.WordShingleMinHash.wordShingleMinhash(
           col("t"), 3, Seeds.take(k).map(_._1), Seeds.take(k).map(_._2), MinhashP).as("mh") +:
-        array_sort(graft.functions.Md5Prefix64.md5Prefix64(expr(ShingleSql))).as("grams") +: carried: _*)
+        (gramCols ++ carried): _*)
     val bandKeys = (0 until Bands).map { b =>
       xxhash64(lit(b) +: (0 until RowsPerBand).map(r => col("mh").getItem(b * RowsPerBand + r)): _*)
     }
-    sig.select(col("doc_id") +: col("grams") +:
-      explode(array(bandKeys: _*)).as("band_key") +: carried: _*)
+    sig.select(col("doc_id") +: (gramCols.map(_ => col("grams")) ++
+      Seq(explode(array(bandKeys: _*)).as("band_key")) ++ carried): _*)
   }
 
   /** Top terms per language by a log-free TF-IDF: score(w, lang) =

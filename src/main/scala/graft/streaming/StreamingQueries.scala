@@ -560,35 +560,47 @@ object StreamingQueries {
   }
 
   // encoder codegen requires these to be publicly accessible
-  /** One banded row of the ingest stream (see
-    * `ops.CorpusOps.bandedGramRows`). */
-  case class BandedGramRow(band_key: Long, doc_id: Long, grams: Array[Long])
-  /** LSH-bucket state: every document seen in this band bucket. */
-  case class StoredDoc(docId: Long, grams: Array[Long])
-  case class BucketDocs(docs: List[StoredDoc])
-  case class RawPair(a_id: Long, b_id: Long, j: Double)
+  /** One banded KEY row of the ingest stream (see
+    * `ops.CorpusOps.bandedKeyRows` — no gram payload). */
+  case class BandedKeyRow(band_key: Long, doc_id: Long)
+  /** LSH-bucket state: the doc IDS ever seen in this band bucket —
+    * the side-table layout's whole per-bucket state (gram sets live in
+    * the doc-keyed [[graft.ops.CorpusOps.sortedGramSets]] relation the
+    * verify join reads). */
+  case class BucketIds(ids: List[Long])
+  /** An unverified candidate pair (same band bucket), a_id < b_id. */
+  case class CandPair(a_id: Long, b_id: Long)
 
-  /** INCREMENTAL near-dup detection — d2's MinHash-LSH running at ingest:
-    * each arriving document lands in its LSH band buckets
-    * (`flatMapGroupsWithState` keyed by band key), is exact-verified
-    * against the documents accumulated in those buckets, and every
-    * verified pair (Jaccard >= 0.6) is emitted the moment its second
-    * member arrives. A pair surfacing from several bands is collapsed by
-    * a downstream first-arrival dedup (append-mode stateful chaining).
-    * Output == the batch d2 answer, so the oracle IS d2's brute-force
-    * SQL: streaming == batch, the reference's core delivery oracle,
-    * extended to a similarity join.
+  /** INCREMENTAL near-dup detection — d2's MinHash-LSH running at ingest,
+    * in the SIDE-TABLE layout a 100 TB deployment runs: each arriving
+    * document lands in its LSH band buckets (`flatMapGroupsWithState`
+    * keyed by band key) whose state holds doc IDS ONLY; a bucket emits an
+    * unverified CANDIDATE pair the moment a second member arrives;
+    * candidates are collapsed across bands by a first-arrival dedup
+    * (append-mode stateful chaining) and then EXACT-verified in a
+    * stream-static join against the doc-keyed gram-set side table
+    * ([[graft.ops.CorpusOps.sortedGramSets]] — the
+    * [[graft.functions.SortedJaccard]] merge, arithmetic identical to
+    * the in-state verify it replaces). Output == the batch d2 answer, so
+    * the oracle IS d2's brute-force SQL: streaming == batch, the
+    * reference's core delivery oracle, extended to a similarity join.
     *
-    * SCALE: state per bucket = gram-hash sets (8 B/gram), never text;
-    * bucket membership is LSH-sparse. At 100 TB you'd hold only
-    * signatures in hot state and verify against a gram-set side table
-    * keyed by doc_id; the state protocol is identical. Bucket state here
-    * grows with distinct docs ever seen (the full-retrospective oracle
-    * needs it); the horizon-bounded production form is SHIPPED as
-    * [[boundedNearDupPairs]] — per-member event-time TTL on the bucket
-    * store under `multipleWatermarkPolicy=max`, state O(horizon), plateau
-    * pinned by StreamingSpec. The re-delivery guard makes the operator
-    * idempotent under at-least-once replay.
+    * SCALE — why ids-only state: the band explode replicates per-band,
+    * so gram-set-in-bucket state pays `Bands`× (24×) the corpus's gram
+    * volume through BOTH the banding shuffle and the state store — the
+    * measured byte-volume floor of the previous form's far points. Ids
+    * cut that to 16 B per (doc, band); the verify join's side table
+    * carries each document's grams ONCE, broadcast at fixture scale and
+    * a doc_id shuffle join at 100 TB (candidates are LSH-sparse, so the
+    * join's stream side is tiny). Bucket state still grows with distinct
+    * docs ever seen (the full-retrospective oracle needs it); the
+    * horizon-bounded production form is SHIPPED as
+    * [[boundedNearDupPairs]] — per-member event-time TTL on a
+    * self-contained bucket store (grams in state: a bounded-horizon
+    * store holds O(horizon) gram sets by construction, and needs no
+    * side-table freshness contract), `multipleWatermarkPolicy=max`,
+    * plateau pinned by StreamingSpec. The stored-id guard makes the
+    * operator idempotent under at-least-once replay.
     */
   def s8StreamNearDup(spark: SparkSession, sfDir: String): DataFrame =
     s8StreamNearDup(spark, sfDir, maxFilesPerTrigger = None)
@@ -603,15 +615,14 @@ object StreamingQueries {
     val shardDir = corpusShardDir(spark, sfDir)
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
     val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
-    val banded = graft.ops.CorpusOps.bandedGramRows(
+    val banded = graft.ops.CorpusOps.bandedKeyRows(
         ShardedCorpus.readStream(spark, shardDir, maxFilesPerTrigger))
-      .as[BandedGramRow]
-    val pairs = banded
+      .as[BandedKeyRow]
+    val cands = banded
       .groupByKey(_.band_key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(nearDupTracker)
-    val q = pairs.toDF()
-      .dropDuplicates(Seq("a_id", "b_id"))
-      .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jaccard"))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(candidateTracker)
+    val q = verifiedPairs(cands.toDF().dropDuplicates(Seq("a_id", "b_id")),
+        graft.Tables.documents(spark, sfDir))
       .writeStream
       .outputMode("append")
       .format("memory")
@@ -623,15 +634,30 @@ object StreamingQueries {
     spark.table(mem)
   }
 
+  /** The verify stage of the side-table layout: candidate (a_id, b_id)
+    * rows meet the doc-keyed gram-set table on both endpoints and the
+    * exact sorted-merge Jaccard gates at the d2 threshold — the same
+    * division the in-state verify computed, now a codegen'd projection.
+    * The side table broadcasts here (fixture-sized); at 100 TB it is a
+    * doc_id shuffle join, with the stream side at candidate volume.
+    */
+  private def verifiedPairs(cands: DataFrame, corpus: DataFrame): DataFrame = {
+    val grams = graft.ops.CorpusOps.sortedGramSets(corpus)
+    cands
+      .join(broadcast(grams.select(col("doc_id").as("a_id"), col("grams").as("ga"))), "a_id")
+      .join(broadcast(grams.select(col("doc_id").as("b_id"), col("grams").as("gb"))), "b_id")
+      .withColumn("j", graft.functions.SortedJaccard.sortedJaccard(col("ga"), col("gb")))
+      .filter(col("j") >= 0.6)
+      .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jaccard"))
+  }
+
   /** `|A ∩ B|` over two sorted distinct long arrays — one linear
-    * allocation-free merge. Equal to `s.grams.count(r.grams.toSet)` for
-    * the distinct arrays the banding produces. The sort the merge relies
-    * on is `bandedGramRows`' delivery contract: grams arrive sorted from
-    * the scan projection (once per DOCUMENT, native `array_sort`, before
-    * the band explode) — the trackers used to re-sort per ARRIVAL per
-    * band, one O(g log g) copy per bucket row, which was the s8/s12 16x
-    * far points' second constant factor after the boxed `Set[Long]`
-    * per-pair probe both replaced.
+    * allocation-free merge (the Scala twin of
+    * [[graft.functions.SortedJaccard]]'s kernel, used by the bounded
+    * production tracker whose self-contained state keeps gram sets
+    * in-bucket). The sort the merge relies on is `bandedGramRowsTs`'
+    * delivery contract: grams arrive sorted from the scan projection
+    * (once per DOCUMENT, native `array_sort`, before the band explode).
     */
   private def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var n = 0
@@ -645,35 +671,27 @@ object StreamingQueries {
   }
 
   /** The bucket-probe step s8 and s12 share: pair each arriving banded
-    * row against the bucket's stored members (exact gram-hash Jaccard —
-    * `|A∪B| = |A| + |B| - |A∩B|` over distinct gram hashes, exactly the
-    * oracle's `list_distinct(a || b)` size; grams arrive and are stored
-    * SORTED — `bandedGramRows`' contract), then store it. The
-    * stored-docId check makes
-    * the operator idempotent under at-least-once replay — and, under
-    * s12's initial state, prevents a seeded document from re-pairing if
-    * its tranche is ever replayed.
+    * key row against the bucket's stored member IDS as canonical
+    * (a_id < b_id) CANDIDATES — verification happens downstream in the
+    * side-table join ([[verifiedPairs]]); a cross-band hash collision
+    * can only ADD a candidate, which the exact verify rejects. The
+    * stored-id check makes the operator idempotent under at-least-once
+    * replay — and, under s12's initial state, prevents a seeded document
+    * from re-pairing if its tranche is ever replayed.
     */
-  private val nearDupTracker =
-    (_: Long, rows: Iterator[BandedGramRow], state: GroupState[BucketDocs]) => {
-      var stored = state.getOption.map(_.docs).getOrElse(Nil)
-      val out = List.newBuilder[RawPair]
+  private val candidateTracker =
+    (_: Long, rows: Iterator[BandedKeyRow], state: GroupState[BucketIds]) => {
+      var stored = state.getOption.map(_.ids).getOrElse(Nil)
+      val out = List.newBuilder[CandPair]
       rows.foreach { r =>
-        if (!stored.exists(_.docId == r.doc_id)) { // at-least-once replay guard
-          val g = r.grams // sorted by bandedGramRows' contract
+        if (!stored.contains(r.doc_id)) { // at-least-once replay guard
           stored.foreach { s =>
-            val inter = sortedIntersectCount(g, s.grams)
-            val j = inter.toDouble / (g.length + s.grams.length - inter)
-            if (j >= 0.6) {
-              val (a, b) = if (s.docId < r.doc_id) (s.docId, r.doc_id)
-                else (r.doc_id, s.docId)
-              out += RawPair(a, b, j)
-            }
+            out += (if (s < r.doc_id) CandPair(s, r.doc_id) else CandPair(r.doc_id, s))
           }
-          stored = StoredDoc(r.doc_id, g) :: stored
+          stored = r.doc_id :: stored
         }
       }
-      state.update(BucketDocs(stored))
+      state.update(BucketIds(stored))
       out.result().iterator
     }
 
@@ -695,20 +713,21 @@ object StreamingQueries {
     * (RecordProcessorImpl.scala:22-91) as an oracled query.
     *
     * SCALE: seeding is one batch pass over the existing corpus grouped
-    * by band key — the same shuffle d2 itself pays — written straight
-    * into the state store; the stream then does per-bucket probes
-    * exactly as s8.
+    * by band key — ids only in the side-table layout, so the seed
+    * exchange and the installed state are 16 B per (doc, band) instead
+    * of the corpus's gram volume ×Bands; the stream then emits
+    * candidates exactly as s8, and the verify join's side table is the
+    * WHOLE corpus's gram sets (cross-tranche pairs need tranche-1
+    * grams).
     */
   def s12StreamNearDupSeeded(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sfDir)
     val cut = (docs.agg(max(col("doc_id"))).collect().head.getLong(0) + 1L) / 2L
-    val seed = graft.ops.CorpusOps.bandedGramRows(docs.filter(col("doc_id") < cut))
-      .as[BandedGramRow]
+    val seed = graft.ops.CorpusOps.bandedKeyRows(docs.filter(col("doc_id") < cut))
+      .as[BandedKeyRow]
       .groupByKey(_.band_key)
-      .mapGroups { (k, it) =>
-        k -> BucketDocs(it.map(r => StoredDoc(r.doc_id, r.grams)).toList)
-      }
+      .mapGroups { (k, it) => k -> BucketIds(it.map(_.doc_id).toList) }
       .groupByKey(_._1).mapValues(_._2)
     val shardDir = seededShardCache.computeIfAbsent(sfDir, { _ =>
       val d = Files.createTempDirectory("graft-corpus-t2-").toString + "/shards"
@@ -719,15 +738,13 @@ object StreamingQueries {
     })
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
     val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
-    val banded = graft.ops.CorpusOps.bandedGramRows(
+    val banded = graft.ops.CorpusOps.bandedKeyRows(
         ShardedCorpus.readStream(spark, shardDir))
-      .as[BandedGramRow]
-    val pairs = banded
+      .as[BandedKeyRow]
+    val cands = banded
       .groupByKey(_.band_key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout, seed)(nearDupTracker)
-    val q = pairs.toDF()
-      .dropDuplicates(Seq("a_id", "b_id"))
-      .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jaccard"))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout, seed)(candidateTracker)
+    val q = verifiedPairs(cands.toDF().dropDuplicates(Seq("a_id", "b_id")), docs)
       .writeStream
       .outputMode("append")
       .format("memory")
