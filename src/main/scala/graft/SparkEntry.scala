@@ -504,8 +504,8 @@ object SparkEntry {
     "WITH f AS (SELECT doc_id, lang, source, " +
       "md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp, " +
       "CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens, " +
-      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 15)) AS BIGINT) AS dtemp, " +
-      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':order'), 1, 15)) AS BIGINT) AS dorder FROM documents), " +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS dtemp, " +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 15)) AS BIGINT) AS dorder FROM documents), " +
       "canon AS (SELECT f.* FROM f JOIN (SELECT fp, min(doc_id) AS m FROM f GROUP BY fp) g ON f.fp = g.fp AND f.doc_id = g.m), " +
       "c AS (SELECT lang, count(*) AS n_docs FROM canon GROUP BY lang), " +
       "t AS (SELECT lang, n_docs, CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS s FROM c), " +

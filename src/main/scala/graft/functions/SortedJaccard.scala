@@ -29,13 +29,18 @@ case class SortedJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull=true is rejected, not tolerated: compute() reads slots
+    // via ArrayData.getLong, which returns 0 for a null slot — silently
+    // wrong output (a phantom 0L element) instead of a type error. The
+    // producers (sortedGramSets / bandedGramRows) emit non-null elements.
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sorted_jaccard requires array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+      s"sorted_jaccard requires array<bigint> (non-null elements) inputs, " +
+        s"got ${left.dataType} / ${right.dataType}")
   }
 
   override def dataType: DataType = DoubleType

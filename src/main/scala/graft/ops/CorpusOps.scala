@@ -87,7 +87,11 @@ object CorpusOps {
       (a, b)
     }
   }
-  private val JaccardThreshold = 0.6
+  /** The d2 near-dup gate. private[graft]: the streaming side-table
+    * verify (`streaming.StreamingQueries.verifiedPairs`) gates on the
+    * SAME constant — a literal there could silently drift from the batch
+    * oracle if one side is retuned. */
+  private[graft] val JaccardThreshold = 0.6
 
   private def shingleSets(docs: DataFrame): DataFrame =
     scanWide(docs)
@@ -1111,35 +1115,47 @@ object CorpusOps {
     * are exact ppm integer arithmetic (see [[QualityPpmSql]] for why
     * round(double, 6) cannot gate an oracle).
     *
-    * SCALE: the gram streams explode once each and collapse map-side —
-    * a document's grams live in one partition, so the (doc_id, gram)
-    * partial hash aggregation reduces each doc to its distinct grams
-    * before anything shuffles; the second aggregation and the final
-    * doc_id join move only per-doc scalars.
+    * SCALE: ONE scan of `documents` (plan-pinned in PlanShapeSpec). The
+    * r14 form read the text column three times — two gram scans unioned
+    * plus a base join for the ttr columns; at 100 TB a 3× scan of the
+    * widest column is real money. Now a single projection tokenizes
+    * once, emits BOTH gram streams from one `posexplode` over a
+    * two-element array of gram arrays, and the per-doc scalars
+    * (n_tokens, n_distinct) ride the aggregation chain as max()
+    * passengers — constant per doc_id, so carrying them is exact and
+    * the final doc_id join disappears. The gram stream still collapses
+    * map-side: a document's grams live in one partition, so the
+    * (doc_id, glen, gram) partial hash aggregation reduces each doc to
+    * its distinct grams before anything shuffles; everything after the
+    * first aggregation moves only per-doc scalars.
     */
   def d26Repetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = scanWide(Tables.documents(spark, sfDir))
+    def gramsExpr(n: Int): String = {
+      val parts = (0 until n).map(j => if (j == 0) "ws[i]" else s"ws[i+$j]").mkString(", ")
+      s"transform(sequence(0, size(ws) - $n), i -> concat_ws(' ', $parts))"
+    }
+    val exploded = scanWide(Tables.documents(spark, sfDir))
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
-    def grams(n: Int): DataFrame = {
-      val parts = (0 until n).map(j => if (j == 0) "ws[i]" else s"ws[i+$j]").mkString(", ")
-      base.select(col("doc_id"), lit(n).as("glen"),
-        explode(expr(s"transform(sequence(0, size(ws) - $n), i -> concat_ws(' ', $parts))")).as("g"))
-    }
-    val byLen = grams(2).union(grams(3))
-      .groupBy(col("doc_id"), col("glen"), col("g"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"), col("glen"))
-      .agg(max(col("cnt")).as("top"), sum(col("cnt")).as("n"))
-    val wide = byLen.groupBy(col("doc_id")).agg(
-      max(when(col("glen") === 2, col("top"))).as("top2"),
-      max(when(col("glen") === 2, col("n"))).as("n2"),
-      max(when(col("glen") === 3, col("top"))).as("top3"),
-      max(when(col("glen") === 3, col("n"))).as("n3"))
-    base.select(col("doc_id"),
+      .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_tokens"),
-        size(array_distinct(col("ws"))).cast("long").as("n_distinct"))
-      .join(wide, "doc_id")
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+        posexplode(expr(s"array(${gramsExpr(2)}, ${gramsExpr(3)})")))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("pos") + 2).as("glen"), explode(col("col")).as("g"))
+    val byLen = exploded
+      .groupBy(col("doc_id"), col("glen"), col("g"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("n_tokens")).as("n_tokens"), max(col("n_distinct")).as("n_distinct"))
+      .groupBy(col("doc_id"), col("glen"))
+      .agg(max(col("cnt")).as("top"), sum(col("cnt")).as("n"),
+        max(col("n_tokens")).as("n_tokens"), max(col("n_distinct")).as("n_distinct"))
+    byLen.groupBy(col("doc_id")).agg(
+        max(when(col("glen") === 2, col("top"))).as("top2"),
+        max(when(col("glen") === 2, col("n"))).as("n2"),
+        max(when(col("glen") === 3, col("top"))).as("top3"),
+        max(when(col("glen") === 3, col("n"))).as("n3"),
+        max(col("n_tokens")).as("n_tokens"), max(col("n_distinct")).as("n_distinct"))
       .select(col("doc_id"), col("n_tokens"),
         (expr("(1000000 * n_distinct) div n_tokens") / lit(1000000.0)).as("ttr"),
         (expr("(1000000 * top2) div n2") / lit(1000000.0)).as("bigram_rep"),
@@ -1782,16 +1798,34 @@ object CorpusOps {
     * decomposition with a SUM accumulator instead of a count.
     */
   private[graft] def bucketRank(df: DataFrame, groupCols: Seq[String],
-      orderCols: Seq[Column]): DataFrame = {
+      orderCols: Seq[Column]): DataFrame =
+    bucketRank(df, groupCols, orderCols, withTotal = false)
+
+  /** `withTotal = true` additionally emits `tot` = the GROUP's total row
+    * count on every ranked row, computed inside the same O(groups ×
+    * buckets) offsets aggregation (one more window column over the
+    * already-shuffled bucket counts) — a consumer that needs "rank vs
+    * group size" (d55's drop-the-top-quarter rule) then needs NO second
+    * count aggregation and NO second broadcast join over the data.
+    */
+  private[graft] def bucketRank(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[Column], withTotal: Boolean): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val group = groupCols.map(col)
     val prefW = org.apache.spark.sql.expressions.Window
       .partitionBy(group: _*).orderBy(col("b"))
       .rowsBetween(w.unboundedPreceding, -1)
-    val offsets = df.groupBy((group :+ col("b")): _*)
+    val totW = org.apache.spark.sql.expressions.Window
+      .partitionBy(group: _*)
+      .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    val counted = df.groupBy((group :+ col("b")): _*)
       .agg(count(lit(1)).as("n"))
       .withColumn("off", coalesce(sum(col("n")).over(prefW), lit(0L)))
-      .select((group :+ col("b") :+ col("off")): _*)
+    val outCols = group :+ col("b") :+ col("off")
+    val offsets =
+      if (withTotal) counted.withColumn("tot", sum(col("n")).over(totW))
+        .select((outCols :+ col("tot")): _*)
+      else counted.select(outCols: _*)
     val localW = org.apache.spark.sql.expressions.Window
       .partitionBy((group :+ col("b")): _*).orderBy(orderCols: _*)
     df.join(broadcast(offsets), groupCols :+ "b")
@@ -2016,14 +2050,16 @@ object CorpusOps {
   def d50TrainingPlan(spark: SparkSession, sfDir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val fpW = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    def draw(salt: String): Column = conv(substring(
-      md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 15), 16, 10).cast("long")
+    // both 60-bit draws from ONE native md5 of the doc_id (r15: the r14
+    // form drew twice over salted strings through hex round-trips —
+    // see graft.functions.Md5Slices60's scaladoc for the cut)
+    val draws = graft.functions.Md5Slices60.md5Slices60(col("doc_id").cast("string"))
     // one text-reading projection; 32-byte fp + integers from here on
     val base = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"),
         fingerprint(col("text")).as("fp"),
         size(words(col("text"))).cast("long").as("n_tokens"),
-        draw(":temp").as("dtemp"), draw(":order").as("dorder"))
+        draws.getItem(0).as("dtemp"), draws.getItem(1).as("dorder"))
     val canon = d50CanonCache.register(base
       .withColumn("min_id", min(col("doc_id")).over(fpW))
       .filter(col("doc_id") === col("min_id"))

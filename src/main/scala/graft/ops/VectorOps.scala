@@ -124,6 +124,13 @@ object VectorOps {
     * which tile a pair is scored in — so the emitted pair set and every
     * similarity bit are invariant to B (BlockPairsFxSpec's exactness
     * argument is per pair; VectorOpsSpec pins d9 across edges).
+    *
+    * `nVec` is taken as max(vec_id)+1 — a DENSE-ID assumption (true of
+    * the fixture tables and the generator contract). A sparse or offset
+    * id space overestimates N, which only MISSIZES the heuristic (edge
+    * too large → fewer, fatter blocks; correctness unaffected, blocking
+    * being pure partitioning). If ids ever stop being dense, size from
+    * count() instead — one extra scalar job.
     */
   private[graft] def d9BlockEdge(nVec: Long): Long =
     math.min(D9MaxBlockEdge, math.max(BlockSize, (nVec + D9TargetBlocks - 1) / D9TargetBlocks))
@@ -867,11 +874,13 @@ object VectorOps {
       // it, so ties stay in one bucket) — 33 buckets over [-1, 1]
       .withColumn("b",
         expr("(1000000L - cast(cent_sim * 1000000.0 as bigint)) div 62500")))
-    val counts = kept.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+    // r15: per-cell totals ride bucketRank's own offsets aggregation
+    // (withTotal) — the previous separate count aggregation + broadcast
+    // join cost two more jobs per run for numbers the offsets shuffle
+    // already held
     CorpusOps.bucketRank(kept, Seq("cell"),
-        Seq(col("cent_sim").desc, col("vec_id")))
-      .join(broadcast(counts), "cell")
-      .filter(col("rk") > expr("n_cell div 4"))
+        Seq(col("cent_sim").desc, col("vec_id")), withTotal = true)
+      .filter(col("rk") > expr("tot div 4"))
       .select(col("vec_id"), col("cell"), col("cent_sim"), col("rk").as("prot_rk"))
   }
 

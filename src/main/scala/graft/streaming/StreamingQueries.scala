@@ -592,7 +592,17 @@ object StreamingQueries {
     * cut that to 16 B per (doc, band); the verify join's side table
     * carries each document's grams ONCE, broadcast at fixture scale and
     * a doc_id shuffle join at 100 TB (candidates are LSH-sparse, so the
-    * join's stream side is tiny). Bucket state still grows with distinct
+    * join's stream side is tiny). The layout's SECOND state term — absent
+    * from the in-state form, where verification preceded dedup — is the
+    * cross-band `dropDuplicates` on candidate pairs, which now runs
+    * BEFORE the verify join and therefore holds one (a_id, b_id) key per
+    * distinct CO-BUCKET pair ever emitted, verified or not. LSH-sparse
+    * by design, but it is the layout's dominant state term when buckets
+    * run hot: a bucket of k members contributes C(k,2) dedup keys —
+    * quadratic per hot bucket, where the bucket-id state is linear. The
+    * full-retrospective oracle form accepts that (co-bucket pairs ARE
+    * its candidate set); the TTL'd [[boundedNearDupPairs]] production
+    * form bounds the horizon and with it k. Bucket state still grows with distinct
     * docs ever seen (the full-retrospective oracle needs it); the
     * horizon-bounded production form is SHIPPED as
     * [[boundedNearDupPairs]] — per-member event-time TTL on a
@@ -647,7 +657,7 @@ object StreamingQueries {
       .join(broadcast(grams.select(col("doc_id").as("a_id"), col("grams").as("ga"))), "a_id")
       .join(broadcast(grams.select(col("doc_id").as("b_id"), col("grams").as("gb"))), "b_id")
       .withColumn("j", graft.functions.SortedJaccard.sortedJaccard(col("ga"), col("gb")))
-      .filter(col("j") >= 0.6)
+      .filter(col("j") >= graft.ops.CorpusOps.JaccardThreshold)
       .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jaccard"))
   }
 
@@ -1104,7 +1114,7 @@ object StreamingQueries {
               // exactly as s8StreamNearDup / the d2 oracle (grams
               // arrive and are stored sorted)
               val j = inter.toDouble / (g.length + s.grams.length - inter)
-              if (j >= 0.6) {
+              if (j >= graft.ops.CorpusOps.JaccardThreshold) {
                 val (a, b) = if (s.docId < r.doc_id) (s.docId, r.doc_id)
                   else (r.doc_id, s.docId)
                 out += RawPairTs(a, b, j, r.ts)

@@ -152,6 +152,31 @@ class BenchTelemetrySpec extends AnyFunSuite with Matchers {
     Bench.spinNormTotal(60.0, 0.0) shouldBe -1.0
   }
 
+  test("cpu reference parse: per-row cpuSec extracted from BASELINE_BENCH.json telemetry") {
+    val json = """{"queries":{"d1_x":1.2},"telemetry":{"d1_x":{"cpuSec":4.5600,"gcSec":0.0100,
+      |"spinMs":24.1,"suspect":false},"s9_stream_session":{"cpuSec":9.5400,"passes":2}}}"""
+      .stripMargin.replace("\n", "")
+    val ref = Bench.parseReferenceCpu(json)
+    ref("d1_x") shouldBe 4.56 +- 1e-9
+    ref("s9_stream_session") shouldBe 9.54 +- 1e-9
+    // unreadable / empty input abstains with an empty map, never throws
+    Bench.parseReferenceCpu("") shouldBe Map.empty
+    Bench.parseReferenceCpu("not json at all") shouldBe Map.empty
+  }
+
+  test("cpu anomaly tripwire: >3x the committed prior-round CPU, replication-scaled") {
+    // the r14 d26 case: 300 CPU-s against a ~10 CPU-s reference must trip
+    assert(Bench.cpuAnomalous(Some(10.1), 300.0, replication = 1))
+    // a healthy row well inside 3x must not
+    assert(!Bench.cpuAnomalous(Some(10.1), 25.0, replication = 1))
+    // a 16x far point burning 16x the CPU is legitimate, not anomalous
+    assert(!Bench.cpuAnomalous(Some(10.0), 160.0, replication = 16))
+    assert(Bench.cpuAnomalous(Some(10.0), 500.0, replication = 16))
+    // abstains: no reference row, or a sub-0.1 s base (ratio is noise)
+    assert(!Bench.cpuAnomalous(None, 300.0, replication = 1))
+    assert(!Bench.cpuAnomalous(Some(0.05), 300.0, replication = 1))
+  }
+
   test("steal parse: /proc/stat aggregate-cpu line, jiffies to seconds") {
     // cpu user nice system idle iowait irq softirq STEAL guest guest_nice
     Bench.parseStealSec("cpu  3378047 0 1916229 130463598 40238 0 31882 566726 0 0") shouldBe

@@ -24,6 +24,13 @@ trait SparkSpec extends BeforeAndAfterAll { self: Suite =>
     val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
     java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
   }
+
+  /** The SECOND 60-bit slice (hex digits 17-31) of md5(s) — the in-memory
+    * replay of `graft.functions.Md5Slices60`'s element 1 (d50's dorder). */
+  def md5Second60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.slice(8, 16).map(b => f"$b%02x").mkString.take(15), 16)
+  }
 }
 
 object SparkSpec {

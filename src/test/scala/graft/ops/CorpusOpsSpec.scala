@@ -560,7 +560,10 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
 
   test("d50 training plan equals a full in-memory replay of all four stages") {
     import spark.implicits._
-    def drawOf(id: Long, salt: String): Long = md5Prefix60(s"$id$salt")
+    // d50's r15 draws: BOTH 60-bit slices of one md5(doc_id) — element 0
+    // (temperature) and element 1 (order) of Md5Slices60
+    def drawTemp(id: Long): Long = md5Prefix60(s"$id")
+    def drawOrder(id: Long): Long = md5Second60(s"$id")
     val docs = graft.Tables.documents(spark, sf001)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
       .as[(Long, String, String, String)].collect()
@@ -575,13 +578,13 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec with Matchers {
     val (stot, ntot) = (s.values.sum, counts.values.sum)
     val target = counts.map { case (l, n) => l -> math.min(n, (ntot / 2) * s(l) / stot) }
     val selected = canon.groupBy(_._2).toSeq.flatMap { case (lang, members) =>
-      members.sortBy(m => (drawOf(m._1, ":temp"), m._1)).take(target(lang).toInt)
+      members.sortBy(m => (drawTemp(m._1), m._1)).take(target(lang).toInt)
     }
     // stage 3: stratified interleave over the selected set
     val slots = selected.map(_._3).distinct.sorted.zipWithIndex
       .map { case (src, i) => src -> (i + 1L) }.toMap
     val ordered = selected.groupBy(_._3).toSeq.flatMap { case (src, members) =>
-      members.sortBy(m => (drawOf(m._1, ":order"), m._1)).zipWithIndex
+      members.sortBy(m => (drawOrder(m._1), m._1)).zipWithIndex
         .map { case (m, i) => (m._1, m._2, src, nTokens(m._4), i + 1L, slots(src)) }
     }.sortBy { case (_, _, _, _, round, slot) => (round, slot) }
     // stage 4: greedy token packing of that order

@@ -72,6 +72,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(p.contains("ShuffledHashJoin"), s"block pairs must meet in a shuffle equi-join:\n$p")
   }
 
+  test("d26_repetition reads documents in exactly ONE scan") {
+    // r15: the r14 form scanned the text column three times (two gram
+    // scans unioned + the ttr base join); one posexplode over both gram
+    // arrays now feeds everything. At 100 TB a redundant scan of the
+    // widest column is the single most expensive plan regression.
+    val df = SparkEntry.queries("d26_repetition")(spark, sf001)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size == 1, s"expected 1 documents scan, got ${scans.size}:\n" +
+      df.queryExecution.optimizedPlan.toString)
+  }
+
   test("d15_frame_sample fans out frames with zero shuffles (Generate pipelined into the scan)") {
     val p = plan("d15_frame_sample")
     assert(p.contains("Generate"), p)
