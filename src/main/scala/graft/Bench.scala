@@ -96,7 +96,7 @@ object Bench {
     * JVM counter can see. -1 when unavailable (non-Linux, no paravirt
     * steal accounting).
     */
-  private def stealSec(): Double =
+  private[graft] def stealSec(): Double =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try parseStealSec(src.getLines().next()) finally src.close()
@@ -156,7 +156,7 @@ object Bench {
     * (run-scope normalization needs no per-query sample, and 32 spinning
     * threads would perturb a co-running query).
     */
-  private def allCoreSpinProbe(): Double = {
+  private[graft] def allCoreSpinProbe(): Double = {
     val n = Runtime.getRuntime.availableProcessors()
     val ready = new java.util.concurrent.CountDownLatch(n)
     val go = new java.util.concurrent.CountDownLatch(1)

@@ -177,6 +177,17 @@ class BenchTelemetrySpec extends AnyFunSuite with Matchers {
     assert(!Bench.cpuAnomalous(Some(0.05), 300.0, replication = 1))
   }
 
+  test("cpu reference parse: the COMMITTED BASELINE_BENCH.json yields a full per-row map") {
+    // pins the real file's format against the regex (a format drift in
+    // make_baseline_bench.py would silently disarm the tripwire)
+    val p = java.nio.file.Paths.get("BASELINE_BENCH.json")
+    assume(java.nio.file.Files.exists(p))
+    val ref = Bench.parseReferenceCpu(java.nio.file.Files.readString(p))
+    assert(ref.size >= 100, s"expected a full per-row reference, got ${ref.size} rows")
+    assert(ref.values.forall(_ >= 0.0))
+    assert(ref.contains("d26_repetition") && ref.contains("s9_stream_session"))
+  }
+
   test("steal parse: /proc/stat aggregate-cpu line, jiffies to seconds") {
     // cpu user nice system idle iowait irq softirq STEAL guest guest_nice
     Bench.parseStealSec("cpu  3378047 0 1916229 130463598 40238 0 31882 566726 0 0") shouldBe
