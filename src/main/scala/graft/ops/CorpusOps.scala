@@ -806,8 +806,8 @@ object CorpusOps {
     * clusters.
     */
   def d19SplitAssign(spark: SparkSession, sfDir: String): DataFrame = {
-    val h = conv(substring(
-      md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 15), 16, 10).cast("long")
+    val h = graft.functions.Md5Slices60.md5Prefix60(
+      concat(col("doc_id").cast("string"), lit(":split")))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), (h % 100).as("bucket"))
       .withColumn("split",
@@ -1015,8 +1015,8 @@ object CorpusOps {
     * under retry, and the ":strat" salt decorrelates it from d19's split.
     */
   def d22StratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val h = conv(substring(
-      md5(concat(col("doc_id").cast("string"), lit(":strat"))), 1, 15), 16, 10).cast("long")
+    val h = graft.functions.Md5Slices60.md5Prefix60(
+      concat(col("doc_id").cast("string"), lit(":strat")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"), col("source")).orderBy(col("h"), col("doc_id"))
     Tables.documents(spark, sfDir)
@@ -1055,8 +1055,8 @@ object CorpusOps {
     * proving the two-level decomposition exact.
     */
   def d27PackChunks(spark: SparkSession, sfDir: String): DataFrame = {
-    val h = conv(substring(
-      md5(concat(col("doc_id").cast("string"), lit(":pack"))), 1, 15), 16, 10).cast("long")
+    val h = graft.functions.Md5Slices60.md5Prefix60(
+      concat(col("doc_id").cast("string"), lit(":pack")))
     val base = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         size(words(col("text"))).cast("long").as("n_tokens"), h.as("h"))
@@ -1383,8 +1383,8 @@ object CorpusOps {
     val nmin = counts.agg(min(col("n")).as("nmin"))
     val rates = counts.crossJoin(nmin) // both sides are lang-cardinality tiny
       .select(col("lang"), expr("(1000000 * nmin) div n").as("rate_ppm"))
-    val hb = pmod(conv(substring(
-      md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 15), 16, 10).cast("long"),
+    val hb = pmod(graft.functions.Md5Slices60.md5Prefix60(
+      concat(col("doc_id").cast("string"), lit(":mix"))),
       lit(1000000L))
     docs.select(col("doc_id"), col("lang"), hb.as("hb"))
       .join(broadcast(rates), "lang")
@@ -1645,8 +1645,8 @@ object CorpusOps {
     */
   def d41SoftDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val draw = pmod(conv(substring(
-      md5(concat(col("doc_id").cast("string"), lit(":soft"))), 1, 15), 16, 10).cast("long"),
+    val draw = pmod(graft.functions.Md5Slices60.md5Prefix60(
+      concat(col("doc_id").cast("string"), lit(":soft"))),
       lit(1000000L))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"),
@@ -1756,8 +1756,8 @@ object CorpusOps {
     */
   private[graft] def temperatureMixOver(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val draw = conv(substring(
-      md5(concat(col("doc_id").cast("string"), lit(":temp"))), 1, 15), 16, 10).cast("long")
+    val draw = graft.functions.Md5Slices60.md5Prefix60(
+      concat(col("doc_id").cast("string"), lit(":temp")))
     val base = docs
       .select(col("doc_id"), col("lang"), draw.as("draw"))
       .withColumn("b", expr(s"draw div $OrderBucketWidth"))
@@ -1840,8 +1840,8 @@ object CorpusOps {
     * parameterized for the ScalaCheck property pin.
     */
   private[graft] def interleaveOrderOver(docs: DataFrame): DataFrame = {
-    val draw = conv(substring(
-      md5(concat(col("doc_id").cast("string"), lit(":order"))), 1, 15), 16, 10).cast("long")
+    val draw = graft.functions.Md5Slices60.md5Prefix60(
+      concat(col("doc_id").cast("string"), lit(":order")))
     val base = docs
       .select(col("doc_id"), col("source"), draw.as("draw"))
       .withColumn("b", expr(s"draw div $OrderBucketWidth"))
@@ -1959,7 +1959,7 @@ object CorpusOps {
     val B = DsirBuckets
     val counts = docs
       .select(col("is_target"), explode(words(col("text"))).as("w"))
-      .select(pmod(conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"),
+      .select(pmod(graft.functions.Md5Slices60.md5Prefix60(col("w")),
         lit(B.toLong)).as("f"), col("is_target"))
       .groupBy(col("f"))
       .agg(count(lit(1)).as("r"), count_if(col("is_target")).as("t"))
@@ -1988,7 +1988,7 @@ object CorpusOps {
     val wlit = typedlit(wts.toSeq)
     aggregate(words(text), lit(0L), (acc, w) => acc +
       element_at(wlit,
-        (pmod(conv(substring(md5(w), 1, 15), 16, 10).cast("long"), lit(B.toLong)) + 1)
+        (pmod(graft.functions.Md5Slices60.md5Prefix60(w), lit(B.toLong)) + 1)
           .cast("int")))
   }
 
@@ -2228,8 +2228,8 @@ object CorpusOps {
     */
   def d48SplitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val h = conv(substring(
-      md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 15), 16, 10).cast("long")
+    val h = graft.functions.Md5Slices60.md5Prefix60(
+      concat(col("doc_id").cast("string"), lit(":split")))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"),
         when((h % 100) < 80, "train").when((h % 100) < 90, "val")
@@ -2644,8 +2644,8 @@ object CorpusOps {
     curriculumFrom(pplFilterOver(docs))
 
   private def curriculumFrom(pplFiltered: DataFrame): DataFrame = {
-    val draw = conv(substring(
-      md5(concat(col("doc_id").cast("string"), lit(":curr"))), 1, 15), 16, 10).cast("long")
+    val draw = graft.functions.Md5Slices60.md5Prefix60(
+      concat(col("doc_id").cast("string"), lit(":curr")))
     val base = curriculumCache.register(pplFiltered
       .select(col("doc_id"), col("ppl_bucket").as("phase"),
         when(col("ppl_bucket") === "head", lit(0L))
@@ -3332,8 +3332,8 @@ object CorpusOps {
     */
   def d65GroupSplit(spark: SparkSession, sfDir: String): DataFrame = {
     val fpW = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val h = conv(substring(
-      md5(concat(col("canonical_id").cast("string"), lit(":split"))), 1, 15), 16, 10).cast("long")
+    val h = graft.functions.Md5Slices60.md5Prefix60(
+      concat(col("canonical_id").cast("string"), lit(":split")))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .withColumn("canonical_id", min(col("doc_id")).over(fpW))
@@ -3361,7 +3361,7 @@ object CorpusOps {
 
   /** The scalar 60-bit md5-prefix token hash (d59/d65's convention). */
   private def tokenHash(w: Column): Column =
-    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Slices60.md5Prefix60(w)
 
   /** [[heavyHittersOver]]'s one live vocabulary cache: the relation
     * feeds the sketch-training aggregate AND the estimate/rank pass at
@@ -3640,8 +3640,8 @@ object CorpusOps {
   private[graft] def driftMixAdmit(docs: DataFrame, sched: DriftMixSchedule): DataFrame = {
     val langIdx = typedlit(sched.langs.zipWithIndex.toMap)
     val pLit = typedlit(sched.p.toSeq)
-    val draw = pmod(conv(substring(
-      md5(concat(col("doc_id").cast("string"), lit(":dmix"))), 1, 15), 16, 10).cast("long"),
+    val draw = pmod(graft.functions.Md5Slices60.md5Prefix60(
+      concat(col("doc_id").cast("string"), lit(":dmix"))),
       lit(1048576L))
     docs
       .select(col("doc_id"), col("lang"),

@@ -807,8 +807,8 @@ object VectorOps {
     * (shared in-session via its replace-on-call edge cache).
     */
   def d68ClusterCap(spark: SparkSession, sfDir: String): DataFrame = {
-    val draw = conv(substring(
-      md5(concat(col("vec_id").cast("string"), lit(":cap"))), 1, 15), 16, 10).cast("long")
+    val draw = graft.functions.Md5Slices60.md5Prefix60(
+      concat(col("vec_id").cast("string"), lit(":cap")))
     val w = Window.partitionBy(col("cluster_id")).orderBy(col("draw"), col("vec_id"))
     d60SemanticClusters(spark, sfDir)
       .withColumn("draw", draw)

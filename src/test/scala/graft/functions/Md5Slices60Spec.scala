@@ -42,6 +42,21 @@ class Md5Slices60Spec extends AnyFunSuite with SparkSpec with Matchers {
     diff shouldBe 0L
   }
 
+  test("scalar md5Prefix60 == slice 0 == the composed form (the suite-wide draw convention)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val rows = "" +: Seq.fill(200)(
+      s"${rnd.nextLong()}:${Seq("temp", "order", "split", "pack", "mix")(rnd.nextInt(5))}")
+    val df = rows.toDF("x")
+    val diff = df.select(
+        Md5Slices60.md5Prefix60(col("x")).as("scalar"),
+        Md5Slices60.md5Slices60(col("x")).getItem(0).as("slice0"),
+        expr(composedHi).as("hof"))
+      .filter(!(col("scalar") <=> col("slice0")) || !(col("scalar") <=> col("hof")))
+      .count()
+    diff shouldBe 0L
+  }
+
   test("null input yields null; the two slices differ (independence sanity)") {
     import spark.implicits._
     val df = Seq(Some("7"), None).toDF("x")
