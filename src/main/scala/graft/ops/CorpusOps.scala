@@ -1807,9 +1807,19 @@ object CorpusOps {
     * already-shuffled bucket counts) — a consumer that needs "rank vs
     * group size" (d55's drop-the-top-quarter rule) then needs NO second
     * count aggregation and NO second broadcast join over the data.
+    *
+    * `withGroupIndex = true` (single group column only) additionally
+    * emits `gidx` = the group's 1-based dense index in group sort order —
+    * `dense_rank` over the SAME bounded offsets table, replacing the
+    * separate distinct-groups scan + single-partition window + second
+    * broadcast join the interleave consumers (d42, d50's slot stage)
+    * used to pay for the identical value.
     */
   private[graft] def bucketRank(df: DataFrame, groupCols: Seq[String],
-      orderCols: Seq[Column], withTotal: Boolean): DataFrame = {
+      orderCols: Seq[Column], withTotal: Boolean = false,
+      withGroupIndex: Boolean = false): DataFrame = {
+    require(!withGroupIndex || groupCols.size == 1,
+      "withGroupIndex needs a single group column")
     val w = org.apache.spark.sql.expressions.Window
     val group = groupCols.map(col)
     val prefW = org.apache.spark.sql.expressions.Window
@@ -1822,13 +1832,17 @@ object CorpusOps {
       .agg(count(lit(1)).as("n"))
       .withColumn("off", coalesce(sum(col("n")).over(prefW), lit(0L)))
     val outCols = group :+ col("b") :+ col("off")
-    val offsets =
-      if (withTotal) counted.withColumn("tot", sum(col("n")).over(totW))
-        .select((outCols :+ col("tot")): _*)
-      else counted.select(outCols: _*)
+    var offsets = counted.select((outCols :+ col("n")): _*)
+    if (withTotal) offsets = offsets.withColumn("tot", sum(col("n")).over(totW))
+    if (withGroupIndex)
+      // single-partition window, but over the AGGREGATED O(groups ×
+      // buckets) offsets rows — the same bounded model-sized table that
+      // broadcasts below, never the data
+      offsets = offsets.withColumn("gidx", dense_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy(group.head)).cast("long"))
     val localW = org.apache.spark.sql.expressions.Window
       .partitionBy((group :+ col("b")): _*).orderBy(orderCols: _*)
-    df.join(broadcast(offsets), groupCols :+ "b")
+    df.join(broadcast(offsets.drop("n")), groupCols :+ "b")
       .withColumn("rk", col("off") + row_number().over(localW))
       .drop("off") // internal: a chained bucketRank must not collide on it
   }
@@ -1845,13 +1859,12 @@ object CorpusOps {
     val base = docs
       .select(col("doc_id"), col("source"), draw.as("draw"))
       .withColumn("b", expr(s"draw div $OrderBucketWidth"))
-    val slots = base.select(col("source")).distinct()
-      .withColumn("slot", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("source"))).cast("long"))
-    bucketRank(base, Seq("source"), Seq(col("draw"), col("doc_id")))
+    // slot = the source's dense index, from the SAME offsets broadcast
+    // the rank join already reads (bucketRank withGroupIndex)
+    bucketRank(base, Seq("source"), Seq(col("draw"), col("doc_id")),
+        withGroupIndex = true)
       .withColumnRenamed("rk", "round")
-      .join(broadcast(slots), Seq("source"))
-      .select(col("doc_id"), col("source"), col("round"), col("slot"))
+      .select(col("doc_id"), col("source"), col("round"), col("gidx").as("slot"))
   }
 
   /** Hashed-feature bucket count for [[d45DsirSelect]]. 256 buckets is
@@ -2080,16 +2093,15 @@ object CorpusOps {
       .filter(col("rk") <= col("target"))
       .drop("rk", "b", "target"),
       D50Tier)
-    val slots = selected.select(col("source")).distinct()
-      .withColumn("slot", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("source"))).cast("long"))
+    // slot rides the bucketRank offsets table (withGroupIndex) — the r14
+    // form paid a distinct-sources scan + single-partition window + a
+    // second broadcast join for the same dense index
     val ordered = d50OrderedCache.register(bucketRank(
         selected.withColumn("b", expr(s"dorder div $OrderBucketWidth")),
-        Seq("source"), Seq(col("dorder"), col("doc_id")))
+        Seq("source"), Seq(col("dorder"), col("doc_id")), withGroupIndex = true)
       .withColumnRenamed("rk", "round")
-      .join(broadcast(slots), Seq("source"))
       .select(col("doc_id"), col("lang"), col("source"),
-        col("n_tokens"), col("round"), col("slot")),
+        col("n_tokens"), col("round"), col("gidx").as("slot")),
       D50Tier)
     // d39's two-level prefix sum over the (round, slot) total order,
     // bucketed by round ranges (monotone in the order by construction)

@@ -397,7 +397,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
       s"manifest rollup must not join document rows:\n$p")
   }
 
-  test("d42_interleave_order: rank window is bucket-partitioned; offsets and slots broadcast; no global sort") {
+  test("d42_interleave_order: rank window is bucket-partitioned; ONE offsets broadcast carries slot; no global sort") {
     val p = plan("d42_interleave_order")
     // the document-row rank must partition by (source, draw-bucket) —
     // never by source alone (that caps parallelism at #sources) and
@@ -405,10 +405,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert("windowspecdefinition\\(source#\\d+, b#\\d+L, draw#\\d+L ASC".r.findFirstIn(p).isDefined,
       s"within-source rank must partition by (source, bucket):\n$p")
     assert(!p.contains("Exchange rangepartitioning"), s"global sort leaked into the interleave:\n$p")
-    // the O(sources x 256) offsets table and the O(sources) slot table
-    // both broadcast back — document rows never join-shuffle
-    assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
-      s"offsets and slots must both broadcast:\n$p")
+    // r15: the slot (source dense index) rides the SAME O(sources x 256)
+    // offsets broadcast as the rank offsets (bucketRank withGroupIndex) —
+    // exactly ONE broadcast join, document rows never join-shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 1,
+      s"exactly one offsets broadcast (slot rides it):\n$p")
+    assert(p.contains("gidx"), s"slot must come from the offsets table's gidx:\n$p")
     // document scan reads only (doc_id, source) — never text
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
       s"document scan must prune to (doc_id, source):\n$p")
