@@ -705,6 +705,14 @@ object CorpusOps {
     def score(markers: String*): Column =
       size(filter(ws, w => w.isin(markers: _*))).cast("long")
     val quality = qualityCol // d11's exact-ppm score (see QualityPpmSql)
+    // ONE text-reading projection carries langid, quality, n_tokens AND
+    // the dedup fingerprint (r15: the canon stage used to be a SECOND
+    // full text scan + a doc_id semi-join back). The fp window now
+    // shuffles ~24 B/row more than the bare (doc_id, fp) form — at
+    // 100 TB that widening is noise against the text scan it deletes.
+    // The window runs over ALL rows (quality-filtering first would
+    // promote a different canonical when a group's min-id doc is
+    // low-quality — a semantics change); the filter lands after.
     val annotated = scanWide(docs).select(
       col("doc_id"), col("lang"),
       when(score("the", "a", "of") >= greatest(score("der", "die", "und"),
@@ -714,17 +722,13 @@ object CorpusOps {
         .when(score("le", "la", "et") >= score("el", "los", "y"), "fr")
         .otherwise("es").as("pred_lang"),
       quality.as("quality"),
-      size(ws).cast("long").as("n_tokens"))
+      size(ws).cast("long").as("n_tokens"),
+      fingerprint(col("text")).as("fp"))
     val fpw = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val canon = docs.select(col("doc_id"),
-        fingerprint(col("text")).as("fp"))
-      .withColumn("canonical_id", min(col("doc_id")).over(fpw))
-      .filter(col("doc_id") === col("canonical_id"))
-      .select(col("doc_id"))
     val losers = nearDupPairs(docs).select(col("b_id").as("doc_id")).distinct()
     annotated
-      .filter(col("quality") >= 0.5)
-      .join(canon, Seq("doc_id"), "left_semi")
+      .withColumn("min_id", min(col("doc_id")).over(fpw))
+      .filter(col("quality") >= 0.5 && col("doc_id") === col("min_id"))
       .join(losers, Seq("doc_id"), "left_anti")
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"),

@@ -65,6 +65,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"pipeline must not broadcast the corpus:\n$p")
   }
 
+  test("d18_corpus_prep reads documents in exactly FOUR scans (annotate+fp fused)") {
+    // r15: the canon stage's second full text scan fused into the
+    // annotate projection (5 scans -> 4). The remaining three belong to
+    // the near-dup branch's documented shape: the banding scan, plus
+    // the verify shingle side-table met on BOTH candidate endpoints.
+    // Those stay separate BY DESIGN — carrying gram arrays through the
+    // band explode would replicate them x24 (the trade the s8
+    // side-table layout names), and persisting the shingle projection
+    // at 100 TB materializes the corpus's grams.
+    val df = SparkEntry.queries("d18_corpus_prep")(spark, sf001)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size == 4, s"expected 4 documents scans, got ${scans.size}:\n" +
+      df.queryExecution.optimizedPlan.toString)
+  }
+
   test("d9_embed_neardup pairs blocks in a shuffle equi-join — no all-pairs plan, no corpus broadcast") {
     val p = plan("d9_embed_neardup")
     assert(!p.contains("CartesianProduct"), s"blocked self-join must not plan all-pairs:\n$p")
