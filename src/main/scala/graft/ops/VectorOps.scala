@@ -607,10 +607,14 @@ object VectorOps {
       .withColumn("blk", floor((row_number().over(idxW) - 1) / BlockSize))
       .select(col("label"), col("blk"), item.as("it"))
       .groupBy(col("label"), col("blk")).agg(collect_list(col("it")).as("items")))
-    // per-cell block counts from a count aggregate (O(cells) rows,
-    // broadcast back): ceil(m/B) == max block index + 1
-    val nb = cs.groupBy(col("label"))
-      .agg(((count(lit(1)) + BlockSize - 1L) / BlockSize).cast("long").as("nb"))
+    // per-cell block counts from the CACHED grouped tiles (O(cells ×
+    // blocks) rows, broadcast back): max block index + 1 == ceil(m/B).
+    // r15: this read cs — a second full corpus scan plus a second
+    // centroid-join — for a number the cache already determines (the
+    // d58 form); the final keep join below stops re-deriving cs too,
+    // so the whole operator reads the embedding table ONCE (plus the
+    // centroid training aggregate), down from three times.
+    val nb = blocks.groupBy(col("label")).agg((max(col("blk")) + 1).as("nb"))
     val withNb = blocks.join(broadcast(nb), Seq("label"))
     val lo = withNb.select(col("label"), col("blk").as("lo"),
       explode(sequence(col("blk"), col("nb") - 1)).as("hi"), col("items").as("as_"))
@@ -631,7 +635,12 @@ object VectorOps {
           (col("ca") === col("cb") && col("a_id") > col("b_id")),
           col("a_id")).otherwise(col("b_id")).as("a_id"))
       .distinct()
-    cs.join(dropped, col("vec_id") === col("a_id"), "left")
+    // membership/csim come back OUT of the cached tiles (every vector
+    // lives in exactly one (label, blk) group; csim rode in as aux), so
+    // the keep join reads no base relation at all
+    val members = blocks.select(col("label"), explode(col("items")).as("it"))
+      .select(col("it.id").as("vec_id"), col("label"), col("it.aux").as("csim"))
+    members.join(dropped, col("vec_id") === col("a_id"), "left")
       .select(col("vec_id"), col("label").cast("long").as("cell"),
         round(col("csim"), 6).as("cent_sim"),
         when(col("a_id").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
