@@ -108,23 +108,48 @@ object CorpusOps {
   def d2MinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     nearDupPairs(Tables.documents(spark, sfDir))
 
+  /** [[nearDupPairs]]'s one live lowered-text cache: the `(doc_id, t)`
+    * projection feeds the signature kernel AND both verify join sides —
+    * before this each consumer re-read the text column and re-ran
+    * lower/trim (ScanAudit: three document scans; now one). The persist
+    * is the text column itself (one spill-ready extra copy,
+    * MEMORY_AND_DISK) — the [[ReplaceOnCallCache]] trade d49/d53 make
+    * for their hash streams, here buying two deleted full-text scans
+    * for d2 and every composer of it (d18's loser set, d25's cluster
+    * edges).
+    */
+  private val d2DocsCache = new ReplaceOnCallCache
+
   /** The LSH pipeline over any `(doc_id, text)` corpus — exposed so the
     * recall property can be tested on generated corpora, not just the
     * fixture data. The signature side runs the fused
     * [[graft.functions.WordShingleMinHash]] kernel straight off the text
-    * (no shingle array, no per-shingle lambda); the verify side stays the
-    * exact shingle-set Jaccard the oracle pins. (For precomputed feature
-    * sets, [[bandedNearDupPairs]] remains the generic entry point.)
+    * (no shingle array, no per-shingle lambda); the verify side is the
+    * same exact shingle-set Jaccard the oracle pins, computed by the
+    * fused [[graft.functions.WordShingleJaccard]] kernel from the raw
+    * texts — the join payload is the ~300-char documents, not the ~3x
+    * larger materialized shingle arrays, and shingle sets are built only
+    * for the O(candidates) rows banding emitted. (For precomputed
+    * feature sets, [[bandedNearDupPairs]] remains the generic entry
+    * point.)
     */
   def nearDupPairs(docs: DataFrame): DataFrame = {
     val k = Bands * RowsPerBand
-    val sig = scanWide(docs)
+    val docsT = d2DocsCache.register(scanWide(docs)
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
-      .filter(size(split(col("t"), " ")) >= 3)
+      .filter(size(split(col("t"), " ")) >= 3))
+    val sig = docsT
       .select(col("doc_id"), graft.functions.WordShingleMinHash.wordShingleMinhash(
         col("t"), 3, Seeds.take(k).map(_._1), Seeds.take(k).map(_._2), MinhashP).as("mh"))
-    verifyCandidates(candidatePairs(sig, Bands, RowsPerBand,
-      parts = pairParts(docs, Bands)), shingleSets(docs), JaccardThreshold)
+    val cands = candidatePairs(sig, Bands, RowsPerBand,
+      parts = pairParts(docs, Bands))
+    val ta = docsT.select(col("doc_id").as("a_id"), col("t").as("ta"))
+    val tb = docsT.select(col("doc_id").as("b_id"), col("t").as("tb"))
+    cands.join(ta, "a_id").join(tb, "b_id")
+      .withColumn("j",
+        graft.functions.WordShingleJaccard.wordShingleJaccard(col("ta"), col("tb"), 3))
+      .filter(col("j") >= JaccardThreshold)
+      .select(col("a_id"), col("b_id"), round(col("j"), 6).as("jaccard"))
   }
 
   /** Character 8-gram Jaccard near-dup pairs — the n-gram variant of the
@@ -143,11 +168,18 @@ object CorpusOps {
     * background collisions ~30x — the verify set stays O(true pairs),
     * not O(N²).
     */
+  /** [[d14NgramJaccard]]'s one live lowered-text cache (the
+    * [[d2DocsCache]] trade for d14's own projection — its filter
+    * differs, so the two sites cannot share a plan): signature kernel
+    * plus both verify join sides read ONE document scan.
+    */
+  private val d14DocsCache = new ReplaceOnCallCache
+
   def d14NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val docsT = scanWide(docs)
+    val docsT = d14DocsCache.register(scanWide(docs)
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
-      .filter(length(col("t")) >= 8) // sequence(1, n) must be ascending
+      .filter(length(col("t")) >= 8)) // sequence(1, n) must be ascending
     // candidate side: the fused kernel — window hash + k minima straight
     // off the string, no gram array materialized (the base hash only
     // drives recall; the verify below is what the oracle pins)
@@ -2163,14 +2195,27 @@ object CorpusOps {
   def d49Containment(spark: SparkSession, sfDir: String): DataFrame =
     containmentOver(Tables.documents(spark, sfDir))
 
+  /** [[containmentOver]]'s one live window-hash-stream cache: the
+    * exploded `(doc_id, gh)` relation feeds the hot-window aggregate,
+    * the per-doc denominator, AND both sides of the shared-window
+    * self-join — five consumers that each re-read the text column and
+    * re-ran the window-hash kernel before this (ScanAudit read SIX
+    * document scans in the optimized plan; now one). The persist is the
+    * hash stream, not text: ~40 rows/doc of (doc_id, 16 B hash) — about
+    * 2x the ~300-char text column — MEMORY_AND_DISK, spill-ready, paid
+    * once per corpus snapshot against five deleted full-text scans plus
+    * five kernel re-passes ([[ReplaceOnCallCache]] lifetime contract).
+    */
+  private val d49RawCache = new ReplaceOnCallCache
+
   /** [[d49Containment]]'s core over any `(doc_id, text)` relation —
     * parameterized for the planted-subset spec.
     */
   private[graft] def containmentOver(docs: DataFrame): DataFrame = {
-    val raw = scanWide(docs)
+    val raw = d49RawCache.register(scanWide(docs)
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.WordWindowMd5.wordWindowMd5(
-          lower(trim(col("text"))), SpanW))).as("gh"))
+          lower(trim(col("text"))), SpanW))).as("gh")))
     // the hot list is tiny (windows above the cap), so excluding
     // stop-windows is one broadcast anti join — no second corpus shuffle
     val hot = raw.groupBy(col("gh")).agg(count(lit(1)).as("n"))
@@ -3279,14 +3324,23 @@ object CorpusOps {
         .orderBy(col("score").desc, col("doc_id"))).cast("long"))
   }
 
+  /** [[winnowOverlapOver]]'s one live fingerprint-stream cache: the
+    * exploded `(doc_id, gh)` selection feeds the hot aggregate and both
+    * self-join sides — before this each consumer re-read the text AND
+    * re-ran the winnowing kernel (ScanAudit: four document scans; now
+    * one). The persist is ~12 selected 16 B hashes per doc — a fraction
+    * of the text column — MEMORY_AND_DISK ([[ReplaceOnCallCache]]).
+    */
+  private val d53FpsCache = new ReplaceOnCallCache
+
   /** [[d53WinnowOverlap]]'s core over any `(doc_id, text)` relation. */
   private[graft] def winnowOverlapOver(docs: DataFrame): DataFrame = {
     // distinct selected grams per doc, still row-local: project the
     // hashes out of the selection structs, distinct, THEN explode
-    val fps = winnowSelected(docs)
+    val fps = d53FpsCache.register(winnowSelected(docs)
       .select(col("doc_id"),
         explode(array_distinct(transform(col("sel"),
-          g => g.getField("gh")))).as("gh"))
+          g => g.getField("gh")))).as("gh")))
     val hot = fps.groupBy(col("gh")).agg(count(lit(1)).as("n"))
       .filter(col("n") > ContainmentHotCap).select(col("gh"))
     // ~12 winnow-selected grams per doc (width heuristic)

@@ -65,20 +65,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"pipeline must not broadcast the corpus:\n$p")
   }
 
-  test("d18_corpus_prep reads documents in exactly FOUR scans (annotate+fp fused)") {
-    // r15: the canon stage's second full text scan fused into the
-    // annotate projection (5 scans -> 4). The remaining three belong to
-    // the near-dup branch's documented shape: the banding scan, plus
-    // the verify shingle side-table met on BOTH candidate endpoints.
-    // Those stay separate BY DESIGN — carrying gram arrays through the
-    // band explode would replicate them x24 (the trade the s8
-    // side-table layout names), and persisting the shingle projection
-    // at 100 TB materializes the corpus's grams.
+  test("d18_corpus_prep reads documents in exactly ONE scan (near-dup branch cached)") {
+    // r15 first pass fused the canon stage into the annotate projection
+    // (5 scans -> 4); this pass moved the near-dup branch onto
+    // nearDupPairs' cached lowered-text projection (signature + both
+    // verify endpoints read the d2DocsCache, and the verify computes
+    // shingle Jaccard from raw texts via the fused WordShingleJaccard
+    // kernel instead of joining a materialized shingle side-table).
+    // Only d18's own annotate+fp projection still reads parquet.
     val df = SparkEntry.queries("d18_corpus_prep")(spark, sf001)
     val scans = df.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
     }
-    assert(scans.size == 4, s"expected 4 documents scans, got ${scans.size}:\n" +
+    assert(scans.size == 1, s"expected 1 documents scan, got ${scans.size}:\n" +
       df.queryExecution.optimizedPlan.toString)
   }
 
@@ -100,6 +99,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     }
     assert(scans.size == 1, s"expected 1 documents scan, got ${scans.size}:\n" +
       df.queryExecution.optimizedPlan.toString)
+  }
+
+  test("scan-cached pair ops read their base table in exactly ONE scan") {
+    // r15 ScanAudit sweep: d49 read documents SIX times (hash stream
+    // re-derived for the hot aggregate, denominator, and both self-join
+    // sides), d53 four, d2/d14 three (signature + both verify
+    // endpoints). Each now registers one ReplaceOnCallCache at its
+    // choke point; every further consumer reads the cache. A second
+    // LogicalRelation reappearing here means a consumer fell off the
+    // cached plan — the most expensive silent regression at 100 TB.
+    // In these four the cache sits at the root of the only scan, so the
+    // optimized plan shows ZERO parquet relations and every consumer
+    // meets the one InMemoryRelation (whose cached plan holds the
+    // single base scan).
+    for (q <- Seq("d49_containment", "d53_winnow_overlap",
+        "d2_minhash_lsh", "d14_ngram_jaccard")) {
+      val df = SparkEntry.queries(q)(spark, sf001)
+      val plan = df.queryExecution.optimizedPlan
+      val scans = plan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }
+      val cached = plan.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+      }
+      assert(scans.isEmpty, s"$q: expected every consumer on the cache, " +
+        s"got ${scans.size} direct base scans:\n$plan")
+      assert(cached.nonEmpty, s"$q: expected the cached choke point in the plan:\n$plan")
+    }
   }
 
   test("d15_frame_sample fans out frames with zero shuffles (Generate pipelined into the scan)") {
