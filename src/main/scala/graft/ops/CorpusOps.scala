@@ -1415,9 +1415,15 @@ object CorpusOps {
     */
   def d29LangMixture(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-    val nmin = counts.agg(min(col("n")).as("nmin"))
-    val rates = counts.crossJoin(nmin) // both sides are lang-cardinality tiny
+    // nmin as a global window over the O(langs) aggregate, not a
+    // crossJoin with a second aggregate of the same counts — the join
+    // form re-derived counts and re-scanned the lang column (ScanAudit:
+    // 3 scans -> 2); the unpartitioned window is over |langs| rows
+    val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("nmin", min(col("n")).over(
+        org.apache.spark.sql.expressions.Window.orderBy().rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
       .select(col("lang"), expr("(1000000 * nmin) div n").as("rate_ppm"))
     val hb = pmod(graft.functions.Md5Slices60.md5Prefix60(
       concat(col("doc_id").cast("string"), lit(":mix"))),

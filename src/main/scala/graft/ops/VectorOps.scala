@@ -229,10 +229,16 @@ object VectorOps {
     * hash compare.
     */
   private def plantedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = embeddings(spark, sfDir).select(col("vec_id"), col("v"))
-    e.union(e.filter(col("vec_id") < PlantedN).select(
-      (col("vec_id") + PlantedIdOffset).as("vec_id"),
-      transform(col("v"), x => x * lit(0.99) + lit(0.001)).as("v")))
+    // one scan, not union-of-two: each row explodes into itself plus —
+    // for the first PlantedN ids — its perturbed twin (the union form
+    // read the embedding table twice; output rows identical, order-free)
+    val self = struct(col("vec_id"), col("v"))
+    val twin = struct((col("vec_id") + PlantedIdOffset).as("vec_id"),
+      transform(col("v"), x => x * lit(0.99) + lit(0.001)).as("v"))
+    embeddings(spark, sfDir).select(col("vec_id"), col("v"))
+      .select(explode(when(col("vec_id") < PlantedN, array(self, twin))
+        .otherwise(array(self))).as("r"))
+      .select(col("r.vec_id").as("vec_id"), col("r.v").as("v"))
   }
 
   /** SRP-LSH near-duplicate pairs over any `(vec_id, v: array<double>)`
@@ -244,7 +250,17 @@ object VectorOps {
     * only (id, band_id, key); vectors are joined back for the O(candidates)
     * verify, so nothing O(N·dim) is ever broadcast or replicated.
     */
-  def srpNearDupPairs(corpus: DataFrame, threshold: Double, seed: Long = SrpSeed): DataFrame = {
+  /** [[srpNearDupPairs]]'s one live corpus cache: the `(vec_id, v)`
+    * relation feeds the signature kernel AND both verify join sides —
+    * ScanAudit read SIX embedding scans for d16 (the planted-corpus
+    * union doubled every consumer's scan count) — now one. The persist
+    * is one spill-ready copy of the vector corpus
+    * ([[ReplaceOnCallCache]]; the d2DocsCache trade for vectors).
+    */
+  private val srpCorpusCache = new ReplaceOnCallCache
+
+  def srpNearDupPairs(rawCorpus: DataFrame, threshold: Double, seed: Long = SrpSeed): DataFrame = {
+    val corpus = srpCorpusCache.register(rawCorpus)
     // coalesce: provably non-nullable band keys, else the optimizer pushes
     // IsNotNull below the Generate and re-runs the signature kernel per
     // row per join side (the d12 lesson, CorpusOps.scala).
