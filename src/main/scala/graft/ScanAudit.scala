@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.datasources.LogicalRelation
+
 
 /** Plan-build-only audit: for every registered BATCH query, the number
   * of base-relation scans in the optimized plan and which columns each
@@ -26,12 +26,22 @@ object ScanAudit {
       if (!name.startsWith("s")) {
         try {
           val df = fn(spark, sf)
-          val scans = df.queryExecution.optimizedPlan.collect {
-            case r: LogicalRelation =>
-              val cols = r.output.map(_.name)
-              val table = r.catalogTable.map(_.identifier.table)
-                .getOrElse(cols.take(2).mkString("(", ",", ")"))
-              s"$table[${cols.mkString(" ")}]"
+          // physical file scans, not logical relations: the logical
+          // node's output is the relation's FULL schema — pruning and
+          // pushdown only exist on FileSourceScanExec, and an unpruned
+          // text column is exactly what this audit must not hide
+          val phys = df.queryExecution.executedPlan match {
+            // AQE wraps the plan as a field, not a child — collect()
+            // over the wrapper alone would see zero scans
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.executedPlan
+            case p => p
+          }
+          val scans = phys.collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+              val cols = s.requiredSchema.fieldNames
+              val pushed = s.metadata.getOrElse("PushedFilters", "[]")
+              s"[${cols.mkString(" ")}] pushed=$pushed"
           }
           if (scans.size >= minScans)
             println(s"SCANS $name n=${scans.size}\n  " + scans.mkString("\n  "))

@@ -677,9 +677,17 @@ object CorpusOps {
     * one bucket (the documented value-semantics trade vs ntile's
     * rank-splitting).
     */
+  /** [[qualityDecilesKmv]]'s one live scored-projection cache: the
+    * quality score re-tokenizes text through three interpreted lambdas
+    * per row, and both the KMV cutoff aggregate and the final
+    * assignment join consumed it from separate text scans (the
+    * tokenBudgetOver persist-first contract, applied here).
+    */
+  private val d32ScoredCache = new ReplaceOnCallCache
+
   private[graft] def qualityDecilesKmv(docs: DataFrame, k: Int): DataFrame = {
-    val scored = scanWide(docs) // the d39 quality-lambda note
-      .select(col("doc_id"), col("lang"), expr(QualityPpmSql).as("q_ppm"))
+    val scored = d32ScoredCache.register(scanWide(docs) // the d39 quality-lambda note
+      .select(col("doc_id"), col("lang"), expr(QualityPpmSql).as("q_ppm")))
     val cuts = scored
       .withColumn("h", element_at(
         graft.functions.Md5Prefix64.md5Prefix64(array(col("doc_id").cast("string"))), 1))
@@ -868,8 +876,17 @@ object CorpusOps {
     * document, so count(*) after the equi-join is the distinct
     * shared-gram count.
     */
+  /** [[d20Contamination]]'s one live gram-hash cache: the exploded
+    * `(doc_id, gh)` stream feeds the eval-side distinct AND the
+    * train-side probe — each re-ran the shingle+md5 derivation from a
+    * fresh text scan before this (the d49 hash-stream trade;
+    * [[gramHashRows]] itself stays persist-free so s10 can bind it to a
+    * streaming source).
+    */
+  private val d20GramsCache = new ReplaceOnCallCache
+
   def d20Contamination(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = gramHashRows(Tables.documents(spark, sfDir))
+    val grams = d20GramsCache.register(gramHashRows(Tables.documents(spark, sfDir)))
     val evalGrams = grams.filter(col("doc_id") % 97 === 0).select(col("gh")).distinct()
     grams.filter(col("doc_id") % 97 =!= 0)
       .join(broadcast(evalGrams), "gh")
@@ -1473,6 +1490,14 @@ object CorpusOps {
     * token through interpreted lambdas; WordWindowMd5Spec pins them
     * bit-identical).
     */
+  /** [[dupSpans]]'s one live window-hash cache: the positioned
+    * `(doc_id, pos, gh)` stream feeds the occurrence count AND the mark
+    * join — each re-ran the window-hash kernel from a fresh text scan
+    * before this (the kernel is the d28 wall; the d49 hash-stream
+    * trade).
+    */
+  private val d28GramsCache = new ReplaceOnCallCache
+
   def dupSpans(docs: DataFrame): DataFrame = {
     // no length pre-filter: the kernel returns an empty array for
     // sub-window documents and posexplode drops it — a size(split(...))
@@ -1480,11 +1505,11 @@ object CorpusOps {
     // widened: the window-hash kernel is the d28 wall and this scan is
     // referenced twice (occurrence count + the mark join) — unwidened it
     // ran both passes at row-group parallelism (16x: 2.7x on 32 threads)
-    val grams = scanWide(docs)
+    val grams = d28GramsCache.register(scanWide(docs)
       .select(col("doc_id"),
         posexplode(graft.functions.WordWindowMd5.wordWindowMd5(
           lower(trim(col("text"))), SpanW)))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gh"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gh")))
     val dup = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("gh"))
     val marked = grams.join(dup, "gh").select(col("doc_id"), col("pos"))
@@ -1627,15 +1652,22 @@ object CorpusOps {
     * global window over the identical order and matches bit for bit,
     * proving the bucket decomposition exact.
     */
+  /** [[d39TokenBudget]]'s one live scored-projection cache —
+    * [[tokenBudgetOver]] consumes its input twice (offsets aggregate +
+    * rank join) and names the persist-first contract for expensive
+    * inputs; this caller's quality lambda chain is exactly that.
+    */
+  private val d39ScoredCache = new ReplaceOnCallCache
+
   def d39TokenBudget(spark: SparkSession, sfDir: String): DataFrame =
     tokenBudgetOver(
       // widened: the quality score re-tokenizes the text through three
       // interpreted lambdas per row — at row-group parallelism that scan
       // was the whole 16x wall (the d59/d28 starvation class)
-      scanWide(Tables.documents(spark, sfDir))
+      d39ScoredCache.register(scanWide(Tables.documents(spark, sfDir))
         .select(col("doc_id"),
           size(words(col("text"))).cast("long").as("n_tokens"),
-          expr(QualityPpmSql).as("q_ppm")),
+          expr(QualityPpmSql).as("q_ppm"))),
       TokenBudget)
       .select(col("doc_id"), col("n_tokens"),
         (col("q_ppm") / lit(1000000.0)).as("quality"), col("cum_before"))
