@@ -238,6 +238,18 @@ object StreamingQueries {
     * weeks. A 35-day delay copied onto a production stream keeps ~35
     * days of BOTH sides in the state store: at any real arrival rate
     * that is the first operational incident this query would cause.
+    *
+    * r15 partition sweep (the r14 s8/s12/s13 A/B, run for this row):
+    * state partitions 8/16/32 at sf0.1 read wall 5.2/6.7/16.8 s, cpu
+    * 16.3/23.4/40.9 s (min-of-3 scrubbed-warm, contended box — the CPU
+    * column is the signal). The join stages DO run at only 8 tasks,
+    * but per-store load/commit overhead grows faster than the won
+    * parallelism: 8 stays optimal at fixture state volume, same
+    * shape as the bucket families' sweep. The projections are already
+    * minimal (4 + 3 columns), and watermark delay is inert at fixture
+    * scale (one AvailableNow batch — the watermark never advances
+    * mid-run, so no eviction happens under ANY delay). s6's wall is
+    * the honest two-sided state cost; no lever left at this SF.
     */
   def s6StreamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
     val (shardDir, ckpt, mem) = freshDirs(spark, sfDir)
