@@ -114,7 +114,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
     // meets the one InMemoryRelation (whose cached plan holds the
     // single base scan).
     for (q <- Seq("d49_containment", "d53_winnow_overlap",
-        "d2_minhash_lsh", "d14_ngram_jaccard")) {
+        "d2_minhash_lsh", "d14_ngram_jaccard", "d9_embed_neardup")) {
       val df = SparkEntry.queries(q)(spark, sf001)
       val plan = df.queryExecution.optimizedPlan
       val scans = plan.collect {
