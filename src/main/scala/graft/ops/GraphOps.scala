@@ -253,8 +253,18 @@ object GraphOps {
   private[graft] def connectedComponentsBounded(edges: DataFrame, maxIter: Int,
       localCap: Long): DataFrame = {
     val e = edges.toDF("a", "b")
-    val symRaw = e.select(col("a").as("src"), col("b").as("dst"))
-      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    // symmetrize with ONE consumption of the edge plan (explode to both
+    // directions), not a self-union: a union's two branches evaluate the
+    // caller's edge pipeline TWICE into this persist, and when that
+    // pipeline's intermediates are cached (d2/d49's scan caches) their
+    // accurate in-memory stats flip its joins to broadcasts — broadcast
+    // build subtrees don't share exchange reuse across union branches,
+    // so d51/d25 re-ran their whole pair pipeline per branch (measured:
+    // d51 38.4 -> 17.5 CPU-s at sf0.1 from this change alone)
+    val symRaw = e.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("sd"))
+      .select(col("sd.src").as("src"), col("sd.dst").as("dst"))
       .persist()
     // CHEAP routing pre-pass: one narrow no-shuffle aggregate over the
     // symmetrized list — the sym-edge count (the local-finish decision)
