@@ -876,17 +876,16 @@ object CorpusOps {
     * document, so count(*) after the equi-join is the distinct
     * shared-gram count.
     */
-  /** [[d20Contamination]]'s one live gram-hash cache: the exploded
-    * `(doc_id, gh)` stream feeds the eval-side distinct AND the
-    * train-side probe — each re-ran the shingle+md5 derivation from a
-    * fresh text scan before this (the d49 hash-stream trade;
-    * [[gramHashRows]] itself stays persist-free so s10 can bind it to a
-    * streaming source).
+  /** d20 consumes the gram stream twice (eval-side distinct + train-side
+    * probe) from two scans ON PURPOSE: both consumers shuffle only tiny
+    * post-filter subsets (the ~1% eval distinct and the broadcast-join
+    * matches), so the r15 gram-hash cache traded two cheap kernel passes
+    * for a columnar build + two cache reads of the FULL stream — measured
+    * d20 6.3 -> 9.3 bench CPU-s and reverted. At 100 TB the same math
+    * holds: the cache writes+reads ~2x the text bytes it saves scanning.
     */
-  private val d20GramsCache = new ReplaceOnCallCache
-
   def d20Contamination(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = d20GramsCache.register(gramHashRows(Tables.documents(spark, sfDir)))
+    val grams = gramHashRows(Tables.documents(spark, sfDir))
     val evalGrams = grams.filter(col("doc_id") % 97 === 0).select(col("gh")).distinct()
     grams.filter(col("doc_id") % 97 =!= 0)
       .join(broadcast(evalGrams), "gh")
@@ -1490,26 +1489,23 @@ object CorpusOps {
     * token through interpreted lambdas; WordWindowMd5Spec pins them
     * bit-identical).
     */
-  /** [[dupSpans]]'s one live window-hash cache: the positioned
-    * `(doc_id, pos, gh)` stream feeds the occurrence count AND the mark
-    * join — each re-ran the window-hash kernel from a fresh text scan
-    * before this (the kernel is the d28 wall; the d49 hash-stream
-    * trade).
-    */
-  private val d28GramsCache = new ReplaceOnCallCache
-
   def dupSpans(docs: DataFrame): DataFrame = {
     // no length pre-filter: the kernel returns an empty array for
     // sub-window documents and posexplode drops it — a size(split(...))
     // filter would re-tokenize every document just to decide nothing.
     // widened: the window-hash kernel is the d28 wall and this scan is
     // referenced twice (occurrence count + the mark join) — unwidened it
-    // ran both passes at row-group parallelism (16x: 2.7x on 32 threads)
-    val grams = d28GramsCache.register(scanWide(docs)
+    // ran both passes at row-group parallelism (16x: 2.7x on 32 threads).
+    // The two-pass re-derivation is deliberate: the r15 sweep's
+    // ReplaceOnCallCache here re-measured d28 5.0 -> 8.7 bench CPU-s
+    // (columnar build of the positioned stream + broadcast flips), and a
+    // shared unconditional gh repartition measured worse still at
+    // fixture stats — see containmentOver's note.
+    val grams = scanWide(docs)
       .select(col("doc_id"),
         posexplode(graft.functions.WordWindowMd5.wordWindowMd5(
           lower(trim(col("text"))), SpanW)))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gh")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gh"))
     val dup = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("gh"))
     val marked = grams.join(dup, "gh").select(col("doc_id"), col("pos"))
@@ -2233,29 +2229,25 @@ object CorpusOps {
   def d49Containment(spark: SparkSession, sfDir: String): DataFrame =
     containmentOver(Tables.documents(spark, sfDir))
 
-  /** [[containmentOver]]'s one live window-hash-stream cache: the
-    * exploded `(doc_id, gh)` relation feeds the hot-window aggregate,
-    * the per-doc denominator, AND both sides of the shared-window
-    * self-join — five consumers that each re-read the text column and
-    * re-ran the window-hash kernel before this (ScanAudit read SIX
-    * document scans in the optimized plan; now one). The persist is the
-    * hash stream, not text: ~40 rows/doc of (doc_id, 16 B hash) — about
-    * 2x the ~300-char text column — MEMORY_AND_DISK, spill-ready, paid
-    * once per corpus snapshot against five deleted full-text scans plus
-    * five kernel re-passes ([[ReplaceOnCallCache]] lifetime contract).
-    */
-  private val d49RawCache = new ReplaceOnCallCache
-
   /** [[d49Containment]]'s core over any `(doc_id, text)` relation —
     * parameterized for the planted-subset spec.
     */
   private[graft] def containmentOver(docs: DataFrame): DataFrame = {
-    val raw = d49RawCache.register(scanWide(docs)
+    val raw = scanWide(docs)
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.WordWindowMd5.wordWindowMd5(
-          lower(trim(col("text"))), SpanW))).as("gh")))
+          lower(trim(col("text"))), SpanW))).as("gh"))
     // the hot list is tiny (windows above the cap), so excluding
-    // stop-windows is one broadcast anti join — no second corpus shuffle
+    // stop-windows is one broadcast anti join — no second corpus shuffle.
+    // The kernel re-derives per consumer ON PURPOSE: the r15 sweep tried
+    // a ReplaceOnCallCache on `raw` (d49 14.1 -> 18.3 bench CPU-s: the
+    // columnar build plus accurate-small-stats broadcast flips cost more
+    // than the rescans) and an unconditional shared gh repartition
+    // (worse still — the optimizer's BHJ flips at fixture stats keep the
+    // copies from reusing one exchange and each copy pays the shuffle).
+    // At 100 TB stats are large, the self-join stays a sort-merge on gh,
+    // and the two sides' canonically-equal exchanges reuse one kernel
+    // pass — the shape this plain form plans there.
     val hot = raw.groupBy(col("gh")).agg(count(lit(1)).as("n"))
       .filter(col("n") > ContainmentHotCap).select(col("gh"))
     // ~40 distinct 8-word windows per ~300-char doc (width heuristic)
@@ -3362,23 +3354,19 @@ object CorpusOps {
         .orderBy(col("score").desc, col("doc_id"))).cast("long"))
   }
 
-  /** [[winnowOverlapOver]]'s one live fingerprint-stream cache: the
-    * exploded `(doc_id, gh)` selection feeds the hot aggregate and both
-    * self-join sides — before this each consumer re-read the text AND
-    * re-ran the winnowing kernel (ScanAudit: four document scans; now
-    * one). The persist is ~12 selected 16 B hashes per doc — a fraction
-    * of the text column — MEMORY_AND_DISK ([[ReplaceOnCallCache]]).
-    */
-  private val d53FpsCache = new ReplaceOnCallCache
-
   /** [[d53WinnowOverlap]]'s core over any `(doc_id, text)` relation. */
   private[graft] def winnowOverlapOver(docs: DataFrame): DataFrame = {
     // distinct selected grams per doc, still row-local: project the
     // hashes out of the selection structs, distinct, THEN explode
-    val fps = d53FpsCache.register(winnowSelected(docs)
+    val fps = winnowSelected(docs)
       .select(col("doc_id"),
         explode(array_distinct(transform(col("sel"),
-          g => g.getField("gh")))).as("gh")))
+          g => g.getField("gh")))).as("gh"))
+    // per-consumer kernel re-derivation is deliberate — see
+    // containmentOver's note (the r15 cache and shared-repartition
+    // variants both re-measured SLOWER at fixture stats: 5.4 -> 8.3
+    // bench CPU-s cached; the plain form sort-merges on gh at scale
+    // where the sides' canonically-equal exchanges reuse one pass)
     val hot = fps.groupBy(col("gh")).agg(count(lit(1)).as("n"))
       .filter(col("n") > ContainmentHotCap).select(col("gh"))
     // ~12 winnow-selected grams per doc (width heuristic)

@@ -160,12 +160,6 @@ object VectorOps {
     * block edge overridable for the edge-invariance spec (None = the
     * data-sized [[d9BlockEdge]]).
     */
-  /** [[d9EmbedNeardupOver]]'s one live grouped-tile cache (the
-    * d46/d58 block-cache contract): both replicated join sides read the
-    * same gathered tiles.
-    */
-  private val d9BlockCache = new ReplaceOnCallCache
-
   private[graft] def d9EmbedNeardupOver(src: DataFrame,
       edgeOverride: Option[Long] = None): DataFrame = {
     // n2 rides the block replication: the squared norm is per-VECTOR
@@ -193,11 +187,15 @@ object VectorOps {
     // (the documented block contract). The diagonal pair (b, b) gets the
     // same list on both sides; the kernel's diag mode scores i < j once.
     val item = struct(col("vec_id").as("id"), col("v"), col("n2"), lit(0.0).as("aux"))
-    // cached like d46/d58's tiles: the lo and hi sides each re-ran the
-    // corpus scan + the gather aggregation before this (ScanAudit: two
-    // embedding scans; now one scan, one shuffle)
-    val blocks = d9BlockCache.register(e.select(col("blk"), item.as("it"))
-      .groupBy(col("blk")).agg(collect_list(col("it")).as("items")))
+    // NOT cached (unlike d46/d58's tiles): the gather aggregation's
+    // exchange is canonically identical under both replicated sides, so
+    // ReusedExchange already runs the scan+gather once at runtime; the
+    // r15 tile cache here only added the columnar build of the vector
+    // tiles (d9 0.7 -> 1.4 bench CPU-s, reverted). d46/d58 keep theirs
+    // because their tiles feed MANY differently-shaped consumers the
+    // exchange cannot serve.
+    val blocks = e.select(col("blk"), item.as("it"))
+      .groupBy(col("blk")).agg(collect_list(col("it")).as("items"))
     val lo = blocks.select(col("blk").as("lo"),
       explode(sequence(col("blk"), lit(nBlocks - 1))).as("hi"), col("items").as("as_"))
     val hi = blocks.select(explode(sequence(lit(0L), col("blk"))).as("lo"),

@@ -16,6 +16,16 @@ import org.scalatest.matchers.should.Matchers
   * ran earlier (CacheManager substitutes any matching subtree at plan
   * time — real and useful at runtime, order-dependent noise here).
   *
+  * d49(6)/d53(4)/d20(2)/d28(2)/d9(2) are deliberate count INCREASES:
+  * their mid-r15 choke-point caches re-measured SLOWER (accurate
+  * small in-memory stats flip downstream joins to broadcast, whose
+  * build subtrees get no exchange reuse across branches — each
+  * consumer re-ran the pipeline plus the cache's columnar build —
+  * while the plain forms' canonically-equal exchanges ReusedExchange
+  * into one kernel pass at runtime; see the notes at the sites).
+  * The logical scan count here is therefore HIGHER than the physical
+  * pass count those plans execute.
+  *
   * Multi-scan rows are BY DESIGN and documented at their sites:
   * multi-table TPC-H joins (each scan a different table), ANN
   * train/encode/fetch stages (sampled training at deployment),
@@ -30,16 +40,16 @@ class ScanProfileSpec extends AnyFunSuite with SparkSpec with Matchers {
     "c8_topk" -> 1,
     "d1_exact_dedup" -> 1, "d2_minhash_lsh" -> 0, "d3_text_stats" -> 1,
     "d4_langid" -> 1, "d5_simhash" -> 1, "d6_ann_brute" -> 2,
-    "d7_ann_ivf" -> 2, "d8_multimodal_decode" -> 2, "d9_embed_neardup" -> 0,
+    "d7_ann_ivf" -> 2, "d8_multimodal_decode" -> 2, "d9_embed_neardup" -> 2,
     "d10_rolling_hash" -> 1, "d11_quality" -> 1, "d12_simhash_neardup" -> 1,
     "d13_ann_ivf_kmeans" -> 0, "d14_ngram_jaccard" -> 0,
     "d15_frame_sample" -> 1, "d16_srp_neardup" -> 0, "d17_resize" -> 1,
     "d18_corpus_prep" -> 1, "d19_split_assign" -> 1,
-    "d20_contamination" -> 0, "d21_ann_ivf_kmedians" -> 0,
+    "d20_contamination" -> 2, "d21_ann_ivf_kmedians" -> 0,
     "d22_stratified_sample" -> 1, "d23_tfidf_singlescan" -> 2,
     "d23_tfidf_topterms" -> 3, "d24_embed_quantize" -> 1,
     "d25_dedup_clusters" -> 0, "d26_repetition" -> 1,
-    "d27_pack_chunks" -> 2, "d28_dup_spans" -> 0, "d29_lang_mixture" -> 2,
+    "d27_pack_chunks" -> 2, "d28_dup_spans" -> 2, "d29_lang_mixture" -> 2,
     "d30_bpe_pairs" -> 1, "d31_ann_filtered" -> 3,
     "d32_deciles_cutoff" -> 0, "d32_quality_deciles" -> 1,
     "d33_bpe_train" -> 0, "d34_ann_ivf_probes" -> 3,
@@ -49,9 +59,9 @@ class ScanProfileSpec extends AnyFunSuite with SparkSpec with Matchers {
     "d42_interleave_order" -> 2, "d43_ann_ivfpq_residual" -> 2,
     "d44_temperature_mix" -> 3, "d45_dsir_select" -> 0,
     "d46_semdedup" -> 0, "d47_ppl_filter" -> 0, "d48_split_leakage" -> 1,
-    "d49_containment" -> 0, "d50_training_plan" -> 0,
+    "d49_containment" -> 6, "d50_training_plan" -> 0,
     "d51_containment_clusters" -> 0, "d52_winnow" -> 1,
-    "d53_winnow_overlap" -> 0, "d54_bm25" -> 0, "d55_d4_select" -> 0,
+    "d53_winnow_overlap" -> 4, "d54_bm25" -> 0, "d55_d4_select" -> 0,
     "d56_semantic_contamination" -> 2, "d57_corpus_report" -> 1,
     "d58_knn_graph" -> 0, "d59_hashed_embed" -> 1,
     "d60_semantic_clusters" -> 0, "d61_span_scrub" -> 2,

@@ -102,19 +102,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec with Matchers {
   }
 
   test("scan-cached pair ops read their base table in exactly ONE scan") {
-    // r15 ScanAudit sweep: d49 read documents SIX times (hash stream
-    // re-derived for the hot aggregate, denominator, and both self-join
-    // sides), d53 four, d2/d14 three (signature + both verify
-    // endpoints). Each now registers one ReplaceOnCallCache at its
-    // choke point; every further consumer reads the cache. A second
-    // LogicalRelation reappearing here means a consumer fell off the
-    // cached plan — the most expensive silent regression at 100 TB.
-    // In these four the cache sits at the root of the only scan, so the
-    // optimized plan shows ZERO parquet relations and every consumer
-    // meets the one InMemoryRelation (whose cached plan holds the
-    // single base scan).
-    for (q <- Seq("d49_containment", "d53_winnow_overlap",
-        "d2_minhash_lsh", "d14_ngram_jaccard", "d9_embed_neardup")) {
+    // r15 ScanAudit sweep: d2/d14 read documents three times (signature
+    // + both verify endpoints). Each now registers one
+    // ReplaceOnCallCache at its choke point; every further consumer
+    // reads the cache. A second LogicalRelation reappearing here means
+    // a consumer fell off the cached plan — the most expensive silent
+    // regression at 100 TB. The cache sits at the root of the only
+    // scan, so the optimized plan shows ZERO parquet relations and
+    // every consumer meets the one InMemoryRelation (whose cached plan
+    // holds the single base scan).
+    //
+    // d49/d53/d20/d28/d9 were cached the same way mid-r15 and REVERTED
+    // on measurement (d49 10.8 -> 17.7 CPU-s cached, d53 5.6 -> 9.7,
+    // d9 1.5 -> 2.7, back-to-back same box): with the cached stream's
+    // accurate small stats the downstream joins flip to broadcast,
+    // broadcast build subtrees get no exchange reuse across branches,
+    // and each consumer re-ran the pipeline PLUS the columnar
+    // build/read — while the plain form's canonically-equal exchanges
+    // ReusedExchange into one kernel pass at runtime. Their intrinsic
+    // scan counts are pinned in ScanProfileSpec instead.
+    for (q <- Seq("d2_minhash_lsh", "d14_ngram_jaccard")) {
       val df = SparkEntry.queries(q)(spark, sf001)
       val plan = df.queryExecution.optimizedPlan
       val scans = plan.collect {
