@@ -383,11 +383,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(name: String): Unit =
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch {
+      try {
+        // label every job with its query so the UI / listener audits
+        // (ScratchJobs, event logs) attribute stages without guessing
+        spark.sparkContext.setJobDescription(s"bench: $name")
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      } catch {
         case e: Throwable => throw new QueryFailed(name, e)
-      }
+      } finally spark.sparkContext.setJobDescription(null)
 
     // Scrub cross-query residue (see scaladoc): evict every state-store
     // provider the streaming queries loaded and drop their memory-sink temp

@@ -48,7 +48,9 @@ object ScratchJobs {
       spark.catalog.clearCache()
       jobs = 0; stages = 0; stageLog.clear(); jobLog.clear()
       val t0 = System.nanoTime()
+      spark.sparkContext.setJobDescription(s"audit: $name")
       SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
+      spark.sparkContext.setJobDescription(null)
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       Thread.sleep(500) // let listener drain

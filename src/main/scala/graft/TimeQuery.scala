@@ -49,7 +49,9 @@ object TimeQuery {
         val c0 = osBean.getProcessCpuTime
         val st0 = Bench.stealSec()
         val t0 = System.nanoTime()
+        spark.sparkContext.setJobDescription(s"timequery: $name run $i")
         SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
+        spark.sparkContext.setJobDescription(null)
         val st1 = Bench.stealSec()
         val steal = if (st0 >= 0 && st1 >= 0) st1 - st0 else -1.0
         println(f"TIME $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
