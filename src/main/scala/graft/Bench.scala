@@ -6,7 +6,13 @@ import scala.jdk.CollectionConverters._
 
 /** Benchmark main. Per-query timing methodology:
   *  - one warm-up pass over every query first (JIT + code cache + parquet
-  *    footer caches), then one measured pass;
+  *    footer caches), then one measured pass; since r16 the warm-up pass
+  *    is itself timed per query and published as `coldSec` in the row
+  *    telemetry (plus top-level `coldTotalSec`): the warm-up is the only
+  *    pass that pays one-time session costs — model training
+  *    (TrainedModelCache), the d70 plan materialization, the streaming
+  *    shard layouts — so the artifact now carries those costs per row
+  *    instead of only declaring them in `shapes`;
   *  - each measured run writes to the `noop` sink so the FULL plan executes
   *    (a bare `.count()` lets Catalyst prune every column/expression not
   *    needed for counting — it under-measures projection/window queries);
@@ -410,7 +416,23 @@ object Bench {
     // between queries, never concurrently with one
     val allCoreSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     try {
-    names.foreach { n => runOnce(n); scrub() } // warm-up
+    // The warm-up pass is TIMED per query (r15 verdict item 2): it is the
+    // only pass that pays one-time session costs the measured passes then
+    // skip — model training (TrainedModelCache), the d70 plan
+    // materialization, the streaming shard layouts, JIT — so its per-row
+    // wall lands in the artifact as `coldSec` next to the steady-state
+    // `sec`. `sec` stays the metric (min of scrubbed measured passes,
+    // unchanged methodology); coldSec makes the amortized costs visible
+    // instead of declared-only (`shapes`). coldSec is wall on a cold JVM
+    // with JIT noise — an upper bound on first-run cost, not a tuned
+    // measurement.
+    val coldSec = scala.collection.mutable.Map.empty[String, Double]
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      runOnce(n)
+      coldSec(n) = (System.nanoTime() - t0) / 1e9
+      scrub()
+    } // warm-up
     allCoreSamples += allCoreSpinProbe()
     allCoreSamples += allCoreSpinProbe()
     // min of 2 measured passes: suppresses one-off GC/IO noise without
@@ -508,9 +530,10 @@ object Bench {
         s",\"cpuRef\":${f(r)},\"cpuRefRatio\":${f(m.cpuSec / (r.max(0.001) * replication))}")
         .getOrElse("")
       val near = floorNear.get(k).map(v => s",\"floorNearMs\":${f(v)}").getOrElse("")
+      val cold = coldSec.get(k).map(v => s",\"coldSec\":${f(v)}").getOrElse("")
       s"\"$k\":{\"cpuSec\":${f(m.cpuSec)},\"gcSec\":${f(m.gcSec)}" +
         s",\"spinWallToCpu\":${f(m.spin.ratio)},\"spinMs\":${f(m.spin.wallMs)}" +
-        s",\"stealSec\":${f(m.stealSec)},\"passes\":$passes,\"suspect\":$suspect$ref$near}"
+        s",\"stealSec\":${f(m.stealSec)},\"passes\":$passes,\"suspect\":$suspect$ref$near$cold}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum
     val spins = results.map(_._2.spin.ratio).filter(_ >= 0).sorted
@@ -535,8 +558,10 @@ object Bench {
     val cores = Runtime.getRuntime.availableProcessors()
     val totalCpu = results.map(_._2.cpuSec).sum
     val totalGc = results.map(_._2.gcSec).sum
+    val coldTotal = coldSec.values.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        s""","coldTotalSec":${f(coldTotal)}""" +
         s""","parallelism":$cpus,"contended":$contended""" +
         s""","suspectQueries":${suspectNames.mkString("[", ",", "]")}""" +
         s""","cpuAnomalies":${cpuAnomalyNames.mkString("[", ",", "]")}""" +
@@ -577,8 +602,9 @@ object Bench {
         s""","minAllCoreSpinMs":${f(minAllCoreMs)}""" +
         s""","spinNormTotal":${f(spinNormTotal(total, minAllCoreMs, ReferenceAllCoreSpinFloorMs))}""" +
         s""","spinNormTotalSingleCore":${f(spinNormTotal(total, minSpinMs))}""" +
+        s""","coldTotalSec":${f(coldTotal)}""" +
         s""","shapes":{"s19":"querySlice=vec_id<${graft.streaming.StreamingQueries.AnnQuerySlice}"""" +
-        s""","d70":"reads the materialized d50 plan artifact (snapshot-keyed, written once per corpus — the loader contract)"}""" +
+        s""","d70":"reads the materialized d50 plan artifact (snapshot-keyed, written once per corpus); its full first-run cost is the row's coldSec"}""" +
         s""","queries":$slowest,"full":"target/bench_last.json"}"""
     println(summary)
     // Three more channels for the driver's parser, which still read

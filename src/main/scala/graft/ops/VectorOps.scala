@@ -916,14 +916,16 @@ object VectorOps {
       .select(col("vec_id"), col("cell"), col("cent_sim"), col("rk").as("prot_rk"))
   }
 
-  private def nearestCidLit(centroids: Seq[(Int, Seq[Double])], vcol: Column = col("v")): Column = {
-    val cents = typedlit(centroids.sortBy(_._1).map { case (cid, cv) => (cid, cv) })
-    array_min(transform(cents, c =>
-      struct(
-        aggregate(zip_with(vcol, c.getField("_2"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x).as("d"),
-        c.getField("_1").as("cid")))).getField("cid")
-  }
+  /** Nearest-centroid argmin over a literal centroid table. Since r16
+    * this is the native fused-loop kernel
+    * ([[graft.functions.PqArgmin.nearestCell]]) — the composed
+    * `array_min(transform(typedlit(...), struct(aggregate(zip_with(...)))))`
+    * form it replaces is `CodegenFallback` end to end (per-row boxed
+    * lambda dispatch over k×dim), bit-identical semantics pinned by
+    * PqArgminSpec (sequential accumulation, ties to the lowest cid).
+    */
+  private def nearestCidLit(centroids: Seq[(Int, Seq[Double])], vcol: Column = col("v")): Column =
+    graft.functions.PqArgmin.nearestCell(centroids, vcol)
 
   // PQ geometry: dim 64 = 8 subspaces x 8 dims, 16 codes per subspace
   // (one byte of code space per pair of subspaces — a 64-dim vector
@@ -998,10 +1000,9 @@ object VectorOps {
         (i, v.slice(m * PqSubDim, (m + 1) * PqSubDim)) })
     }
     for (_ <- 0 until iters) {
-      val cidExpr = (1 until PqM).foldLeft(
-        when(col("m") === 0, nearestCidLit(books(0), col("sv")))) { (acc, m) =>
-        acc.when(col("m") === m, nearestCidLit(books(m), col("sv")))
-      }
+      // one m-dispatched native argmin instead of a when-chain of M
+      // interpreted argmins (same dispatch, kernel per branch)
+      val cidExpr = graft.functions.PqArgmin.subCid(books, PqSubDim, col("m"), col("sv"))
       val updated = subRows.withColumn("cid", cidExpr)
         .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy(col("m"), col("cid"), col("dim"))
@@ -1050,8 +1051,7 @@ object VectorOps {
     // encode: 8 zero-shuffle literal-codebook argmins per row (scan
     // widened: the per-row argmin chain is the cost, not IO)
     val encoded = CorpusOps.scanWide(e).select(col("vec_id"), col("v"),
-      array(codebooks.zipWithIndex.map { case (cb, m) =>
-        nearestCidLit(cb, slice(col("v"), m * PqSubDim + 1, PqSubDim)) }: _*).as("codes"))
+      graft.functions.PqArgmin.pqCodes(codebooks, PqSubDim, col("v")).as("codes"))
     // per-query ADC tables: M x K exact subvector distances, driver-built
     // from the k x dim codebooks (tiny) and broadcast with the queries
     val qDf = pqQueryTables(spark, e, codebooks)
@@ -1115,8 +1115,7 @@ object VectorOps {
     val e = embeddings(spark, sfDir)
     val codebooks = trainedPqCodebooks(spark, sfDir)
     val encoded = CorpusOps.scanWide(e).select(col("vec_id"), col("v"), col("label"),
-      array(codebooks.zipWithIndex.map { case (cb, m) =>
-        nearestCidLit(cb, slice(col("v"), m * PqSubDim + 1, PqSubDim)) }: _*).as("codes"))
+      graft.functions.PqArgmin.pqCodes(codebooks, PqSubDim, col("v")).as("codes"))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val probes = probedCells(q, labelCentroidsExact(e), nprobe = 3)
@@ -1161,9 +1160,11 @@ object VectorOps {
     val codebooks = TrainedModelCache.getOrTrain("pq-residual", sfDir)(
       pqCodebooks(e.filter(pmod(col("vec_id"), lit(4)) === 0)
         .select(col("vec_id"), resid.as("v")), iters = 3))
+    // one kernel call over the residual: the residual projection itself
+    // now evaluates ONCE per row (the per-subspace slice form re-derived
+    // it M times)
     val encoded = CorpusOps.scanWide(e).select(col("vec_id"), col("v"), col("label"),
-      array(codebooks.zipWithIndex.map { case (cb, m) =>
-        nearestCidLit(cb, slice(resid, m * PqSubDim + 1, PqSubDim)) }: _*).as("codes"))
+      graft.functions.PqArgmin.pqCodes(codebooks, PqSubDim, resid).as("codes"))
     // driver-built probe side: per query, the nprobe=3 nearest cells by
     // squared centroid distance (ties by label — probedCells' ordering),
     // each carrying the PER-CELL residual ADC table. Arithmetic mirrors
@@ -1214,10 +1215,7 @@ object VectorOps {
     * column). Literal codebooks, same argmin as the d35 encoder.
     */
   def pqCodeKeyExpr(codebooks: Seq[Seq[(Int, Seq[Double])]], vcol: Column): Column =
-    codebooks.zipWithIndex.map { case (cb, m) =>
-      nearestCidLit(cb, slice(vcol, m * PqSubDim + 1, PqSubDim)).cast("long") *
-        lit(1L << (4 * m))
-    }.reduce(_ + _)
+    graft.functions.PqArgmin.packedCodeKey(codebooks, PqSubDim, vcol)
 
   /** Component-wise MEDIAN centroid update. Median is selection-based —
     * order-INDEPENDENT, unlike avg's float accumulation — which is what

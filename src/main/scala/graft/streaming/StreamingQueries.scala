@@ -47,18 +47,68 @@ object StreamingQueries {
     (shardDir, ckpt, s"graft_mem_${runId}_${System.nanoTime()}")
   }
 
+  /** Streaming state-partition sizing rule (guide §2.2/§5, r15 verdict
+    * item 1): one state partition per [[StateBytesPerPartition]] of the
+    * query's SOURCE table on disk, floored at [[MinStatePartitions]] and
+    * capped at 4096 — the `pairParts` discipline applied to streaming
+    * state. The floor is the r15 partition sweep's optimum at fixture
+    * state volume (8/16/32 partitions → 16.3/23.4/40.9 CPU-s on s6:
+    * per-store load/commit overhead grows FASTER than won parallelism
+    * while state is small), re-confirmed at the 16× far point this round;
+    * the ceiling keeps per-store state bounded at corpus scale, where a
+    * checkpoint-PERMANENT partition count sized for a laptop is the
+    * first incident. Derived from data size, never from the local core
+    * count.
+    */
+  private[streaming] val MinStatePartitions = 8
+  private[streaming] val StateBytesPerPartition: Long = 64L << 20
+
+  private[streaming] def statePartitionsFor(bytes: Long): Int =
+    math.min(4096L, math.max(MinStatePartitions.toLong,
+      bytes / StateBytesPerPartition)).toInt
+
+  /** On-disk bytes of `sfDir/table` (regular files under it) — the cheap
+    * O(files) size probe behind [[statePartitionsFor]]; 0 when missing
+    * (spec fixtures), which lands on the floor.
+    */
+  private[streaming] def sourceBytes(sfDir: String, table: String): Long =
+    try {
+      val p = java.nio.file.Paths.get(sfDir, table)
+      if (!java.nio.file.Files.exists(p)) 0L
+      else if (java.nio.file.Files.isRegularFile(p)) java.nio.file.Files.size(p)
+      else {
+        val walk = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size(_)).sum
+        } finally walk.close()
+      }
+    } catch { case _: Throwable => 0L }
+
   /** Run `body` with streaming-state partitioning sized to these queries'
     * state volume, restoring the session default afterwards. The state
     * partition count is checkpoint-PERMANENT (fixed at the first batch
     * forever), so a streaming job must size it deliberately instead of
     * inheriting the batch shuffle default: every stateful operator keeps
     * one or more store instances per partition, and when state is small
-    * the per-store load/commit overhead dominates the actual work. At
-    * scale the same knob is sized UP with state volume. Session-conf
-    * scoping is safe here because the driver runs queries sequentially;
-    * the restore keeps batch queries on the session default.
+    * the per-store load/commit overhead dominates the actual work. Sizing
+    * is scale-adaptive ([[statePartitionsFor]] over the query's source
+    * table bytes — at fixture SFs it lands on the sweep-optimal floor, at
+    * corpus scale it grows with the data). Session-conf scoping is safe
+    * here because the driver runs queries sequentially; the restore keeps
+    * batch queries on the session default.
     */
-  private def withStateSizing[T](spark: SparkSession, partitions: Int = 8)(body: => T): T = {
+  // per-source sizing shorthands: each streaming query derives its state
+  // width from ITS source table's bytes (events / documents / embeddings)
+  private def eventsStateParts(sfDir: String): Int =
+    statePartitionsFor(sourceBytes(sfDir, "events.parquet"))
+  private def corpusStateParts(sfDir: String): Int =
+    statePartitionsFor(sourceBytes(sfDir, "documents.parquet"))
+  private def embedStateParts(sfDir: String): Int =
+    statePartitionsFor(sourceBytes(sfDir, "embeddings.parquet"))
+
+  private def withStateSizing[T](spark: SparkSession, partitions: Int = MinStatePartitions)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, partitions.toString)
@@ -86,7 +136,7 @@ object StreamingQueries {
     * 1-hour watermark: the windowed-aggregation + watermark surface the
     * reference delegates entirely to downstream code (SURVEY.md §2D).
     */
-  def s1StreamHourlyAgg(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
+  def s1StreamHourlyAgg(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark, eventsStateParts(sfDir)) {
     val (shardDir, ckpt, mem) = freshDirs(spark, sfDir)
     val q = formatStream(spark, shardDir, "trim_horizon")
       .withWatermark("ts", "1 hour")
@@ -120,7 +170,7 @@ object StreamingQueries {
   def s3StreamSeekTrim(spark: SparkSession, sfDir: String): DataFrame =
     seekAgg(spark, sfDir, "trim_horizon")
 
-  private def seekAgg(spark: SparkSession, sfDir: String, startingPosition: String): DataFrame = withStateSizing(spark) {
+  private def seekAgg(spark: SparkSession, sfDir: String, startingPosition: String): DataFrame = withStateSizing(spark, eventsStateParts(sfDir)) {
     val (shardDir, ckpt, mem) = freshDirs(spark, sfDir)
     val q = formatStream(spark, shardDir, startingPosition)
       .groupBy(col("event_type"))
@@ -143,7 +193,7 @@ object StreamingQueries {
     * cumulative count, via one ranking window) must equal the batch
     * aggregation — all distributed, no driver-side collection.
     */
-  def s4StreamPerKeyState(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
+  def s4StreamPerKeyState(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark, eventsStateParts(sfDir)) {
     val (shardDir, ckpt, _) = freshDirs(spark, sfDir)
     val out = Files.createTempDirectory("graft-state-out-").toString
     val q = PerKeyTracker.track(ShardedEvents.readStream(spark, shardDir))
@@ -177,7 +227,7 @@ object StreamingQueries {
     * restored afterwards so the other streaming gates keep their default
     * (HDFS-backed in-memory) provider.
     */
-  def s5StreamPerKeyTws(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
+  def s5StreamPerKeyTws(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark, eventsStateParts(sfDir)) {
     val (shardDir, ckpt, _) = freshDirs(spark, sfDir)
     val out = Files.createTempDirectory("graft-tws-out-").toString
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -251,7 +301,7 @@ object StreamingQueries {
     * mid-run, so no eviction happens under ANY delay). s6's wall is
     * the honest two-sided state cost; no lever left at this SF.
     */
-  def s6StreamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
+  def s6StreamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark, eventsStateParts(sfDir)) {
     val (shardDir, ckpt, mem) = freshDirs(spark, sfDir)
     val events = ShardedEvents.readStream(spark, shardDir)
     val purchases = events.filter(col("event_type") === "purchase")
@@ -286,7 +336,7 @@ object StreamingQueries {
     * correctness harness replays a bounded table); production uses
     * `dropDuplicatesWithinWatermark` so state is GC'd by event time.
     */
-  def s2StreamDedupCount(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
+  def s2StreamDedupCount(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark, eventsStateParts(sfDir)) {
     val (shardDir, ckpt, mem) = freshDirs(spark, sfDir)
     val q = formatStream(spark, shardDir, "trim_horizon")
       .dropDuplicates(Seq("event_id"))
@@ -347,7 +397,7 @@ object StreamingQueries {
     * signal a real index uses to decide WHEN to retrain.
     */
   def s14StreamAnnIngest(spark: SparkSession, sfDir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark, embedStateParts(sfDir)) {
     val shardDir = embedShardDir(spark, sfDir)
     val cents = graft.ops.VectorOps.exactLabelCentroids(spark, sfDir)
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
@@ -389,7 +439,7 @@ object StreamingQueries {
     * PQ compression: each vector is scanned once, at arrival.
     */
   def s15StreamPqIngest(spark: SparkSession, sfDir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark, embedStateParts(sfDir)) {
     val shardDir = embedShardDir(spark, sfDir)
     val cents = graft.ops.VectorOps.exactLabelCentroids(spark, sfDir)
     val books = graft.ops.VectorOps.trainedPqCodebooks(spark, sfDir)
@@ -437,7 +487,7 @@ object StreamingQueries {
     * and the 1000-executor stream filters at wire speed.
     */
   def s16StreamDsirGate(spark: SparkSession, sfDir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark, corpusStateParts(sfDir)) {
     val shardDir = corpusShardDir(spark, sfDir)
     val (wts, cutoff) = graft.ops.TrainedModelCache.getOrTrain("dsir", sfDir)(
       graft.ops.CorpusOps.dsirGate(spark, sfDir))
@@ -474,7 +524,7 @@ object StreamingQueries {
     * consciously out of scope — its per-batch semantics are undefined).
     */
   def s21StreamPplGate(spark: SparkSession, sfDir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark, corpusStateParts(sfDir)) {
     val shardDir = corpusShardDir(spark, sfDir)
     val (bigWts, ctxWts, cutoff) = graft.ops.TrainedModelCache.getOrTrain("ppl", sfDir)(
       graft.ops.CorpusOps.pplGate(spark, sfDir))
@@ -514,7 +564,7 @@ object StreamingQueries {
     * ingests: the d53 join side reads the accumulated sketch table.
     */
   def s17StreamWinnowIngest(spark: SparkSession, sfDir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark, corpusStateParts(sfDir)) {
     val shardDir = corpusShardDir(spark, sfDir)
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
     val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
@@ -551,7 +601,7 @@ object StreamingQueries {
     * `dropDuplicatesWithinWatermark` to bound it (the s2 production note
     * applies verbatim).
     */
-  def s7StreamCorpusDedup(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
+  def s7StreamCorpusDedup(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark, corpusStateParts(sfDir)) {
     val shardDir = corpusShardDir(spark, sfDir)
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
     val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
@@ -632,7 +682,7 @@ object StreamingQueries {
     * a different batch), not only within one.
     */
   def s8StreamNearDup(spark: SparkSession, sfDir: String,
-      maxFilesPerTrigger: Option[Int]): DataFrame = withStateSizing(spark) {
+      maxFilesPerTrigger: Option[Int]): DataFrame = withStateSizing(spark, corpusStateParts(sfDir)) {
     import spark.implicits._
     val shardDir = corpusShardDir(spark, sfDir)
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
@@ -742,7 +792,7 @@ object StreamingQueries {
     * WHOLE corpus's gram sets (cross-tranche pairs need tranche-1
     * grams).
     */
-  def s12StreamNearDupSeeded(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
+  def s12StreamNearDupSeeded(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark, corpusStateParts(sfDir)) {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sfDir)
     val cut = (docs.agg(max(col("doc_id"))).collect().head.getLong(0) + 1L) / 2L
@@ -791,7 +841,7 @@ object StreamingQueries {
     * duplicate arrives in the stream marks its old position too, which
     * batch-over-tranche-1 could not have known.
     */
-  def s13StreamDupSeeded(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
+  def s13StreamDupSeeded(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark, corpusStateParts(sfDir)) {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sfDir)
     val cut = (docs.agg(max(col("doc_id"))).collect().head.getLong(0) + 1L) / 2L
@@ -901,7 +951,7 @@ object StreamingQueries {
     * micro-batches — the cross-batch retroactive emission path.
     */
   def s11StreamDupPositions(spark: SparkSession, sfDir: String,
-      maxFilesPerTrigger: Option[Int]): DataFrame = withStateSizing(spark) {
+      maxFilesPerTrigger: Option[Int]): DataFrame = withStateSizing(spark, corpusStateParts(sfDir)) {
     import spark.implicits._
     val shardDir = corpusShardDir(spark, sfDir)
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
@@ -1186,7 +1236,7 @@ object StreamingQueries {
     * independent because the probe is per-gram and counts are
     * commutative.
     */
-  def s10StreamContamination(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
+  def s10StreamContamination(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark, corpusStateParts(sfDir)) {
     val shardDir = corpusShardDir(spark, sfDir)
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
     val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
@@ -1221,7 +1271,7 @@ object StreamingQueries {
     * pruning applies verbatim at ingest).
     */
   def s18StreamSemanticGate(spark: SparkSession, sfDir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark, embedStateParts(sfDir)) {
     val shardDir = embedShardDir(spark, sfDir)
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
     val mem = s"graft_mem_${runCounter.incrementAndGet()}_${System.nanoTime()}"
@@ -1284,7 +1334,7 @@ object StreamingQueries {
     */
   def s19StreamAnnLookup(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Option[Int] = None,
-      querySlice: Option[Long] = Some(AnnQuerySlice)): DataFrame = withStateSizing(spark) {
+      querySlice: Option[Long] = Some(AnnQuerySlice)): DataFrame = withStateSizing(spark, embedStateParts(sfDir)) {
     val shardDir = embedShardDir(spark, sfDir)
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
     val out = Files.createTempDirectory("graft-annq-out-").toString
@@ -1331,7 +1381,7 @@ object StreamingQueries {
     * ingest tier runs at wire speed against last year's corpus.
     */
   def s20StreamBloomGate(spark: SparkSession, sfDir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark, corpusStateParts(sfDir)) {
     val shardDir = corpusShardDir(spark, sfDir)
     val bm = graft.ops.TrainedModelCache.getOrTrain("bloom", sfDir)(
       graft.ops.CorpusOps.bloomBitmap(graft.Tables.documents(spark, sfDir)))
@@ -1366,7 +1416,7 @@ object StreamingQueries {
     * wire speed against last year's corpus.
     */
   def s22StreamNoveltyGate(spark: SparkSession, sfDir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark, corpusStateParts(sfDir)) {
     val shardDir = corpusShardDir(spark, sfDir)
     val bm = graft.ops.TrainedModelCache.getOrTrain("window-bloom", sfDir)(
       graft.ops.CorpusOps.windowBloomBitmap(graft.Tables.documents(spark, sfDir)))
@@ -1400,7 +1450,7 @@ object StreamingQueries {
     * firewall fails closed. Stateless, no state store, no watermark.
     */
   def s23StreamMinkGate(spark: SparkSession, sfDir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark, corpusStateParts(sfDir)) {
     val shardDir = corpusShardDir(spark, sfDir)
     val (bigWts, ctxWts, cutoff) = graft.ops.TrainedModelCache.getOrTrain("mink", sfDir)(
       graft.ops.CorpusOps.minkGate(spark, sfDir))
@@ -1433,7 +1483,7 @@ object StreamingQueries {
     * no watermark.
     */
   def s24StreamRareGate(spark: SparkSession, sfDir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark, corpusStateParts(sfDir)) {
     val shardDir = corpusShardDir(spark, sfDir)
     val (cms, total, cutoff) = graft.ops.TrainedModelCache.getOrTrain("rare", sfDir)(
       graft.ops.CorpusOps.rareGate(spark, sfDir))
@@ -1468,7 +1518,7 @@ object StreamingQueries {
     * compares a full table); production emits closed sessions in append
     * mode with the same plan and watermark-bounded state.
     */
-  def s9StreamSession(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark) {
+  def s9StreamSession(spark: SparkSession, sfDir: String): DataFrame = withStateSizing(spark, eventsStateParts(sfDir)) {
     val (shardDir, ckpt, mem) = freshDirs(spark, sfDir)
     val q = ShardedEvents.readStream(spark, shardDir)
       .withWatermark("ts", "1 hour")
@@ -1501,7 +1551,7 @@ object StreamingQueries {
     * drifting gate oracle-checkable at all.
     */
   def s25StreamDriftMix(spark: SparkSession, sfDir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark, corpusStateParts(sfDir)) {
     val shardDir = corpusShardDir(spark, sfDir)
     val sched = graft.ops.CorpusOps.driftMixSchedule(spark, sfDir)
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
@@ -1532,7 +1582,7 @@ object StreamingQueries {
     * arrival's (doc_id, epoch, n_bigrams, avg_fx).
     */
   def s26StreamLmRefresh(spark: SparkSession, sfDir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark) {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStateSizing(spark, corpusStateParts(sfDir)) {
     val shardDir = corpusShardDir(spark, sfDir)
     val m = graft.ops.CorpusOps.lmRefreshModel(spark, sfDir)
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
