@@ -206,6 +206,65 @@ object PqArgmin {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Asymmetric-distance (ADC) score: `sum_m tabs[m][codes[m]]` — the
+    * per-candidate inner loop of every PQ search join. Replaces the
+    * composed `aggregate(zip_with(codes, tabs, (c, t) ->
+    * element_at(t, c + 1)), 0.0, acc + x)` (CodegenFallback per joined
+    * row: the corpus × probes stream is the PQ family's row-count
+    * maximum, so this was the dominant interpreted term, not the encode).
+    * Sum accumulates sequentially in subspace order, identical to the
+    * fold. A code outside its table is unreachable from the encoder (ADC
+    * tables are dense in cid); the kernel degrades to null there, where
+    * the composed ANSI `element_at` would throw.
+    */
+  case class PqAdcScore(left: Expression, right: Expression) extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc requires (array<int>, array<array<double>>), got $l / $r")
+    }
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(codesAny: Any, tabsAny: Any): Any = {
+      val codes = codesAny.asInstanceOf[ArrayData]
+      val tabs = tabsAny.asInstanceOf[ArrayData]
+      val m = math.min(codes.numElements(), tabs.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < m) {
+        val t = tabs.getArray(i)
+        val c = codes.getInt(i)
+        if (c < 0 || c >= t.numElements()) return null
+        s += t.getDouble(c)
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (codes, tabs) => {
+        val m = ctx.freshName("m"); val i = ctx.freshName("i")
+        val s = ctx.freshName("s"); val t = ctx.freshName("t"); val c = ctx.freshName("c")
+        s"""
+           |int $m = java.lang.Math.min($codes.numElements(), $tabs.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $m; $i++) {
+           |  org.apache.spark.sql.catalyst.util.ArrayData $t = $tabs.getArray($i);
+           |  int $c = $codes.getInt($i);
+           |  if ($c < 0 || $c >= $t.numElements()) { ${ev.isNull} = true; break; }
+           |  $s += $t.getDouble($c);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqAdcScore =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Column builders. `books`/`centroids` are sorted by cid internally —
     * tie parity depends on it.
     */
@@ -223,4 +282,8 @@ object PqArgmin {
   def subCid(books: Seq[Seq[(Int, Seq[Double])]], subDim: Int, m: Column, sv: Column): Column =
     ColumnBridge.column(PqSubCid(
       ColumnBridge.expression(m), ColumnBridge.expression(sv), flatten(books, subDim)))
+
+  def adcScore(codes: Column, tabs: Column): Column =
+    ColumnBridge.column(PqAdcScore(
+      ColumnBridge.expression(codes), ColumnBridge.expression(tabs)))
 }

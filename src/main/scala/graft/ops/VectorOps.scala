@@ -1087,10 +1087,14 @@ object VectorOps {
       }.toDF("q_id", "qv", "tabs")
   }
 
-  /** ADC score: sum of M table lookups, one per code. */
+  /** ADC score: sum of M table lookups, one per code — the native fused
+    * loop ([[graft.functions.PqArgmin.adcScore]]); the composed
+    * `aggregate(zip_with(..., element_at))` form it replaces was the PQ
+    * family's dominant interpreted term (it runs per corpus×probe joined
+    * row, not per corpus row). Parity pinned in PqArgminSpec.
+    */
   private def adcScore: Column =
-    aggregate(zip_with(col("codes"), col("tabs"),
-      (c, t) => element_at(t, c + 1)), lit(0.0), (acc, x) => acc + x)
+    graft.functions.PqArgmin.adcScore(col("codes"), col("tabs"))
 
   /** d36: the FULL IVF-PQ pipeline — both halves of the 100 TB layout
     * composed: the coarse quantizer prunes WHICH vectors are scored

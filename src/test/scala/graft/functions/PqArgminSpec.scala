@@ -108,6 +108,29 @@ class PqArgminSpec extends AnyFunSuite with SparkSpec with Matchers {
     oob.filter(col("native").isNotNull).count() shouldBe 0L
   }
 
+  test("adcScore == the composed aggregate/zip_with/element_at fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(300)((
+      Seq.fill(M)(rnd.nextInt(16)),
+      Seq.fill(M)(Seq.fill(16)(math.rint(rnd.nextGaussian() * 1e6) / 1e6))))
+    val df = rows.toDF("codes", "tabs")
+      .select(col("codes").cast("array<int>").as("codes"), col("tabs"))
+    val composed = aggregate(zip_with(col("codes"), col("tabs"),
+      (c, t) => element_at(t, c + 1)), lit(0.0), (acc, x) => acc + x)
+    val diff = df.select(
+        PqArgmin.adcScore(col("codes"), col("tabs")).as("native"),
+        composed.as("composed"))
+      .filter(!(col("native") <=> col("composed"))).count()
+    diff shouldBe 0L
+    // out-of-range codes are unreachable from the encoder (ADC tables are
+    // dense in cid); the kernel degrades to null where the composed ANSI
+    // element_at would throw — pin the null, not an engine error
+    val oob = df.limit(3).select(
+      PqArgmin.adcScore(typedlit(Seq(16)), col("tabs")).as("native"))
+    oob.filter(col("native").isNotNull).count() shouldBe 0L
+  }
+
   test("null input vector yields null codes") {
     import spark.implicits._
     val rnd = new scala.util.Random(19)
