@@ -64,8 +64,11 @@ object StreamingQueries {
   private[streaming] val StateBytesPerPartition: Long = 64L << 20
 
   private[streaming] def statePartitionsFor(bytes: Long): Int =
-    math.min(4096L, math.max(MinStatePartitions.toLong,
-      bytes / StateBytesPerPartition)).toInt
+    // SPARK_GRAFT_STATE_PARTS: measurement override for partition sweeps
+    // (the r15/r16 A/B harness); unset in any deployed configuration
+    sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.trim.toInt).getOrElse(
+      math.min(4096L, math.max(MinStatePartitions.toLong,
+        bytes / StateBytesPerPartition)).toInt)
 
   /** On-disk bytes of `sfDir/table` (regular files under it) — the cheap
     * O(files) size probe behind [[statePartitionsFor]]; 0 when missing
